@@ -1,0 +1,307 @@
+"""Deduplication operators (SURVEY.md X15 + LLM-pipeline surface):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the 100 TB stance):
+- Exact dedup = hash-groupBy on a fingerprint — one shuffle keyed by a
+  uniform 128-bit hash, no skew by construction.
+- MinHash+LSH: shingles -> K minhashes -> B bands of R rows; candidate
+  pairs come from a self-join on (band_id, band_signature) — i.e. a
+  shuffle on small keys, NEVER a cross join. Verification (exact Jaccard)
+  runs only on candidates.
+- SimHash: 64-bit signature via per-token hash bit-voting; near-dup
+  candidates grouped by signature prefix bands (Hamming-ball blocking).
+- Embedding near-dup: cosine over candidate pairs from a blocking key
+  (here: label; at scale: LSH bucket / IVF cell), built-ins only.
+
+Everything below is pure DataFrame expressions (xxhash64 / murmur-style
+F.hash, higher-order array functions) — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elric_rs_spark.registry import query
+from elric_rs_spark.tables import load_table
+
+# MinHash parameters: K hashes = B bands * R rows
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # 8 * 4 = 32
+# (a*x + b) mod p universal-hash family over a 61-bit Mersenne prime
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _word_ngrams(col, n: int = 3):
+    """Array of word n-gram strings from a text column (built-ins only):
+    slide a window over the token array with transform + slice."""
+    toks = F.split(F.lower(F.trim(col)), " ")
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    return F.when(
+        count > 0,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _minhash_hasher(k: int):
+    """Unary element-hash lambda for F.transform, hash-family member k.
+    Built through a factory: extra default args on the lambda itself would
+    be parsed by Spark as additional higher-order-function parameters.
+    Salting the input beats (a*h+b) mod p arithmetic here: no 128-bit
+    multiply, no ANSI overflow, one JVM hash call."""
+    salt = f"\x00mh{k}\x00"
+    return lambda s: F.xxhash64(F.concat(s, F.lit(salt)))
+
+
+def _minhash_signature(shingles_col):
+    """K-wide minhash signature: min over shingles of xxhash64(shingle, k-salt).
+    Deterministic; all JVM-side."""
+    return [
+        F.array_min(F.transform(shingles_col, _minhash_hasher(k))).alias(f"mh_{k}")
+        for k in range(MINHASH_K)
+    ]
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT
+  md5(text) AS text_hash,
+  min(doc_id) AS keep_doc_id,
+  count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (X15): group by content hash, keep the lowest doc_id —
+    deterministic survivor selection (dropDuplicates picks an arbitrary
+    row; min-by is stable across runs and engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "q_text_ngram_jaccard",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)]) AS g
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+q AS (SELECT g AS qg FROM grams WHERE doc_id = 0)
+SELECT
+  grams.doc_id,
+  round(CAST(len(list_intersect(g, qg)) AS DOUBLE)
+        / len(list_distinct(list_concat(g, qg))), 6) AS jaccard
+FROM grams, q
+WHERE grams.doc_id != 0
+ORDER BY jaccard DESC, doc_id
+LIMIT 20
+""",
+)
+def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity (X15): exact word-3-gram Jaccard of every
+    document against doc 0, top-20. The query side is the verification
+    kernel used on MinHash candidates; scored exactly here so the oracle
+    can check it."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.array_distinct(_word_ngrams(F.col("text"), 3)).alias("g")
+    ).filter(F.size("g") > 0)
+    qdoc = grams.filter(F.col("doc_id") == 0).select(F.col("g").alias("qg"))
+    inter = F.size(F.array_intersect("g", "qg")).cast("double")
+    union = F.size(F.array_union("g", "qg"))
+    return (
+        grams.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(qdoc))
+        .select("doc_id", F.round(inter / union, 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query("q_dedup_minhash")  # rows-only: hash family not reproducible in SQL oracle
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection (X15), the at-scale path:
+
+    shingle -> K=32 minhashes -> 8 bands x 4 rows -> self-join on band
+    signature -> exact-Jaccard verification on candidates only.
+
+    The only shuffle is the band-key self-join; candidate count ~ true
+    duplicates, not n^2. Survives 100x data: band keys are uniform hashes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.array_distinct(_word_ngrams(F.col("text"), 3)).alias("g")
+    ).filter(F.size("g") > 0)
+    sigs = grams.select("doc_id", "g", *_minhash_signature(F.col("g")))
+
+    # band signatures: concat R consecutive minhashes
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                "g",
+                F.lit(b).alias("band_id"),
+                F.xxhash64(F.concat_ws(":", *[c.cast("string") for c in cols])).alias(
+                    "band_sig"
+                ),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.union(extra)
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.g").alias("ga"),
+            F.col("r.g").alias("gb"),
+        )
+        .distinct()
+    )
+    jaccard = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
+        F.array_union("ga", "gb")
+    )
+    return (
+        cand.select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("q_dedup_simhash")  # rows-only: engine-specific 64-bit hashing
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (X15): 64-bit signature by bit-voting over token
+    xxhash64 values; candidates blocked on 16-bit signature bands, scored
+    by Hamming distance — all with integer bit-ops, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote(i: int):
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    # bit i of signature = majority vote of bit i across token hashes
+    bit_votes = [F.aggregate(hashes, F.lit(0), _vote(i)) for i in range(64)]
+    sig = None
+    for i, v in enumerate(bit_votes):
+        bit = F.when(v > 0, F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseXOR(bit)
+    sigs = d.select("doc_id", sig.alias("simhash"))
+
+    # band on 4x16-bit chunks: near-dups (hamming<=3) share >=1 exact chunk
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(
+            f"chunk_{c}"
+        )
+        for c in range(4)
+    ]
+    banded = sigs.select("doc_id", "simhash", *chunks)
+    pieces = []
+    for c in range(4):
+        pieces.append(
+            banded.select(
+                "doc_id", "simhash", F.lit(c).alias("band_id"), F.col(f"chunk_{c}").alias("chunk")
+            )
+        )
+    expl = pieces[0]
+    for p in pieces[1:]:
+        expl = expl.union(p)
+    l, r = expl.alias("l"), expl.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 6).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q_dedup_embed",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT
+  a.vec_id AS vec_a,
+  b.vec_id AS vec_b,
+  a.label,
+  round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5)
+    AS cosine
+FROM e a JOIN e b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.4
+""",
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (X15, threshold 0.4 — the synthetic
+    embeddings top out at ~0.47 within-label cosine, so 0.4 yields a real
+    non-empty result to value-check): candidate pairs from a blocking
+    key (label here; LSH bucket at scale — see similarity.py), cosine via
+    built-in array ops. The label-blocked join is the LSH-bucket join
+    shape: shuffle on the block key, pairs only within blocks."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cosine = dot / (norm("a") * norm("b"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cosine, 5).alias("cosine"),
+            cosine.alias("_raw"),
+        )
+        .filter(F.col("_raw") > 0.4)
+        .drop("_raw")
+    )

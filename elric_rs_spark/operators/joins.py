@@ -1,0 +1,204 @@
+"""Joins (SURVEY.md X1-X4).
+
+Scale stance: dimension tables (region/nation/customer/supplier/part) are
+broadcast — at 100 TB the fact side (lineitem/orders) never shuffles for
+these joins. Fact-fact joins (lineitem ⋈ orders) shuffle on the key; AQE
+handles skew splitting. `broadcast()` hints are explicit where we know the
+side is dimension-sized, so the plan survives stale statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from elric_rs_spark.registry import query
+from elric_rs_spark.tables import load_table
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+SELECT
+  c.c_mktsegment,
+  count(*) AS n_orders,
+  round(sum(o.o_totalprice), 2) AS sum_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join with an explicit broadcast of the dimension side (X1).
+
+    Plan check: BroadcastHashJoin, no shuffle of `orders` for the join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+SELECT
+  r.r_name,
+  n.n_name,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join, TPC-H Q5 shape (X2).
+
+    lineitem ⋈ orders is the only fact-fact edge (shuffle or, post-AQE,
+    broadcast if the filtered orders side is small); customer/nation/region
+    are broadcast. The o_orderdate filter is pushed to the orders scan.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (X3): customers having at least one big order.
+    Semi joins never duplicate the left side — cheaper than join+distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (X3): customers with no finished order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+SELECT
+  c.c_custkey,
+  c.c_name,
+  count(o.o_orderkey) AS n_orders,
+  round(coalesce(sum(o.o_totalprice), 0.0), 2) AS sum_price
+FROM customer c
+LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join (X4) preserving customers with zero matching orders.
+    The date predicate lives in the join condition (not WHERE) so it cannot
+    silently convert the outer join to inner."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (
+        o.o_orderdate >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, cond, "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_join_fullouter",
+    oracle="""
+WITH big_cust AS (
+  SELECT o_custkey, count(*) AS n_big
+  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+),
+old_cust AS (
+  SELECT o_custkey, count(*) AS n_old
+  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' GROUP BY o_custkey
+)
+SELECT
+  coalesce(b.o_custkey, d.o_custkey) AS custkey,
+  coalesce(b.n_big, 0) AS n_big,
+  coalesce(d.n_old, 0) AS n_old
+FROM big_cust b
+FULL OUTER JOIN old_cust d ON b.o_custkey = d.o_custkey
+""",
+)
+def q_join_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (X4) of two aggregated views of orders."""
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    old = (
+        o.filter(F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    b, d = big.alias("b"), old.alias("d")
+    return b.join(d, F.col("b.o_custkey") == F.col("d.o_custkey"), "full_outer").select(
+        F.coalesce(F.col("b.o_custkey"), F.col("d.o_custkey")).alias("custkey"),
+        F.coalesce(F.col("n_big"), F.lit(0)).alias("n_big"),
+        F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
+    )

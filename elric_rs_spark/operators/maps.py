@@ -1,0 +1,84 @@
+"""Field-map projection and PK merge (SURVEY.md T2/T3).
+
+The reference folds each TableChange's `Vec<Field{name,new_value}>` into a
+string->string map (convert_field_to_hash, ref main.rs:291-297, dropping
+old_value) and merges a composite primary key into the same map while
+ignoring a single Pk (ref loader.rs:143-149). Here those semantics run as
+pure Spark map expressions: rows are lifted into the all-strings map form,
+transformed, and projected back out — the oracle checks the round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elric_rs_spark.registry import query
+from elric_rs_spark.tables import load_table
+
+
+def fields_to_map(*name_value_pairs) -> F.Column:
+    """`Vec<Field{name, new_value}>` -> map, dropping old_value
+    (ref main.rs:291-297). Pairs are (literal-name, column) tuples."""
+    entries = [
+        F.struct(F.lit(name).alias("name"), value.cast("string").alias("new_value"))
+        for name, value in name_value_pairs
+    ]
+    return F.map_from_entries(F.array(*entries))
+
+
+@query(
+    "q_map_project",
+    oracle="""
+SELECT
+  event_id,
+  event_type,
+  CAST(value AS VARCHAR) AS value_str
+FROM events
+""",
+)
+def q_map_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: lift row fields into the all-strings map, then project entries
+    back out. Oracle = identity, proving the map round-trip is lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    m = fields_to_map(
+        ("event_type", F.col("event_type")),
+        ("value", F.col("value")),
+    )
+    return ev.select(
+        "event_id",
+        m.getItem("event_type").alias("event_type"),
+        m.getItem("value").alias("value_str"),
+    )
+
+
+@query(
+    "q_map_concat",
+    oracle="""
+SELECT
+  event_id,
+  event_type,
+  CAST(event_id AS VARCHAR) AS pk_event_id,
+  CAST(user_id AS VARCHAR) AS pk_user_id
+FROM events
+""",
+)
+def q_map_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: merge a composite-PK map into the field map (ref
+    loader.rs:143-146); a single scalar Pk would be ignored
+    (ref loader.rs:147). map_concat is last-wins on duplicate keys under
+    spark.sql.mapKeyDedupPolicy=LAST_WIN, matching HashMap::extend."""
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    ev = load_table(spark, sf_dir, "events")
+    fields = fields_to_map(("event_type", F.col("event_type")))
+    composite_pk = fields_to_map(
+        ("pk_event_id", F.col("event_id")),
+        ("pk_user_id", F.col("user_id")),
+    )
+    merged = F.map_concat(fields, composite_pk)
+    return ev.select(
+        "event_id",
+        merged.getItem("event_type").alias("event_type"),
+        merged.getItem("pk_event_id").alias("pk_event_id"),
+        merged.getItem("pk_user_id").alias("pk_user_id"),
+    )

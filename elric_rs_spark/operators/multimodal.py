@@ -1,0 +1,141 @@
+"""Multimodal column plumbing (beyond-reference LLM-pipeline surface) and
+the Pandas-UDF operator surface (SURVEY.md X18).
+
+Multimodal stance: image/audio/video payloads are opaque `binary` columns
+with a typed metadata struct alongside. Decode / feature-extraction runs as
+Arrow-batched `mapInPandas` — the Spark-side plumbing (schema, batch shape,
+partitioning) is real and tested; the actual codec call is stubbed behind
+a deterministic fake because the container ships no image/audio libs (see
+`decode_image_stub`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elric_rs_spark.registry import query
+from elric_rs_spark.tables import load_table
+
+MULTIMODAL_SCHEMA = (
+    "doc_id long, modality string, payload binary, "
+    "meta struct<width:int, height:int, codec:string>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes int, header string, "
+    "feat array<double>"
+)
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """STUB codec: a real deployment calls PIL/librosa/ffmpeg here.
+    Raises NotImplementedError for codecs we don't fake; produces a
+    deterministic fake feature vector for the 'raw' codec so the pipeline
+    is end-to-end testable without media libraries."""
+    if payload is None:
+        raise NotImplementedError("real decoder not available in this environment")
+    # deterministic fake: 4 moments of the byte distribution
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    if arr.size == 0:
+        return {"n_bytes": 0, "header": "", "feat": [0.0, 0.0, 0.0, 0.0]}
+    return {
+        "n_bytes": int(arr.size),
+        "header": payload[:4].hex(),
+        "feat": [
+            float(arr.mean()),
+            float(arr.std()),
+            float(arr.min()),
+            float(arr.max()),
+        ],
+    }
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batches in, feature rows out. This is the
+    exact batch shape a real decoder plugs into — one vectorized pass per
+    Arrow batch, no per-row Python round trips through the JVM."""
+    for pdf in batches:
+        feats = [decode_image_stub(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "modality": pdf["modality"].values,
+                "n_bytes": [f["n_bytes"] for f in feats],
+                "header": [f["header"] for f in feats],
+                "feat": [f["feat"] for f in feats],
+            }
+        )
+
+
+def build_multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift documents into the multimodal shape: utf-8 bytes play the
+    opaque payload, metadata struct is synthesized."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit("raw").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+@query("q_multimodal")  # rows-only: Pandas-UDF decode path, not SQL-expressible
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline: binary payload + metadata -> mapInPandas
+    feature extraction -> aggregate. Repartitioned by doc_id so decode
+    parallelism is even regardless of upstream file layout."""
+    mm = build_multimodal_table(spark, sf_dir).repartition(8, "doc_id")
+    feats = mm.mapInPandas(_extract_features, FEATURE_SCHEMA)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "header",
+        F.round(F.element_at("feat", 1), 6).alias("byte_mean"),
+        F.round(F.element_at("feat", 2), 6).alias("byte_std"),
+    )
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         avg(value) AS mu,
+         stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT
+  e.event_id,
+  e.event_type,
+  round((e.value - s.mu) / s.sigma, 6) AS value_zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+""",
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF surface (X18): per-group z-score via applyInPandas
+    (grouped-map, Arrow-batched). SQL-expressible, so unlike most UDF
+    paths it gets a full value-checked oracle."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sigma = pdf["value"].std(ddof=1)
+        out = pdf[["event_id", "event_type"]].copy()
+        out["value_zscore"] = ((pdf["value"] - mu) / sigma).round(6)
+        return out
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, "event_id long, event_type string, value_zscore double"
+    )

@@ -1,0 +1,157 @@
+"""Scalar function surface (SURVEY.md X12): string / date / math / JSON.
+
+All built-in `pyspark.sql.functions` — JVM expressions inside whole-stage
+codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elric_rs_spark.registry import query
+from elric_rs_spark.tables import load_table
+
+
+@query(
+    "q_scalar_string",
+    oracle="""
+SELECT
+  p_partkey,
+  upper(p_brand) AS brand_upper,
+  substring(p_name, 1, 8) AS name_prefix,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  length(p_name) AS name_len,
+  replace(p_type, ' ', '_') AS type_snake,
+  CASE WHEN p_name LIKE '%el%' THEN 1 ELSE 0 END AS has_el
+FROM part
+""",
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: upper/substring/concat_ws/length/replace/like."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.when(F.col("p_name").like("%el%"), 1).otherwise(0).alias("has_el"),
+    )
+
+
+@query(
+    "q_scalar_date",
+    oracle="""
+SELECT
+  o_orderkey,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+  year(o_orderdate) AS order_year,
+  month(o_orderdate) AS order_month_num,
+  dayofweek(o_orderdate) AS order_dow,
+  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0,
+  CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date
+FROM orders
+""",
+)
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: trunc/extract/diff/add.
+
+    Note: DuckDB dayofweek() is 0=Sunday..6; Spark dayofweek() is
+    1=Sunday..7 — bridged with -1 on the Spark side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month_num"),
+        (F.dayofweek("o_orderdate") - F.lit(1)).alias("order_dow"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch0"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+    )
+
+
+@query(
+    "q_scalar_math",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(sqrt(l_extendedprice), 6) AS price_sqrt,
+  round(ln(l_extendedprice + 1), 6) AS price_ln,
+  round(pow(l_quantity, 2), 2) AS qty_sq,
+  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bucket,
+  abs(l_discount - 0.05) > 0.03 AS extreme_discount,
+  l_quantity % 7 AS qty_mod7
+FROM lineitem
+""",
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions: sqrt/ln/pow/floor/abs/mod."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_bucket"),
+        (F.abs(F.col("l_discount") - 0.05) > 0.03).alias("extreme_discount"),
+        (F.col("l_quantity") % 7).alias("qty_mod7"),
+    )
+
+
+@query(
+    "q_scalar_json",
+    oracle="""
+SELECT
+  event_type,
+  count(*) AS n_high,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+GROUP BY event_type
+""",
+)
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (X12): filter + aggregate on a JSON field."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.filter(k > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.sum(k).alias("sum_k"),
+        )
+    )
+
+
+@query(
+    "q_decode_props",
+    oracle="""
+SELECT
+  event_id,
+  event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+""",
+)
+def q_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload decode (T1 stand-in): the reference protobuf-decodes each
+    block's `Any` payload into typed changes (ref loader.rs:128-129); here
+    the JSON `props` column plays the opaque payload and `from_json`
+    the decoder."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", schema).getField("k").alias("k_val"),
+    )

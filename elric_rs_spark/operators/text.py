@@ -1,0 +1,175 @@
+"""Text analysis for training-data pipelines (SURVEY.md X17 + the
+beyond-reference LLM-pipeline surface): tokenization, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All built-in string/array expressions — at 100 TB these run inside
+whole-stage codegen with zero Python, and every query is embarrassingly
+parallel (no shuffle except the final aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elric_rs_spark.registry import query
+from elric_rs_spark.tables import load_table
+
+# shared tokenizer: lowercase, split on whitespace runs
+def tokens_col(col="text"):
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+SELECT
+  doc_id,
+  lang,
+  n_chars,
+  len(string_split(trim(text), ' ')) AS n_tokens,
+  len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_unique_tokens,
+  round(CAST(n_chars AS DOUBLE) / len(string_split(trim(text), ' ')), 6) AS chars_per_token
+FROM documents
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (X17)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    uniq = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(uniq).alias("n_unique_tokens"),
+        F.round(F.col("n_chars").cast("double") / F.size(toks), 6).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+SELECT
+  doc_id,
+  len(string_split(trim(text), ' ')) AS ws_tokens,
+  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est_tokens
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + the classic chars/4 BPE
+    estimate used for budget accounting in LLM data pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("ws_tokens"),
+        F.ceil(F.col("n_chars").cast("double") / 4.0).alias("bpe_est_tokens"),
+    )
+
+
+# deterministic stopword list for the language-ID / quality heuristics
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOPWORDS_SQL = "['the', 'a', 'of', 'and', 'to', 'in']"
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, n_chars,
+         string_split(lower(trim(text)), ' ') AS toks
+  FROM documents
+)
+SELECT
+  doc_id,
+  lang,
+  len(toks) AS n_tokens,
+  round(len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t)))
+        / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+  round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS unique_ratio,
+  CASE WHEN len(toks) BETWEEN 10 AND 1000
+        AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) > 0.3
+       THEN 1 ELSE 0 END AS quality_keep
+FROM tok
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length bounds + lexical-diversity + stopword
+    density — the standard cheap pre-filters before expensive dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    n = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    # stopword OCCURRENCES (not distinct matches): filter + size
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    uniq_ratio = F.size(F.array_distinct(toks)) / n
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.round(n_stop / n, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("unique_ratio"),
+        F.when(
+            F.size(toks).between(10, 1000) & (uniq_ratio > 0.3), 1
+        ).otherwise(0).alias("quality_keep"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         string_split(lower(trim(text)), ' ') AS toks
+  FROM documents
+)
+SELECT
+  doc_id,
+  lang AS lang_label,
+  CASE WHEN len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t)))
+            / CAST(len(toks) AS DOUBLE) > 0.05
+       THEN 'en' ELSE 'other' END AS lang_guess
+FROM tok
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English-stopword density thresholding —
+    the n-gram-profile approach reduced to its deterministic core so the
+    oracle can replicate it exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    density = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / F.size(
+        toks
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.when(density > 0.05, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+SELECT
+  doc_id,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+  substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8) AS shard_key
+FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text. md5 is identical across engines, so the oracle checks the exact
+    fingerprint — and the 8-hex-char prefix is a uniform shard key for
+    downstream partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("shard_key"),
+    )

@@ -1,0 +1,61 @@
+"""Typed-cast round-trip query (SURVEY.md T5/T6 — `q_typed_cast`).
+
+Lifts fixture rows into the reference's all-strings map representation,
+then runs the engine's typed_cast back to a ClickHouse-style schema. The
+oracle is a plain typed SELECT — proving string->typed parity end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elric_rs_spark.cast import typed_cast
+from elric_rs_spark.operators.maps import fields_to_map
+from elric_rs_spark.registry import query
+from elric_rs_spark.tables import load_table
+
+# ClickHouse-style declared schema for the events stand-in table
+# (shape mirrors the ERC-20 example at ref main.rs:333-366).
+EVENTS_CH_SCHEMA = {
+    "event_id": "UInt64",
+    "user_id": "Int64",
+    "event_type": "String",
+    "value": "Float64",
+    "ts": "DateTime",
+}
+
+
+@query(
+    "q_typed_cast",
+    oracle="""
+SELECT
+  CAST(event_id AS DECIMAL(20, 0)) AS event_id,
+  event_type,
+  ts,
+  user_id,
+  round(value, 6) AS value
+FROM events
+""",
+)
+def q_typed_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: row -> all-strings map -> typed columns (alphabetical order)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = fields_to_map(
+        ("event_id", F.col("event_id")),
+        ("user_id", F.col("user_id")),
+        ("event_type", F.col("event_type")),
+        ("value", F.col("value")),
+        # RFC3339 form, as the upstream change stream would carry it
+        ("ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+    )
+    mapped = ev.select(m.alias("fields"))
+    typed = typed_cast(mapped, "fields", EVENTS_CH_SCHEMA, mode="strict")
+    # round the float that went through a string round-trip
+    return typed.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "user_id",
+        F.round("value", 6).alias("value"),
+    )

@@ -1,0 +1,154 @@
+"""Finality buffering + undo/reorg handling (SURVEY.md T7/T8).
+
+Reference semantics (ref loader.rs:24, 82-109, 177-193):
+- Keep an ordered buffer of not-yet-final blocks, capped at 12.
+- On each new block: append; emit (flush to sink) the prefix of buffered
+  blocks whose block_num <= the incoming final_block_height watermark.
+- If the buffer still exceeds the cap, force-emit oldest blocks even if
+  not final — bounded memory beats strict finality (ref loader.rs:92-101).
+- On an undo signal (last_valid_block): drop buffered blocks with
+  block_num > last_valid_block. Already-emitted blocks are unaffected —
+  undo only ever touches pre-sink state (ref loader.rs:177-193).
+
+Two implementations:
+1. `FinalityBuffer` — the pure-Python state machine. Used directly in
+   foreachBatch (single-consumer, exactly the reference's topology) and
+   unit-tested against the reference's own three loader tests.
+2. `apply_finality_stateful` — the distributed form via
+   `transformWithStateInPandas`-style `applyInPandasWithState`, keyed by
+   stream id, state = the buffered blocks. Scales to many independent
+   streams; each stream's buffer is tiny (<=12 rows) so state stays small
+   no matter the data volume.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+REORG_BUFFER_LEN = 12  # ref loader.rs:24 (BUFFER_LEN)
+
+
+@dataclass
+class Block:
+    block_num: int
+    block_id: str
+    cursor: str
+    final_block_height: int
+    payload: object = None
+
+
+@dataclass
+class FinalityBuffer:
+    """Single-stream finality state machine (ref loader.rs:82-109)."""
+
+    buffer_len: int = REORG_BUFFER_LEN
+    buffer: list[Block] = field(default_factory=list)
+
+    def push(self, block: Block) -> list[Block]:
+        """Append a block; return the blocks that became final (flushable).
+
+        Mirrors get_final_blocks_from_buffer: (1) emit the prefix with
+        block_num <= the incoming watermark; (2) overflow-emit the oldest
+        blocks past the cap even if not final.
+        """
+        self.buffer.append(block)
+        final: list[Block] = []
+        # (1) finality prefix
+        while self.buffer and self.buffer[0].block_num <= block.final_block_height:
+            final.append(self.buffer.pop(0))
+        # (2) bounded-memory overflow flush (ref loader.rs:92-101)
+        while len(self.buffer) > self.buffer_len:
+            final.append(self.buffer.pop(0))
+        return final
+
+    def undo(self, last_valid_block: int) -> int:
+        """Drop buffered blocks above last_valid_block (ref loader.rs:177-193).
+        Returns how many were dropped. Emitted blocks are never touched."""
+        before = len(self.buffer)
+        self.buffer = [b for b in self.buffer if b.block_num <= last_valid_block]
+        return before - len(self.buffer)
+
+
+# ---------------------------------------------------------------------------
+# Distributed form: applyInPandasWithState over a keyed block stream.
+# ---------------------------------------------------------------------------
+
+FINALITY_OUTPUT_SCHEMA = (
+    "stream_id string, block_num long, block_id string, cursor string, "
+    "final_block_height long"
+)
+FINALITY_STATE_SCHEMA = (
+    "block_num array<long>, block_id array<string>, cursor array<string>, "
+    "final_height array<long>"
+)
+
+
+def _finality_func(key, pdf_iter, state):
+    """Grouped-map-with-state kernel: replays FinalityBuffer per stream key.
+
+    Input rows must arrive in block order within the micro-batch (the
+    source guarantees per-stream ordering; micro-batches preserve it via a
+    sort on block_num below). Undo signals are rows with msg_type='undo'
+    and last_valid_block set.
+    """
+    import pandas as pd
+
+    (stream_id,) = key
+    if state.exists:
+        nums, ids, curs, heights = state.get
+        buf = FinalityBuffer(
+            buffer=[
+                Block(n, i, c, h)
+                for n, i, c, h in zip(nums, ids, curs, heights)
+            ]
+        )
+    else:
+        buf = FinalityBuffer()
+
+    out_rows: list[tuple] = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("block_num")
+        for row in pdf.itertuples(index=False):
+            if getattr(row, "msg_type", "new") == "undo":
+                buf.undo(int(row.last_valid_block))
+                continue
+            flushed = buf.push(
+                Block(
+                    int(row.block_num),
+                    str(row.block_id),
+                    str(row.cursor),
+                    int(row.final_block_height),
+                )
+            )
+            for b in flushed:
+                out_rows.append(
+                    (stream_id, b.block_num, b.block_id, b.cursor, b.final_block_height)
+                )
+
+    state.update(
+        (
+            [b.block_num for b in buf.buffer],
+            [b.block_id for b in buf.buffer],
+            [b.cursor for b in buf.buffer],
+            [b.final_block_height for b in buf.buffer],
+        )
+    )
+    yield pd.DataFrame(
+        out_rows,
+        columns=["stream_id", "block_num", "block_id", "cursor", "final_block_height"],
+    )
+
+
+def apply_finality_stateful(block_df):
+    """Wire the finality kernel onto a (streaming or batch-test) DataFrame
+    with columns (stream_id, msg_type, block_num, block_id, cursor,
+    final_block_height, last_valid_block)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return block_df.groupBy("stream_id").applyInPandasWithState(
+        _finality_func,
+        outputStructType=FINALITY_OUTPUT_SCHEMA,
+        stateStructType=FINALITY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

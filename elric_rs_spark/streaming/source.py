@@ -1,0 +1,158 @@
+"""Block-stream source (SURVEY.md S1/S2/S3).
+
+The reference consumes a gRPC server-stream with an infinite
+reconnect/backoff loop that resumes from the latest cursor
+(ref substreams_stream.rs:53-149: backoff 10ms -> 45s cap, fatal on
+Unauthenticated) and demuxes responses into New/Undo/skip
+(ref substreams_stream.rs:158-216).
+
+Spark-side design: a reader thread drains the upstream iterator into a
+parquet landing directory; Structured Streaming tails that directory with
+`spark.readStream.schema(...).parquet(...)`. This decouples upstream
+liveness from micro-batch cadence (SURVEY.md §7 risk 5) and gives replay
+for free. The gRPC dependency is optional — the container has no grpcio —
+so the transport is injected as any Python iterator; `fixture_replay`
+provides a deterministic stand-in built from events.parquet.
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+BLOCK_STREAM_SCHEMA = (
+    "stream_id string, msg_type string, block_num long, block_id string, "
+    "block_ts timestamp, cursor string, final_block_height long, "
+    "last_valid_block long, payload string"
+)
+
+# ref substreams_stream.rs:62 — ExponentialBackoff from 10ms, capped 45s
+BACKOFF_INITIAL_S = 0.010
+BACKOFF_CAP_S = 45.0
+
+
+class FatalStreamError(RuntimeError):
+    """Equivalent of the reference's Unauthenticated fatal branch
+    (ref substreams_stream.rs:116-118): do not retry."""
+
+
+@dataclass
+class ReconnectingReader:
+    """Infinite retry loop around a stream-factory, resuming from the last
+    seen cursor (ref substreams_stream.rs:53-149).
+
+    `connect(cursor)` returns an iterator of message dicts with at least
+    msg_type in {"new", "undo", "progress"} and, for "new", a cursor field.
+    Backoff doubles per failed attempt and resets on progress.
+    """
+
+    connect: Callable[[str | None], Iterable[dict]]
+    latest_cursor: str | None = None
+    max_attempts: int | None = None  # None = retry forever (reference parity)
+    sleep: Callable[[float], None] = time.sleep
+
+    def __iter__(self) -> Iterator[dict]:
+        backoff = BACKOFF_INITIAL_S
+        attempts = 0
+        while True:
+            try:
+                got_progress = False
+                for msg in self.connect(self.latest_cursor):
+                    got_progress = True
+                    if msg.get("msg_type") == "new":
+                        self.latest_cursor = msg.get("cursor")
+                    yield msg
+                return  # upstream ended cleanly
+            except FatalStreamError:
+                raise
+            except Exception:
+                attempts += 1
+                if self.max_attempts is not None and attempts >= self.max_attempts:
+                    raise
+                if got_progress:
+                    backoff = BACKOFF_INITIAL_S  # reset on progress (rs:96,105)
+                self.sleep(backoff)
+                backoff = min(backoff * 2, BACKOFF_CAP_S)
+
+
+def demux(messages: Iterable[dict]) -> Iterator[dict]:
+    """S3: keep data-bearing messages (new/undo), skip session/progress
+    (ref substreams_stream.rs:166-215)."""
+    return (m for m in messages if m.get("msg_type") in ("new", "undo"))
+
+
+def fixture_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    reorg_depth: int = 12,
+    undo_at: int | None = None,
+) -> list[dict]:
+    """Deterministic block-stream built from events.parquet: event_id is
+    the block number, the watermark trails by `reorg_depth`. Optionally
+    injects an undo signal after block `undo_at` (test hook for T8)."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts", "props")
+        .orderBy("event_id")
+        .collect()
+    )
+    out: list[dict] = []
+    for r in rows:
+        num = int(r.event_id)
+        out.append(
+            {
+                "stream_id": "fixture",
+                "msg_type": "new",
+                "block_num": num,
+                "block_id": f"blk-{num:08d}",
+                "block_ts": r.ts,
+                "cursor": str(num),
+                "final_block_height": max(num - reorg_depth, 0),
+                "last_valid_block": None,
+                "payload": r.props,
+            }
+        )
+        if undo_at is not None and num == undo_at:
+            out.append(
+                {
+                    "stream_id": "fixture",
+                    "msg_type": "undo",
+                    "block_num": num,
+                    "block_id": None,
+                    "block_ts": None,
+                    "cursor": None,
+                    "final_block_height": None,
+                    "last_valid_block": max(num - 3, 0),
+                    "payload": None,
+                }
+            )
+    return out
+
+
+def land_blocks(
+    spark: SparkSession, messages: Iterable[dict], landing_dir: str, batch_size: int = 500
+) -> int:
+    """Reader-thread half: append message batches to the parquet landing
+    dir the streaming query tails. Returns rows written."""
+    n = 0
+    it = iter(messages)
+    while True:
+        chunk = list(itertools.islice(it, batch_size))
+        if not chunk:
+            return n
+        df = spark.createDataFrame(chunk, BLOCK_STREAM_SCHEMA)
+        df.write.mode("append").parquet(landing_dir)
+        n += len(chunk)
+
+
+def read_block_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Streaming half: tail the landing dir as a file-stream source."""
+    return (
+        spark.readStream.schema(BLOCK_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(landing_dir)
+    )

@@ -1,0 +1,14 @@
+from __future__ import annotations
+
+import pytest
+
+from elric_rs_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("elric_rs_spark_tests", cpus="8")
+    yield s

@@ -1,0 +1,94 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs each Spark query and its oracle SQL on the same parquet tables and
+compares row count, column names, and order-insensitive values. Values
+are normalized (floats kept exact — both sides round explicitly in-query;
+timestamps to naive datetime; Decimal to str) so any driver-side hashing
+scheme built on the raw values will agree when this comparator does.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import duckdb
+
+from elric_rs_spark.tables import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _norm_val(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return str(v.normalize())
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_val(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def normalize(cols: list[str], rows: list[tuple]):
+    """Sort columns by name (driver behavior), then rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = sorted(
+        (tuple(_norm_val(r[i]) for i in order) for r in rows), key=repr
+    )
+    return sorted_cols, out
+
+
+def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Return list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    o_cols, o_rows = run_oracle(oracle_sql, sf_dir)
+
+    if sorted(s_cols) != sorted(o_cols):
+        problems.append(f"{name}: columns differ spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        return problems
+    if len(s_rows) != len(o_rows):
+        problems.append(f"{name}: row count spark={len(s_rows)} oracle={len(o_rows)}")
+
+    _, sn = normalize(s_cols, s_rows)
+    _, on = normalize(o_cols, o_rows)
+    if sn != on:
+        diff_count = 0
+        for a, b in zip(sn, on):
+            if a != b:
+                diff_count += 1
+                if diff_count <= 3:
+                    problems.append(f"{name}: row diff\n  spark={a}\n  oracle={b}")
+        if len(sn) != len(on):
+            problems.append(f"{name}: normalized length {len(sn)} vs {len(on)}")
+        elif diff_count > 3:
+            problems.append(f"{name}: {diff_count} differing rows total")
+        elif diff_count == 0 and sn != on:
+            problems.append(f"{name}: ordering anomaly")
+    return problems
