@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+  {"metric": "headline_suite_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is timed as a full cold plan->execute->collect cycle (the
+driver-relevant cost). A warmup pass on a trivial count removes JVM/session
+startup from the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from elric_rs_spark import registry
+from elric_rs_spark.session import get_spark
+
+registry.load_all()
+
+# Headline set: the queries whose shape dominates a 100 TB deployment —
+# big-fact aggregation, fact-fact + dimension joins, window analytics,
+# time windows, dedup/similarity at corpus scale, cast pipeline.
+HEADLINE = [
+    "q_agg_tpch1",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_window_rank",
+    "q_window_frame",
+    "q_stream_window",
+    "q_session_window",
+    "q_cursor_latest",
+    "q_typed_cast",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_agg_stats",
+    "q_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("elric_rs_spark_bench")
+
+    # warmup: JVM + parquet footer reads out of the timings
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    t_suite = time.perf_counter()
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink materializes every column/row without count()'s
+        # column-pruning shortcut and without collect()'s driver cost
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_suite, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

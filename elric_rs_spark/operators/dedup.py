@@ -146,25 +146,24 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "doc_id", F.array_distinct(_word_ngrams(F.col("text"), 3)).alias("g")
     ).filter(F.size("g") > 0)
-    sigs = grams.select("doc_id", "g", *_minhash_signature(F.col("g")))
 
-    # band signatures: concat R consecutive minhashes
-    bands = []
+    # Signatures computed ONCE, bands exploded from an array — not a
+    # LSH_BANDS-way union, which would recompute every minhash per branch.
+    sigs = grams.select("doc_id", *_minhash_signature(F.col("g")))
+    band_structs = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        bands.append(
-            sigs.select(
-                "doc_id",
-                "g",
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band_id"),
                 F.xxhash64(F.concat_ws(":", *[c.cast("string") for c in cols])).alias(
                     "band_sig"
                 ),
             )
         )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.union(extra)
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_sig")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -175,19 +174,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l.band_sig") == F.col("r.band_sig"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.g").alias("ga"),
-            F.col("r.g").alias("gb"),
-        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+
+    # Verify candidates with exact Jaccard: join the (small) gram sets
+    # back in — candidates only, never the full n^2.
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     jaccard = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
         F.array_union("ga", "gb")
     )
     return (
-        cand.select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
