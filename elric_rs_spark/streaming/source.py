@@ -94,8 +94,10 @@ def fixture_replay(
     """Deterministic block-stream built from events.parquet: event_id is
     the block number, the watermark trails by `reorg_depth`. Optionally
     injects an undo signal after block `undo_at` (test hook for T8)."""
+    from elric_rs_spark.tables import load_table
+
     rows = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        load_table(spark, sf_dir, "events")
         .select("event_id", "ts", "props")
         .orderBy("event_id")
         .collect()

@@ -1,0 +1,334 @@
+"""Streaming-core tests mirroring the reference's own loader tests
+(ref loader.rs:272-402: test_undo_block_signal, test_buffer,
+test_process_data) plus Spark-native end-to-end checks:
+
+- FinalityBuffer state machine (pure Python, exact reference semantics)
+- ReconnectingReader backoff/resume (ref substreams_stream.rs:53-149)
+- applyInPandasWithState finality op on a real Structured Streaming query
+- PerTableParquetSink fan-out + cursor write ordering + recovery
+"""
+
+from __future__ import annotations
+
+import pathlib
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from elric_rs_spark.streaming.finality import (
+    Block,
+    FinalityBuffer,
+    apply_finality_stateful,
+)
+from elric_rs_spark.streaming.sink import (
+    PerTableParquetSink,
+    clickhouse_writer_options,
+    load_persisted_cursor,
+)
+from elric_rs_spark.streaming.source import (
+    BLOCK_STREAM_SCHEMA,
+    FatalStreamError,
+    ReconnectingReader,
+    demux,
+    fixture_replay,
+    land_blocks,
+    read_block_stream,
+)
+
+
+def mk_block(num: int, final_height: int) -> Block:
+    return Block(num, f"blk-{num:08d}", str(num), final_height)
+
+
+# ---------------------------------------------------------------------------
+# 1. FinalityBuffer — the reference's three loader tests, translated.
+# ---------------------------------------------------------------------------
+
+
+class TestFinalityBuffer:
+    def test_undo_block_signal(self):
+        """ref loader.rs:272-302: buffer blocks 0..=12 (none final), undo at
+        8 -> buffer holds exactly 0..=8."""
+        buf = FinalityBuffer()
+        for n in range(13):
+            buf.push(mk_block(n, final_height=0))
+        # one overflow flush happened at the 13th push (cap 12)
+        assert [b.block_num for b in buf.buffer] == list(range(1, 13))
+        dropped = buf.undo(last_valid_block=8)
+        assert dropped == 4
+        assert [b.block_num for b in buf.buffer] == list(range(1, 9))
+
+    def test_buffer_final_passthrough(self):
+        """ref loader.rs:304-350 (a): already-final blocks emit immediately,
+        one by one; buffer stays empty."""
+        buf = FinalityBuffer()
+        for n in range(5):
+            out = buf.push(mk_block(n, final_height=n))
+            assert [b.block_num for b in out] == [n]
+        assert buf.buffer == []
+
+    def test_buffer_holds_nonfinal(self):
+        """ref loader.rs:327-338 (b): 12 non-final blocks all buffer.
+        Blocks are numbered from 1 (as in the reference test) because
+        block 0 against watermark 0 is final by 0 <= 0."""
+        buf = FinalityBuffer()
+        emitted = []
+        for n in range(1, 13):
+            emitted += buf.push(mk_block(n, final_height=0))
+        assert emitted == []
+        assert len(buf.buffer) == 12
+
+    def test_buffer_overflow_flush(self):
+        """ref loader.rs:339-349 (c): a 13th non-final block forces the
+        oldest out (bounded memory beats strict finality, loader.rs:92-101)."""
+        buf = FinalityBuffer()
+        for n in range(1, 13):
+            buf.push(mk_block(n, final_height=0))
+        out = buf.push(mk_block(14, final_height=0))
+        assert [b.block_num for b in out] == [1]
+        assert len(buf.buffer) == 12
+
+    def test_watermark_prefix_emission(self):
+        """A rising final_block_height flushes exactly the <=-watermark
+        prefix (ref loader.rs:82-91)."""
+        buf = FinalityBuffer()
+        for n in range(1, 7):
+            buf.push(mk_block(n, final_height=0))
+        out = buf.push(mk_block(7, final_height=3))
+        assert [b.block_num for b in out] == [1, 2, 3]
+        assert [b.block_num for b in buf.buffer] == [4, 5, 6, 7]
+
+    def test_undo_never_touches_emitted(self):
+        """Undo drops only buffered rows; what was emitted stays emitted
+        (ref loader.rs:177-193 + README.md:16 design intent)."""
+        buf = FinalityBuffer()
+        emitted = []
+        for n in range(6):
+            emitted += buf.push(mk_block(n, final_height=2))
+        assert [b.block_num for b in emitted] == [0, 1, 2]
+        buf.undo(last_valid_block=0)  # below everything emitted
+        assert [b.block_num for b in emitted] == [0, 1, 2]  # unchanged
+        assert buf.buffer == []
+
+
+# ---------------------------------------------------------------------------
+# 2. ReconnectingReader — backoff / cursor-resume / fatal classification.
+# ---------------------------------------------------------------------------
+
+
+class TestReconnectingReader:
+    def test_resumes_from_latest_cursor(self):
+        seen_cursors = []
+
+        def connect(cursor):
+            seen_cursors.append(cursor)
+            start = int(cursor) + 1 if cursor else 0
+            for n in range(start, start + 3):
+                yield {"msg_type": "new", "block_num": n, "cursor": str(n)}
+            if len(seen_cursors) < 3:
+                raise ConnectionError("flaky upstream")
+
+        sleeps = []
+        reader = ReconnectingReader(connect=connect, sleep=sleeps.append)
+        nums = [m["block_num"] for m in reader]
+        # 3 connects, each resuming one past the last delivered cursor
+        assert seen_cursors == [None, "2", "5"]
+        assert nums == list(range(9))
+        assert len(sleeps) == 2  # one backoff per reconnect
+
+    def test_backoff_doubles_and_resets_on_progress(self):
+        attempts = []
+
+        def connect(cursor):
+            attempts.append(cursor)
+            if len(attempts) <= 3:
+                raise ConnectionError("down")  # no progress: backoff grows
+            yield {"msg_type": "new", "block_num": 0, "cursor": "0"}
+
+        sleeps = []
+        reader = ReconnectingReader(connect=connect, sleep=sleeps.append)
+        list(reader)
+        assert sleeps == [0.010, 0.020, 0.040]
+
+    def test_fatal_error_not_retried(self):
+        def connect(cursor):
+            raise FatalStreamError("Unauthenticated")
+            yield  # pragma: no cover
+
+        reader = ReconnectingReader(connect=connect, sleep=lambda s: None)
+        with pytest.raises(FatalStreamError):
+            list(reader)
+
+    def test_demux_drops_progress_and_session(self):
+        msgs = [
+            {"msg_type": "session"},
+            {"msg_type": "new", "block_num": 1},
+            {"msg_type": "progress"},
+            {"msg_type": "undo", "last_valid_block": 0},
+        ]
+        assert [m["msg_type"] for m in demux(msgs)] == ["new", "undo"]
+
+
+# ---------------------------------------------------------------------------
+# 3. End-to-end: landing dir -> readStream -> stateful finality -> memory
+#    sink (the Spark-native form of ref loader.rs:358-402 test_process_data).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def tmpdir():
+    with tempfile.TemporaryDirectory(prefix="elric_stream_") as d:
+        yield d
+
+
+def _blocks(spark, n_blocks: int, reorg_depth: int, undo_at=None, undo_to=None):
+    msgs = []
+    for n in range(n_blocks):
+        msgs.append(
+            {
+                "stream_id": "s1",
+                "msg_type": "new",
+                "block_num": n,
+                "block_id": f"blk-{n:08d}",
+                "block_ts": None,
+                "cursor": str(n),
+                "final_block_height": max(n - reorg_depth, 0),
+                "last_valid_block": None,
+                "payload": f'{{"v": {n}}}',
+            }
+        )
+        if undo_at is not None and n == undo_at:
+            msgs.append(
+                {
+                    "stream_id": "s1",
+                    "msg_type": "undo",
+                    "block_num": n,
+                    "block_id": None,
+                    "block_ts": None,
+                    "cursor": None,
+                    "final_block_height": None,
+                    "last_valid_block": undo_to,
+                    "payload": None,
+                }
+            )
+    return msgs
+
+
+def _run_stream(spark, landing, checkpoint, sink_name):
+    stream = read_block_stream(spark, landing)
+    finalized = apply_finality_stateful(stream)
+    q = (
+        finalized.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink_name)
+
+
+class TestStatefulFinalityStreaming:
+    def test_finality_end_to_end(self, spark, tmpdir):
+        """40 blocks, watermark trails by 5: every block with block_num <=
+        final watermark of the last message must be emitted, in order, and
+        nothing above the tail watermark unless overflow-flushed."""
+        landing = f"{tmpdir}/landing"
+        n = land_blocks(spark, _blocks(spark, 40, reorg_depth=5), landing)
+        assert n == 40
+        got = _run_stream(spark, landing, f"{tmpdir}/ckpt", "fin_e2e")
+        nums = [r.block_num for r in got.orderBy("block_num").collect()]
+        # final watermark at block 39 is 34 -> 0..=34 emitted via finality;
+        # buffer holds 35..39 (5 rows < cap 12, no overflow).
+        assert nums == list(range(35))
+
+    def test_undo_in_stream(self, spark, tmpdir):
+        """Undo at block 20 back to 15: blocks 16..20 (buffered, non-final)
+        are retracted and never reach the sink until re-announced."""
+        landing = f"{tmpdir}/landing"
+        # reorg_depth 25 -> watermark 0 for the first 25 blocks: everything
+        # below the undo point is still buffered when the undo arrives.
+        land_blocks(
+            spark, _blocks(spark, 21, reorg_depth=25, undo_at=20, undo_to=15), landing
+        )
+        got = _run_stream(spark, landing, f"{tmpdir}/ckpt", "fin_undo")
+        # nothing became final (watermark stayed 0 -> only block 0 emitted)
+        nums = [r.block_num for r in got.orderBy("block_num").collect()]
+        assert 16 not in nums and 20 not in nums
+
+    def test_fixture_replay_shape(self, spark):
+        msgs = fixture_replay(spark, "/root/testdata/sf0.001", undo_at=50)
+        assert any(m["msg_type"] == "undo" for m in msgs)
+        news = [m for m in msgs if m["msg_type"] == "new"]
+        assert all(
+            m["final_block_height"] == max(m["block_num"] - 12, 0) for m in news
+        )
+
+
+# ---------------------------------------------------------------------------
+# 4. Sink: per-table fan-out, data-then-cursor ordering, cursor recovery.
+# ---------------------------------------------------------------------------
+
+
+class TestSink:
+    def test_fanout_and_cursor_recovery(self, spark, tmpdir):
+        sink = PerTableParquetSink(base_dir=tmpdir)
+        batch = spark.createDataFrame(
+            [
+                ("s1", "transfers", 7, "blk-7", "7", '{"v":7}'),
+                ("s1", "approvals", 7, "blk-7", "7", '{"v":7}'),
+                ("s1", "transfers", 8, "blk-8", "8", '{"v":8}'),
+            ],
+            "stream_id string, table string, block_num long, block_id string, "
+            "cursor string, payload string",
+        )
+        sink.write_batch(batch, epoch_id=0)
+        assert sink.tables_written == {"transfers", "approvals"}
+        transfers = spark.read.parquet(f"{tmpdir}/data/transfers")
+        assert transfers.count() == 2
+        assert "table" not in transfers.columns
+        # S7 recovery: latest cursor by block_num (ref main.rs:299-310)
+        assert load_persisted_cursor(spark, tmpdir, "s1") == "8"
+        assert load_persisted_cursor(spark, tmpdir, "nope") is None
+
+    def test_epoch_replay_detectable(self, spark, tmpdir):
+        """Retried epochs re-append with the same epoch_id, so exact-once
+        consumers can dedup on (epoch_id, block_num) — the parquet analogue
+        of ReplacingMergeTree idempotence (README.md:9-11)."""
+        sink = PerTableParquetSink(base_dir=tmpdir)
+        batch = spark.createDataFrame(
+            [("s1", "t", 1, "b1", "1", "x")],
+            "stream_id string, table string, block_num long, block_id string, "
+            "cursor string, payload string",
+        )
+        sink.write_batch(batch, epoch_id=5)
+        sink.write_batch(batch, epoch_id=5)  # replay
+        df = spark.read.parquet(f"{tmpdir}/data/t")
+        assert df.count() == 2
+        dedup = df.dropDuplicates(["epoch_id", "block_num"])
+        assert dedup.count() == 1
+
+    def test_cursor_never_ahead_of_data(self, spark, tmpdir):
+        """T9 ordering: the cursor row is written only after the data write
+        of the same epoch succeeded — verified here by checking both sides
+        exist for the epoch (the write order is enforced in write_batch)."""
+        sink = PerTableParquetSink(base_dir=tmpdir)
+        batch = spark.createDataFrame(
+            [("s1", "t", 3, "b3", "3", "x")],
+            "stream_id string, table string, block_num long, block_id string, "
+            "cursor string, payload string",
+        )
+        sink.write_batch(batch, epoch_id=1)
+        cursors = spark.read.parquet(f"{tmpdir}/cursors")
+        data = spark.read.parquet(f"{tmpdir}/data/t")
+        assert cursors.filter(F.col("epoch_id") == 1).count() == 1
+        assert data.filter(F.col("epoch_id") == 1).count() == 1
+
+    def test_clickhouse_options_parity(self):
+        opts = clickhouse_writer_options("jdbc:clickhouse://localhost:8123/db")
+        # ref loader.rs:56-58 streamed async inserts; Cargo.toml:21 LZ4
+        assert opts["async_insert"] == "1"
+        assert opts["wait_for_async_insert"] == "0"
+        assert opts["compress"] == "lz4"
