@@ -29,8 +29,6 @@ from elric_rs_spark.tables import load_table
 MINHASH_K = 32
 LSH_BANDS = 8
 LSH_ROWS = 4  # 8 * 4 = 32
-# (a*x + b) mod p universal-hash family over a 61-bit Mersenne prime
-_MERSENNE_P = (1 << 61) - 1
 
 
 def _word_ngrams(col, n: int = 3):
@@ -45,21 +43,57 @@ def _word_ngrams(col, n: int = 3):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _minhash_hasher(k: int):
-    """Unary element-hash lambda for F.transform, hash-family member k.
-    Built through a factory: extra default args on the lambda itself would
-    be parsed by Spark as additional higher-order-function parameters.
-    Salting the input beats (a*h+b) mod p arithmetic here: no 128-bit
-    multiply, no ANSI overflow, one JVM hash call."""
-    salt = f"\x00mh{k}\x00"
-    return lambda s: F.xxhash64(F.concat(s, F.lit(salt)))
+def _rotl64(col, r: int):
+    """64-bit rotate-left from shifts+or — bit ops never overflow, ANSI-safe."""
+    return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
 
 
-def _minhash_signature(shingles_col):
-    """K-wide minhash signature: min over shingles of xxhash64(shingle, k-salt).
-    Deterministic; all JVM-side."""
+def _token_hashes(col):
+    """One xxhash64 per whitespace token. Materialize this as a real column
+    BEFORE deriving grams: referencing the transform expression inside
+    another lambda would re-evaluate the whole array per element (no CSE
+    across higher-order-function boundaries) — O(tokens^2) hashing."""
+    return F.transform(F.split(F.lower(F.trim(col)), " "), lambda t: F.xxhash64(t))
+
+
+def _grams_from_token_hashes(th_col, n: int = 3):
+    """64-bit word-n-gram hashes from a token-hash array column: each gram
+    XOR-mixes n consecutive token hashes under position-dependent rotations
+    (order-sensitive). Built as a chain of zip_with against 1..n-1-shifted
+    slices — NOT per-index element_at lambdas, which evaluate O(tokens^2)
+    (each element_at re-walks the array; 20x slower measured). zip_with
+    pads the shorter side with NULL; XOR propagates the NULL, and the
+    final filter trims those tail entries. Grams never exist as strings —
+    integer ops only after the per-token hash."""
+    def mix(rot: int):
+        # factory, NOT a default-arg lambda: defaults would be parsed as a
+        # third higher-order-function parameter by Spark
+        return lambda x, y: x.bitwiseXOR(_rotl64(y, rot))
+
+    acc = F.transform(th_col, lambda x: _rotl64(x, 1))
+    for j in range(1, n):
+        shifted = F.slice(th_col, j + 1, F.size(th_col))
+        acc = F.zip_with(acc, shifted, mix(1 + 21 * j))
+    return F.filter(acc, lambda v: v.isNotNull())
+
+
+def _minhash_k_fn(k: int):
+    """Family-member-k lambda for F.transform, built through a factory:
+    extra default args on the lambda itself would be parsed by Spark as
+    additional higher-order-function parameters."""
+    return lambda h: F.shiftrightunsigned(h, 32) + F.lit(k) * h.bitwiseAND(
+        F.lit(0xFFFFFFFF)
+    )
+
+
+def _minhash_signature(gram_hashes_col):
+    """K-wide minhash signature over pre-hashed shingles via double hashing
+    (Kirsch-Mitzenmacher): g_k(x) = h1(x) + k*h2(x) with h1/h2 the two
+    32-bit halves of the gram hash. No per-k re-hash (5-6x faster than K
+    salted string hashes); values stay < 2^37 so the arithmetic is
+    ANSI-overflow-safe. Deterministic, all JVM-side."""
     return [
-        F.array_min(F.transform(shingles_col, _minhash_hasher(k))).alias(f"mh_{k}")
+        F.array_min(F.transform(gram_hashes_col, _minhash_k_fn(k))).alias(f"mh_{k}")
         for k in range(MINHASH_K)
     ]
 
@@ -136,50 +170,70 @@ def q_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection (X15), the at-scale path:
 
-    shingle -> K=32 minhashes -> 8 bands x 4 rows -> self-join on band
-    signature -> exact-Jaccard verification on candidates only.
+    token-hash -> gram-hash -> K=32 minhashes (double hashing) -> 8 bands
+    x 4 rows -> groupBy (band, signature) bucket -> in-bucket pair
+    explosion -> exact-Jaccard verification on candidates only.
 
-    The only shuffle is the band-key self-join; candidate count ~ true
-    duplicates, not n^2. Survives 100x data: band keys are uniform hashes.
+    Scale notes:
+    - Candidate generation is ONE shuffle (the bucket groupBy) keyed by
+      uniform hashes, not a self-join (which would compute the signature
+      pipeline twice and shuffle both sides).
+    - Pairs explode only inside a bucket; bucket size ~ true duplicate
+      cluster size. Run exact dedup (q_dedup_exact) FIRST at scale so
+      identical-content clusters can't produce quadratic buckets.
+    - Grams never exist as strings: one xxhash64 per token, integer
+      mixing after that. Verification intersects hashed gram sets.
     """
-    d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.array_distinct(_word_ngrams(F.col("text"), 3)).alias("g")
+    # Repartition before the CPU-heavy signature pipeline: a compact
+    # parquet scan yields few input splits (1 task at test scale), which
+    # would serialize the whole hash pipeline on one core. At cluster
+    # scale this spreads docs over all executors; shuffle cost is trivial
+    # next to the per-token hashing it parallelizes.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    hashed = d.select("doc_id", _token_hashes(F.col("text")).alias("th"))
+    grams = hashed.select(
+        "doc_id",
+        F.array_distinct(_grams_from_token_hashes(F.col("th"), 3)).alias("g"),
     ).filter(F.size("g") > 0)
 
-    # Signatures computed ONCE, bands exploded from an array — not a
-    # LSH_BANDS-way union, which would recompute every minhash per branch.
     sigs = grams.select("doc_id", *_minhash_signature(F.col("g")))
     band_structs = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        sig = _rotl64(cols[0], 7)
+        for i, c in enumerate(cols[1:]):
+            sig = sig.bitwiseXOR(_rotl64(c, 7 + 13 * (i + 1)))
         band_structs.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(F.concat_ws(":", *[c.cast("string") for c in cols])).alias(
-                    "band_sig"
-                ),
-            )
+            F.struct(F.lit(b).alias("band_id"), sig.alias("band_sig"))
         )
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_sig")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_sig") == F.col("r.band_sig"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    # Bucket docs sharing a band signature; emit ordered in-bucket pairs.
+    ds = F.array_sort(F.collect_set("doc_id"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+    )
+    cand = (
+        banded.groupBy("band_id", "band_sig")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
-    # Verify candidates with exact Jaccard: join the (small) gram sets
-    # back in — candidates only, never the full n^2.
+    # Verify candidates with exact Jaccard on the hashed gram sets: join
+    # the gram arrays back in — candidates only, never the full n^2.
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     jaccard = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
