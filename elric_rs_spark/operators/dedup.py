@@ -33,14 +33,16 @@ LSH_ROWS = 4  # 8 * 4 = 32
 
 def _word_ngrams(col, n: int = 3):
     """Array of word n-gram strings from a text column (built-ins only):
-    slide a window over the token array with transform + slice."""
+    zip_with chains against shifted slices — not per-index transform
+    lambdas, which re-evaluate the token split per element. concat (NOT
+    concat_ws) so the null padding zip_with adds on the shorter side
+    propagates and the final filter trims incomplete tail grams."""
     toks = F.split(F.lower(F.trim(col)), " ")
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), count - 1)
-    return F.when(
-        count > 0,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.size(toks))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.filter(acc, lambda v: v.isNotNull())
 
 
 def _rotl64(col, r: int):
@@ -251,62 +253,104 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_dedup_simhash")  # rows-only: engine-specific 64-bit hashing
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup (X15): 64-bit signature by bit-voting over token
-    xxhash64 values; candidates blocked on 16-bit signature bands, scored
-    by Hamming distance — all with integer bit-ops, no UDF."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    xxhash64 values; candidates blocked on 16-bit signature chunks
+    (Hamming-ball blocking: hamming<=3 guarantees one exact shared chunk),
+    scored by Hamming distance — all integer bit-ops, no UDF.
 
-    def _vote(i: int):
-        mask = (1 << i) if i < 63 else -(1 << 63)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, 1
-        ).otherwise(-1)
+    Scale shape (quadratic-blowup-proof, unlike naive all-pairs LSH):
+    1. identical-signature clusters collapse to a representative FIRST —
+       a templated corpus produces huge same-signature clusters (36k
+       hamming-0 pairs in 5k synthetic docs); emitting member->rep rows
+       keeps that output LINEAR in cluster size.
+    2. only distinct signatures enter the 4x16-bit chunk blocking, so
+       bucket sizes measure signature diversity, not corpus duplication.
+    3. candidate pairs come from ONE groupBy on (chunk_id, chunk); the
+       signature travels inside the bucket so no join-back is needed.
+    4. hamming <= 3 — exactly the radius the 4-chunk blocking guarantees
+       (pigeonhole: d<=3 differing bits leave >=1 of 4 chunks intact).
+    The token-hash array is materialized once (inlining it into the 64
+    bit-vote aggregates would re-hash every token 64x)."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    hashed = d.select(
+        "doc_id", F.array_distinct(_token_hashes(F.col("text"))).alias("hs")
+    )
 
-    # bit i of signature = majority vote of bit i across token hashes
-    bit_votes = [F.aggregate(hashes, F.lit(0), _vote(i)) for i in range(64)]
+    # bit i of signature = majority vote of bit i across token hashes.
+    # Formulated as explode + groupBy with 64 sum() aggregates rather than
+    # 64 F.aggregate() higher-order functions: HOF lambdas evaluate
+    # INTERPRETED per element, while sum() stays in whole-stage codegen
+    # with map-side partial aggregation (exploded rows stay co-located, so
+    # the shuffle carries one combined row per doc).
+    tok = hashed.select("doc_id", F.explode("hs").alias("h"))
+    votes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"s_{i}")
+            for i in range(64)
+        ],
+    )
     sig = None
-    for i, v in enumerate(bit_votes):
-        bit = F.when(v > 0, F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))).otherwise(F.lit(0))
+    for i in range(64):
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        bit = F.when(F.col(f"s_{i}") * 2 > F.col("n"), F.lit(mask)).otherwise(F.lit(0))
         sig = bit if sig is None else sig.bitwiseXOR(bit)
-    sigs = d.select("doc_id", sig.alias("simhash"))
+    sigs = votes.select("doc_id", sig.alias("simhash"))
 
-    # band on 4x16-bit chunks: near-dups (hamming<=3) share >=1 exact chunk
-    chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(
-            f"chunk_{c}"
+    # (1) collapse identical signatures: rep = min doc_id; member->rep
+    # rows are hamming-0 dup pairs, linear in cluster size
+    clusters = sigs.groupBy("simhash").agg(
+        F.min("doc_id").alias("rep"), F.array_sort(F.collect_set("doc_id")).alias("members")
+    )
+    member_pairs = clusters.select(
+        F.col("rep").alias("doc_a"),
+        F.explode("members").alias("doc_b"),
+        F.lit(0).alias("hamming"),
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+
+    # (2) chunk-block the DISTINCT signatures only
+    reps = clusters.select(F.col("rep").alias("doc_id"), "simhash")
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.shiftrightunsigned(F.col("simhash"), 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("chunk"),
         )
         for c in range(4)
     ]
-    banded = sigs.select("doc_id", "simhash", *chunks)
-    pieces = []
-    for c in range(4):
-        pieces.append(
-            banded.select(
-                "doc_id", "simhash", F.lit(c).alias("band_id"), F.col(f"chunk_{c}").alias("chunk")
-            )
+    banded = reps.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("b")
+    ).select("doc_id", "simhash", "b.chunk_id", "b.chunk")
+
+    # (3) in-bucket ordered pairs, signatures carried in the bucket
+    ds = F.array_sort(F.collect_set(F.struct("doc_id", "simhash")))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
         )
-    expl = pieces[0]
-    for p in pieces[1:]:
-        expl = expl.union(p)
-    l, r = expl.alias("l"), expl.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
-        )
+    )
+    cross_pairs = (
+        banded.groupBy("chunk_id", "chunk")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= 3)  # (4) the blocking-guaranteed radius
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= 6).orderBy("doc_a", "doc_b")
+    return member_pairs.unionByName(cross_pairs).orderBy("doc_a", "doc_b")
 
 
 @query(
