@@ -1,0 +1,93 @@
+"""Hash/shingle expression library — shared by dedup, text, and similarity
+operators. Everything is a pure Catalyst expression (JVM-side, ANSI-safe):
+no Python UDFs, no wrap-around arithmetic that would throw in ANSI mode.
+
+Performance rules baked in here (measured, see BASELINE.md round-1 notes):
+- ONE xxhash64 per token/shingle; derived hash-family members come from
+  integer arithmetic on the halves (Kirsch-Mitzenmacher double hashing),
+  never from per-member string re-hashing.
+- Sliding windows are zip_with chains over shifted slices. Per-index
+  element_at/slice lambdas re-evaluate their producer expression per
+  element — O(n^2) — and higher-order-function lambdas run interpreted,
+  so keep the per-element work minimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# MinHash parameters: K hashes = B bands * R rows
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # 8 * 4 = 32
+
+
+def rotl64(col: Column, r: int) -> Column:
+    """64-bit rotate-left from shifts+or — bit ops never overflow, ANSI-safe."""
+    return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
+
+
+def token_hashes(col: Column) -> Column:
+    """One xxhash64 per whitespace token. Materialize this as a real column
+    BEFORE deriving grams: referencing the transform expression inside
+    another lambda would re-evaluate the whole array per element (no CSE
+    across higher-order-function boundaries) — O(tokens^2) hashing."""
+    return F.transform(F.split(F.lower(F.trim(col)), " "), lambda t: F.xxhash64(t))
+
+
+def grams_from_token_hashes(th_col: Column, n: int = 3) -> Column:
+    """64-bit word-n-gram hashes from a token-hash array column: each gram
+    XOR-mixes n consecutive token hashes under position-dependent rotations
+    (order-sensitive). Built as a chain of zip_with against 1..n-1-shifted
+    slices — NOT per-index element_at lambdas, which evaluate O(tokens^2)
+    (each element_at re-walks the array; 20x slower measured). zip_with
+    pads the shorter side with NULL; XOR propagates the NULL, and the
+    final filter trims those tail entries. Grams never exist as strings —
+    integer ops only after the per-token hash."""
+
+    def mix(rot: int):
+        # factory, NOT a default-arg lambda: defaults would be parsed as a
+        # third higher-order-function parameter by Spark
+        return lambda x, y: x.bitwiseXOR(rotl64(y, rot))
+
+    acc = F.transform(th_col, lambda x: rotl64(x, 1))
+    for j in range(1, n):
+        shifted = F.slice(th_col, j + 1, F.size(th_col))
+        acc = F.zip_with(acc, shifted, mix(1 + 21 * j))
+    return F.filter(acc, lambda v: v.isNotNull())
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Array of word n-gram STRINGS from a text column (built-ins only):
+    zip_with chains against shifted slices — not per-index transform
+    lambdas, which re-evaluate the token split per element. concat (NOT
+    concat_ws) so the null padding zip_with adds on the shorter side
+    propagates and the final filter trims incomplete tail grams."""
+    toks = F.split(F.lower(F.trim(col)), " ")
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.size(toks))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.filter(acc, lambda v: v.isNotNull())
+
+
+def minhash_k_fn(k: int):
+    """Family-member-k lambda for F.transform, built through a factory:
+    extra default args on the lambda itself would be parsed by Spark as
+    additional higher-order-function parameters."""
+    return lambda h: F.shiftrightunsigned(h, 32) + F.lit(k) * h.bitwiseAND(
+        F.lit(0xFFFFFFFF)
+    )
+
+
+def minhash_signature(gram_hashes_col: Column) -> list[Column]:
+    """K-wide minhash signature over pre-hashed shingles via double hashing
+    (Kirsch-Mitzenmacher): g_k(x) = h1(x) + k*h2(x) with h1/h2 the two
+    32-bit halves of the gram hash. No per-k re-hash (5-6x faster than K
+    salted string hashes); values stay < 2^37 so the arithmetic is
+    ANSI-overflow-safe. Deterministic, all JVM-side."""
+    return [
+        F.array_min(F.transform(gram_hashes_col, minhash_k_fn(k))).alias(f"mh_{k}")
+        for k in range(MINHASH_K)
+    ]

@@ -24,80 +24,16 @@ from pyspark.sql import functions as F
 
 from elric_rs_spark.registry import query
 from elric_rs_spark.tables import load_table
-
-# MinHash parameters: K hashes = B bands * R rows
-MINHASH_K = 32
-LSH_BANDS = 8
-LSH_ROWS = 4  # 8 * 4 = 32
-
-
-def _word_ngrams(col, n: int = 3):
-    """Array of word n-gram strings from a text column (built-ins only):
-    zip_with chains against shifted slices — not per-index transform
-    lambdas, which re-evaluate the token split per element. concat (NOT
-    concat_ws) so the null padding zip_with adds on the shorter side
-    propagates and the final filter trims incomplete tail grams."""
-    toks = F.split(F.lower(F.trim(col)), " ")
-    acc = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, F.size(toks))
-        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
-    return F.filter(acc, lambda v: v.isNotNull())
-
-
-def _rotl64(col, r: int):
-    """64-bit rotate-left from shifts+or — bit ops never overflow, ANSI-safe."""
-    return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
-
-
-def _token_hashes(col):
-    """One xxhash64 per whitespace token. Materialize this as a real column
-    BEFORE deriving grams: referencing the transform expression inside
-    another lambda would re-evaluate the whole array per element (no CSE
-    across higher-order-function boundaries) — O(tokens^2) hashing."""
-    return F.transform(F.split(F.lower(F.trim(col)), " "), lambda t: F.xxhash64(t))
-
-
-def _grams_from_token_hashes(th_col, n: int = 3):
-    """64-bit word-n-gram hashes from a token-hash array column: each gram
-    XOR-mixes n consecutive token hashes under position-dependent rotations
-    (order-sensitive). Built as a chain of zip_with against 1..n-1-shifted
-    slices — NOT per-index element_at lambdas, which evaluate O(tokens^2)
-    (each element_at re-walks the array; 20x slower measured). zip_with
-    pads the shorter side with NULL; XOR propagates the NULL, and the
-    final filter trims those tail entries. Grams never exist as strings —
-    integer ops only after the per-token hash."""
-    def mix(rot: int):
-        # factory, NOT a default-arg lambda: defaults would be parsed as a
-        # third higher-order-function parameter by Spark
-        return lambda x, y: x.bitwiseXOR(_rotl64(y, rot))
-
-    acc = F.transform(th_col, lambda x: _rotl64(x, 1))
-    for j in range(1, n):
-        shifted = F.slice(th_col, j + 1, F.size(th_col))
-        acc = F.zip_with(acc, shifted, mix(1 + 21 * j))
-    return F.filter(acc, lambda v: v.isNotNull())
-
-
-def _minhash_k_fn(k: int):
-    """Family-member-k lambda for F.transform, built through a factory:
-    extra default args on the lambda itself would be parsed by Spark as
-    additional higher-order-function parameters."""
-    return lambda h: F.shiftrightunsigned(h, 32) + F.lit(k) * h.bitwiseAND(
-        F.lit(0xFFFFFFFF)
-    )
-
-
-def _minhash_signature(gram_hashes_col):
-    """K-wide minhash signature over pre-hashed shingles via double hashing
-    (Kirsch-Mitzenmacher): g_k(x) = h1(x) + k*h2(x) with h1/h2 the two
-    32-bit halves of the gram hash. No per-k re-hash (5-6x faster than K
-    salted string hashes); values stay < 2^37 so the arithmetic is
-    ANSI-overflow-safe. Deterministic, all JVM-side."""
-    return [
-        F.array_min(F.transform(gram_hashes_col, _minhash_k_fn(k))).alias(f"mh_{k}")
-        for k in range(MINHASH_K)
-    ]
+from elric_rs_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    grams_from_token_hashes as _grams_from_token_hashes,
+    minhash_signature as _minhash_signature,
+    rotl64 as _rotl64,
+    token_hashes as _token_hashes,
+    word_ngrams as _word_ngrams,
+)
 
 
 @query(

@@ -22,21 +22,14 @@ from pyspark.sql import functions as F
 
 from elric_rs_spark.registry import query
 from elric_rs_spark.tables import load_table
+from elric_rs_spark.functions.vector import (
+    as_double as _as_double,
+    dot as _dot,
+    norm_l2 as _norm,
+)
 
 EMB_DIM = 64
 LSH_PLANES = 8
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-
-
-def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
-
-
-def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
 
 
 @query(

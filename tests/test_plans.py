@@ -1,0 +1,92 @@
+"""Plan-quality gate: every registered query must produce the physical
+plan we'd accept on a 1000-executor cluster, not just a correct answer.
+
+Invariants held here:
+- NO row-at-a-time Python (BatchEvalPython) anywhere. Arrow-batched nodes
+  (mapInPandas / applyInPandas) are the sanctioned slow path and only
+  allowed in the queries built on them.
+- NO CartesianProduct: deliberate one-row cross joins must broadcast.
+- Small-dimension joins broadcast (q_join_broadcast's customer side).
+- Filters and projections reach the parquet scan (PushedFilters /
+  ReadSchema pruning) for the representative scan-heavy queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from elric_rs_spark.plans.inspect import (
+    physical_plan,
+    pushed_filters,
+    read_schemas,
+    uses_broadcast_join,
+    uses_cartesian,
+    uses_row_python,
+    uses_whole_stage_codegen,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = entrymod.queries()
+
+# Queries whose semantics are Arrow-batched Python by design
+PANDAS_QUERIES = {"q_udf_pandas", "q_multimodal"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_row_python_and_no_cartesian(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert not uses_row_python(df), f"{name}: BatchEvalPython in plan"
+    assert not uses_cartesian(df), f"{name}: CartesianProduct in plan"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - PANDAS_QUERIES))
+def test_jvm_only(spark, name):
+    """Everything except the declared Pandas-UDF surface stays fully
+    JVM-side — no Python eval nodes of any kind."""
+    plan = physical_plan(QUERIES[name](spark, SF_DIR))
+    for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, f"{name}: unexpected {node}"
+
+
+def test_broadcast_join_small_dimension(spark):
+    df = QUERIES["q_join_broadcast"](spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    assert "SortMergeJoin" not in physical_plan(df)
+
+
+def test_multiway_join_broadcasts_small_dims(spark):
+    """The 5-table TPC-H-shaped join: nation/region (tiny dims) must come
+    in as broadcasts, never shuffled sort-merge."""
+    plan = physical_plan(QUERIES["q_join_multiway"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q_agg_tpch1 filters on l_shipdate: the predicate must appear in the
+    parquet scan's PushedFilters, not only as a post-scan Filter node."""
+    df = QUERIES["q_agg_tpch1"](spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    """q_topk projects 3 columns of orders; the scan must not read the
+    full table width."""
+    schemas = read_schemas(QUERIES["q_topk"](spark, SF_DIR))
+    assert schemas, "no ReadSchema in formatted plan"
+    for s in schemas:
+        n_cols = s.count(":")
+        assert n_cols <= 5, f"scan reads too many columns: {s}"
+
+
+def test_typed_cast_whole_stage_codegen(spark):
+    """The T5 cast pipeline must be one codegen span over the scan —
+    the 100 TB ingest hot path."""
+    assert uses_whole_stage_codegen(QUERIES["q_typed_cast"](spark, SF_DIR))
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
