@@ -81,6 +81,22 @@ def minhash_k_fn(k: int):
     )
 
 
+def minhash_min_aggs() -> list[Column]:
+    """K min() AGGREGATES over an exploded gram-hash column `h` — the
+    groupBy("doc_id") formulation of the minhash signature. Identical math
+    to `minhash_signature`, but sum/min aggregates compile ~10x faster
+    than a 32-lambda higher-order-function tree and run in whole-stage
+    codegen with map-side combine (HOF lambdas evaluate interpreted).
+    Cold-plan cost matters: every driver/bench run plans from scratch."""
+    return [
+        F.min(
+            F.shiftrightunsigned("h", 32)
+            + F.lit(k) * F.col("h").bitwiseAND(F.lit(0xFFFFFFFF))
+        ).alias(f"mh_{k}")
+        for k in range(MINHASH_K)
+    ]
+
+
 def minhash_signature(gram_hashes_col: Column) -> list[Column]:
     """K-wide minhash signature over pre-hashed shingles via double hashing
     (Kirsch-Mitzenmacher): g_k(x) = h1(x) + k*h2(x) with h1/h2 the two

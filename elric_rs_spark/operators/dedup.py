@@ -29,7 +29,7 @@ from elric_rs_spark.functions.hashing import (
     LSH_ROWS,
     MINHASH_K,
     grams_from_token_hashes as _grams_from_token_hashes,
-    minhash_signature as _minhash_signature,
+    minhash_min_aggs as _minhash_min_aggs,
     rotl64 as _rotl64,
     token_hashes as _token_hashes,
     word_ngrams as _word_ngrams,
@@ -131,12 +131,30 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     hashed = d.select("doc_id", _token_hashes(F.col("text")).alias("th"))
-    grams = hashed.select(
-        "doc_id",
-        F.array_distinct(_grams_from_token_hashes(F.col("th"), 3)).alias("g"),
-    ).filter(F.size("g") > 0)
+    # persist: three plan branches consume grams (signature pipeline +
+    # both sides of the Jaccard-verify join); without it the token-hash +
+    # gram pipeline executes three times. At cluster scale this is the
+    # standard materialize-a-pipeline-stage point (MEMORY_AND_DISK spills
+    # instead of OOMing on big corpora).
+    from pyspark import StorageLevel
 
-    sigs = grams.select("doc_id", *_minhash_signature(F.col("g")))
+    grams = (
+        hashed.select(
+            "doc_id",
+            F.array_distinct(_grams_from_token_hashes(F.col("th"), 3)).alias("g"),
+        )
+        .filter(F.size("g") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # Signature as explode + groupBy min-aggregates: same math as the HOF
+    # transform form but ~10x faster to plan-compile and fully codegen'd;
+    # the groupBy reuses the doc_id repartitioning, so no extra shuffle.
+    sigs = (
+        grams.select("doc_id", F.explode("g").alias("h"))
+        .groupBy("doc_id")
+        .agg(*_minhash_min_aggs())
+    )
     band_structs = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
