@@ -114,3 +114,92 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .orderBy("vec_a", "vec_b")
     )
+
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def _anchors(n: int = IVF_CELLS):
+    """Deterministic pseudo-random anchor vectors — the IVF coarse
+    quantizer's centroids — from the same splitmix scramble as the LSH
+    hyperplanes; reproducible, no RNG state, no training pass. A real
+    deployment would k-means these; anchor quality changes recall, not
+    the plan shape."""
+
+    def h64(p: int, d: int) -> float:
+        x = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) % (1 << 64)
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) % (1 << 64)
+        x ^= x >> 31
+        return (x / float((1 << 64) - 1)) * 2.0 - 1.0
+
+    return [[h64(p + 1000, d) for d in range(EMB_DIM)] for p in range(n)]
+
+
+@query("q_sim_ivf")  # rows-only: ANN recall is approximate by design
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (X16 scale path #2): every vector is assigned to its
+    nearest-by-dot anchor cell (an inverted file); the query probes only
+    its IVF_NPROBE best cells, so the exact cosine touches ~nprobe/cells
+    of the corpus instead of all of it.
+
+    Scale shape: cell assignment is one linear projection (no shuffle);
+    probing is a broadcast left-semi join on cell id. At 100 TB, with the
+    corpus written `partitionBy(cell)`, the same semi-join becomes
+    partition pruning — the scan skips non-probed cells at the source."""
+    anchors = _anchors()
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    dots = F.array(
+        *[_dot(F.col("v"), F.array(*[F.lit(x) for x in a])) for a in anchors]
+    )
+    # materialize dots once; `cell` derives from the column, not from a
+    # second copy of the 16x64 anchor literal tree
+    scored = e.withColumn("dots", dots)
+    cells = scored.select(
+        "vec_id",
+        "label",
+        "v",
+        "dots",
+        F.array_position(F.col("dots"), F.array_max("dots")).alias("cell"),
+    )
+
+    # probe list: the query's IVF_NPROBE highest-dot cells (1-based ids)
+    probe = (
+        cells.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "dots",
+                            lambda d, i: F.struct(
+                                (-d).alias("negd"), (i + 1).alias("cell")
+                            ),
+                        )
+                    ),
+                    1,
+                    IVF_NPROBE,
+                )
+            ).alias("pc")
+        )
+        .select(F.col("pc.cell").cast("long").alias("cell"))
+    )
+
+    cand = cells.filter(F.col("vec_id") != 0).join(
+        F.broadcast(probe), "cell", "left_semi"
+    )
+    qv = cells.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cosine = F.round(
+        _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 6
+    )
+    return (
+        cand.crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", "cell", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
