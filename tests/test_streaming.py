@@ -332,3 +332,40 @@ class TestSink:
         assert opts["async_insert"] == "1"
         assert opts["wait_for_async_insert"] == "0"
         assert opts["compress"] == "lz4"
+
+
+class TestRestartRecovery:
+    def test_state_survives_restart(self, spark, tmpdir):
+        """SURVEY.md §7 risk 3: buffered (non-final) blocks must live in
+        the checkpointed state store, not driver memory. Run 1 buffers
+        blocks whose watermark hasn't caught up; run 2 (same checkpoint,
+        new query) lands the rest of the stream and must emit the blocks
+        run 1 buffered — no gaps, no duplicates across both runs."""
+        landing = f"{tmpdir}/landing"
+        ckpt = f"{tmpdir}/ckpt"
+        out = f"{tmpdir}/out"
+        msgs = _blocks(spark, 40, reorg_depth=5)
+
+        def run_once(batch):
+            land_blocks(spark, batch, landing)
+            stream = read_block_stream(spark, landing)
+            finalized = apply_finality_stateful(stream)
+            q = (
+                finalized.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once(msgs[:20])  # watermark reaches 14: 0..14 emitted, 15..19 in state
+        first = sorted(
+            r.block_num for r in spark.read.parquet(out).collect()
+        )
+        assert first == list(range(15))
+
+        run_once(msgs[20:])  # watermark reaches 34: 15..34 emitted from state
+        final = sorted(r.block_num for r in spark.read.parquet(out).collect())
+        assert final == list(range(35)), "gap or duplicate after restart"
