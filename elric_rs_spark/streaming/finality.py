@@ -75,11 +75,11 @@ class FinalityBuffer:
 
 FINALITY_OUTPUT_SCHEMA = (
     "stream_id string, block_num long, block_id string, cursor string, "
-    "final_block_height long"
+    "final_block_height long, payload string"
 )
 FINALITY_STATE_SCHEMA = (
     "block_num array<long>, block_id array<string>, cursor array<string>, "
-    "final_height array<long>"
+    "final_height array<long>, payload array<string>"
 )
 
 
@@ -95,11 +95,11 @@ def _finality_func(key, pdf_iter, state):
 
     (stream_id,) = key
     if state.exists:
-        nums, ids, curs, heights = state.get
+        nums, ids, curs, heights, payloads = state.get
         buf = FinalityBuffer(
             buffer=[
-                Block(n, i, c, h)
-                for n, i, c, h in zip(nums, ids, curs, heights)
+                Block(n, i, c, h, p)
+                for n, i, c, h, p in zip(nums, ids, curs, heights, payloads)
             ]
         )
     else:
@@ -118,11 +118,19 @@ def _finality_func(key, pdf_iter, state):
                     str(row.block_id),
                     str(row.cursor),
                     int(row.final_block_height),
+                    getattr(row, "payload", None),
                 )
             )
             for b in flushed:
                 out_rows.append(
-                    (stream_id, b.block_num, b.block_id, b.cursor, b.final_block_height)
+                    (
+                        stream_id,
+                        b.block_num,
+                        b.block_id,
+                        b.cursor,
+                        b.final_block_height,
+                        b.payload,
+                    )
                 )
 
     state.update(
@@ -131,11 +139,19 @@ def _finality_func(key, pdf_iter, state):
             [b.block_id for b in buf.buffer],
             [b.cursor for b in buf.buffer],
             [b.final_block_height for b in buf.buffer],
+            [b.payload for b in buf.buffer],
         )
     )
     yield pd.DataFrame(
         out_rows,
-        columns=["stream_id", "block_num", "block_id", "cursor", "final_block_height"],
+        columns=[
+            "stream_id",
+            "block_num",
+            "block_id",
+            "cursor",
+            "final_block_height",
+            "payload",
+        ],
     )
 
 

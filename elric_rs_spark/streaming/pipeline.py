@@ -1,0 +1,132 @@
+"""The full reference topology as ONE Structured Streaming pipeline
+(SURVEY.md §3 lifecycle): block stream -> finality buffer (T7/T8) ->
+change-set decode (T1) -> field-map + composite-PK merge (T2/T3) ->
+split-by-table (T4) -> typed cast in alphabetical column order (T5/T6) ->
+per-table sink + cursor checkpoint, data first (S5/S6/T9).
+
+The reference decodes protobuf `DatabaseChanges`; the container has no
+protobuf toolchain, so the wire stand-in is the same structure as JSON:
+`[{"table": t, "fields": {..}, "pk": {..}}, ...]` per block. `from_json`
+plays `DatabaseChanges::decode` (ref loader.rs:128-129); with a real
+.spkg descriptor the one-line swap is `from_protobuf(payload,
+"DatabaseChanges", descFile)` — every downstream stage is unchanged.
+
+Semantic gotchas preserved (SURVEY.md §2.4):
+- composite PK merged into the field map, single PK ignored
+  (ref loader.rs:143-149) — a single-entry pk map is assumed to already
+  be among the fields;
+- operation kind never inspected: append-only sink (ref loader.rs:140-156);
+- alphabetical insert column order (ref main.rs:183, table_info.rs:204-208);
+- cursor written AFTER the block's data (ref loader.rs:111-125).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from elric_rs_spark.cast import typed_cast
+from elric_rs_spark.streaming.finality import apply_finality_stateful
+
+CHANGES_JSON_SCHEMA = (
+    "array<struct<table: string, fields: map<string,string>, "
+    "pk: map<string,string>>>"
+)
+
+
+def decode_changes(block_df: DataFrame) -> DataFrame:
+    """T1+T2+T3: payload -> one row per table-change with the merged
+    string->string field map. Pure Catalyst (from_json + explode +
+    map_concat) — whole-stage codegen, no Python."""
+    changes = block_df.select(
+        "stream_id",
+        "block_num",
+        "block_id",
+        "cursor",
+        F.explode(F.from_json("payload", CHANGES_JSON_SCHEMA)).alias("c"),
+    )
+    pk = F.col("c.pk")
+    # single PK ignored / composite merged (ref loader.rs:143-149)
+    merged = F.when(
+        pk.isNull() | (F.size(F.map_keys(pk)) <= 1), F.col("c.fields")
+    ).otherwise(F.map_concat(F.col("c.fields"), pk))
+    return changes.select(
+        "stream_id",
+        "block_num",
+        "block_id",
+        "cursor",
+        F.col("c.table").alias("table"),
+        merged.alias("row_map"),
+    )
+
+
+class TypedPerTableSink:
+    """S5/S6/T9 with the reference's typed-cast stage: route change rows
+    by table, cast each table's string map to its declared schema
+    (alphabetical column order), append to the per-table sink, then write
+    the max cursor per stream — data first, cursor second, so a crash can
+    repeat a block but never lose data the cursor claims is done."""
+
+    def __init__(self, base_dir: str, table_schemas: dict[str, dict[str, str]],
+                 mode: str = "strict"):
+        self.base_dir = base_dir
+        self.table_schemas = table_schemas
+        self.mode = mode
+
+    def write_batch(self, block_df: DataFrame, epoch_id: int) -> None:
+        block_df = block_df.cache()
+        try:
+            changes = decode_changes(block_df).cache()
+            try:
+                for t, schema in sorted(self.table_schemas.items()):
+                    rows = changes.filter(F.col("table") == t).select(
+                        "stream_id", "block_num", "block_id", "row_map"
+                    )
+                    typed = typed_cast(rows, "row_map", schema, mode=self.mode)
+                    (
+                        typed.withColumn("epoch_id", F.lit(epoch_id))
+                        .write.mode("append")
+                        .parquet(f"{self.base_dir}/data/{t}")
+                    )
+                # cursor AFTER all table writes (ref loader.rs:111-125)
+                cursor = (
+                    block_df.groupBy("stream_id")
+                    .agg(
+                        F.max_by("cursor", "block_num").alias("cursor"),
+                        F.max("block_num").alias("block_num"),
+                        F.max_by("block_id", "block_num").alias("block_id"),
+                    )
+                    .withColumn("epoch_id", F.lit(epoch_id))
+                )
+                cursor.write.mode("append").parquet(f"{self.base_dir}/cursors")
+            finally:
+                changes.unpersist()
+        finally:
+            block_df.unpersist()
+
+
+def run_pipeline(
+    spark,
+    landing_dir: str,
+    checkpoint_dir: str,
+    sink: TypedPerTableSink,
+    available_now: bool = True,
+):
+    """Wire the whole topology: tail the landing dir, run stateful
+    finality, fan out through the typed per-table sink. Returns the
+    started StreamingQuery."""
+    from elric_rs_spark.streaming.source import read_block_stream
+
+    stream = read_block_stream(spark, landing_dir)
+    finalized = apply_finality_stateful(stream)
+    writer = (
+        finalized.writeStream.foreachBatch(sink.write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        # the reference's 15s insert cadence (ref loader.rs:58)
+        writer = writer.trigger(processingTime="15 seconds")
+    return writer.start()

@@ -1,0 +1,157 @@
+"""Full-topology streaming test: the Spark-native analogue of the
+reference's end-to-end `test_process_data` (ref loader.rs:358-402), which
+decodes a change-set and asserts the exact typed rows the mock sink
+received — here with finality, undo, two tables, composite-PK merge, the
+ERC-20-ish typed schema from ref main.rs:333-366, and cursor recovery.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from elric_rs_spark.streaming.pipeline import TypedPerTableSink, run_pipeline
+from elric_rs_spark.streaming.sink import load_persisted_cursor
+from elric_rs_spark.streaming.source import land_blocks
+
+TRANSFERS_SCHEMA = {
+    "contract_address": "FixedString(8)",
+    "evt_block_number": "UInt32",
+    "value": "UInt256",
+    "evt_block_time": "DateTime",
+}
+APPROVALS_SCHEMA = {
+    "owner": "String",
+    "spender": "String",
+    "amount": "UInt64",
+}
+
+
+def _payload(n: int) -> str:
+    changes = [
+        {
+            "table": "transfers",
+            "fields": {
+                "contract_address": "ab",
+                "evt_block_number": str(n),
+                "value": str((1 << 200) + n),  # beyond Decimal(38)
+                "evt_block_time": f"2024-08-07T00:00:{n % 60:02d}Z",
+            },
+            # composite PK: merged into the row (ref loader.rs:143-146)
+            "pk": {"evt_tx_hash": f"0x{n:x}", "evt_index": str(n)},
+        },
+        {
+            "table": "approvals",
+            "fields": {"owner": f"o{n}", "spender": f"s{n}", "amount": str(n * 10)},
+            # single PK: ignored (ref loader.rs:147)
+            "pk": {"owner": "SHOULD_NOT_OVERRIDE"},
+        },
+    ]
+    return json.dumps(changes)
+
+
+def _blocks(n_blocks: int, reorg_depth: int):
+    return [
+        {
+            "stream_id": "s1",
+            "msg_type": "new",
+            "block_num": n,
+            "block_id": f"blk-{n:08d}",
+            "block_ts": None,
+            "cursor": str(n),
+            "final_block_height": max(n - reorg_depth, 0),
+            "last_valid_block": None,
+            "payload": _payload(n),
+        }
+        for n in range(n_blocks)
+    ]
+
+
+@pytest.fixture()
+def tmpdir():
+    with tempfile.TemporaryDirectory(prefix="elric_pipeline_") as d:
+        yield d
+
+
+class TestFullPipeline:
+    def test_process_data_end_to_end(self, spark, tmpdir):
+        landing, ckpt, out = (f"{tmpdir}/{d}" for d in ("landing", "ckpt", "out"))
+        land_blocks(spark, _blocks(20, reorg_depth=5), landing)
+
+        # PK merge puts two extra string columns into transfers rows;
+        # declare them so the cast keeps them (alphabetical order overall)
+        schema = dict(TRANSFERS_SCHEMA, evt_tx_hash="String", evt_index="UInt32")
+        sink = TypedPerTableSink(out, {"transfers": schema, "approvals": APPROVALS_SCHEMA})
+        q = run_pipeline(spark, landing, ckpt, sink)
+        q.awaitTermination(120)
+
+        # watermark at block 19 is 14 -> blocks 0..14 finalized
+        transfers = spark.read.parquet(f"{out}/data/transfers")
+        assert sorted(r.block_num for r in transfers.collect()) == list(range(15))
+
+        # typed fidelity (the test_process_data exact-rows assertion)
+        row = transfers.filter(F.col("block_num") == 7).collect()[0]
+        assert row.evt_block_number == 7
+        assert row.value == str((1 << 200) + 7)  # U256 as canonical string
+        assert row.evt_tx_hash == "0x7" and row.evt_index == 7  # composite PK merged
+        assert len(row.contract_address) == 8  # FixedString zero-padded
+        assert row.contract_address[:2] == b"ab"
+        assert row.evt_block_time.second == 7  # RFC3339 parsed
+
+        # alphabetical column order of the typed columns (ref main.rs:183)
+        typed_cols = [c for c in transfers.columns
+                      if c in schema]
+        assert typed_cols == sorted(typed_cols)
+
+        # single PK ignored: owner keeps the field value
+        approvals = spark.read.parquet(f"{out}/data/approvals")
+        a7 = approvals.filter(F.col("block_num") == 7).collect()[0]
+        assert a7.owner == "o7" and a7.amount == 70
+
+        # cursor: written after data, recoverable, latest flushed block
+        assert load_persisted_cursor(spark, out, "s1") == "14"
+
+    def test_undo_retracts_before_sink(self, spark, tmpdir):
+        """Blocks above last_valid_block never reach any table sink
+        (ref loader.rs:177-193): buffer-only retraction."""
+        landing, ckpt, out = (f"{tmpdir}/{d}" for d in ("landing", "ckpt", "out"))
+        msgs = _blocks(21, reorg_depth=30)  # watermark stays 0: all buffered
+        msgs.append(
+            {
+                "stream_id": "s1",
+                "msg_type": "undo",
+                "block_num": 20,
+                "block_id": None,
+                "block_ts": None,
+                "cursor": None,
+                "final_block_height": None,
+                "last_valid_block": 10,
+                "payload": None,
+            }
+        )
+        # then a final-watermark catch-up block flushes what survived
+        msgs.append(
+            {
+                "stream_id": "s1",
+                "msg_type": "new",
+                "block_num": 30,
+                "block_id": "blk-30",
+                "block_ts": None,
+                "cursor": "30",
+                "final_block_height": 30,
+                "last_valid_block": None,
+                "payload": _payload(30),
+            }
+        )
+        land_blocks(spark, msgs, landing)
+        sink = TypedPerTableSink(out, {"approvals": APPROVALS_SCHEMA})
+        q = run_pipeline(spark, landing, ckpt, sink)
+        q.awaitTermination(120)
+
+        approvals = spark.read.parquet(f"{out}/data/approvals")
+        nums = sorted(r.block_num for r in approvals.collect())
+        # 11..20 were retracted by the undo; 0..10 + 30 flushed
+        assert nums == list(range(11)) + [30]
