@@ -139,3 +139,70 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         zscore, "event_id long, event_type string, value_zscore double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling + resize plumbing (video/image shape; codecs stubbed)
+# ---------------------------------------------------------------------------
+
+FRAME_SIZE_BYTES = 256  # fake fixed-size frame
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, n_frame_bytes int, frame_mean double"
+)
+
+
+def resize_image_stub(payload: bytes, target_len: int) -> bytes:
+    """STUB resize: a real deployment calls PIL.Image.resize here. The
+    deterministic fake keeps every len//target-th byte — the Spark-side
+    contract (bytes in, smaller bytes out, pure function) is what the
+    pipeline tests."""
+    if payload is None:
+        raise NotImplementedError("real resizer not available in this environment")
+    if len(payload) <= target_len:
+        return payload
+    step = len(payload) // target_len
+    return payload[::step][:target_len]
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: split each payload into fixed-size frames,
+    keep every FRAME_STRIDE-th, emit one row per sampled frame — the
+    batch shape of a real ffmpeg frame sampler (1 input row -> N output
+    rows, vectorized per Arrow batch)."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "n_frame_bytes": [], "frame_mean": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = [
+                payload[i : i + FRAME_SIZE_BYTES]
+                for i in range(0, len(payload), FRAME_SIZE_BYTES)
+            ][::FRAME_STRIDE]
+            for idx, fr in enumerate(frames):
+                fr = resize_image_stub(fr, 64)
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["n_frame_bytes"].append(len(fr))
+                out["frame_mean"].append(float(sum(fr)) / max(len(fr), 1))
+        yield pd.DataFrame(out)
+
+
+@query("q_multimodal_frames")  # rows-only: Pandas-UDF frame sampler
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped pipeline: payload -> frame split -> stride sampling ->
+    per-frame resize + features, then a per-doc aggregate. 1->N row fan-out
+    through mapInPandas; repartitioned so frame extraction parallelizes
+    regardless of upstream layout."""
+    mm = build_multimodal_table(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    frames = mm.mapInPandas(_sample_frames, FRAME_SCHEMA)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(F.avg("frame_mean"), 6).alias("avg_frame_mean"),
+            F.min("n_frame_bytes").alias("min_frame_bytes"),
+        )
+        .orderBy("doc_id")
+    )
