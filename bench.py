@@ -39,7 +39,9 @@ HEADLINE = [
     "q_typed_cast",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_simhash",
     "q_sim_topk",
+    "q_sim_ivf",
     "q_text_stats",
     "q_agg_stats",
     "q_topk",
