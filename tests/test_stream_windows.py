@@ -1,0 +1,145 @@
+"""Live Structured Streaming window tests (SURVEY.md X13/X14 streaming
+form): tumbling window aggregation with a watermark over the block
+stream, late-data drop semantics, and session windows — the batch
+equivalents (`q_stream_window`, `q_session_window`) are oracle-checked;
+these prove the same expressions run under `readStream`.
+"""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from elric_rs_spark.streaming.source import BLOCK_STREAM_SCHEMA, land_blocks, read_block_stream
+
+BASE = datetime.datetime(2024, 8, 7, 12, 0, 0)
+
+
+def _ts_blocks(n, gap_s=60):
+    return [
+        {
+            "stream_id": "s1",
+            "msg_type": "new",
+            "block_num": i,
+            "block_id": f"b{i}",
+            "block_ts": BASE + datetime.timedelta(seconds=i * gap_s),
+            "cursor": str(i),
+            "final_block_height": i,
+            "last_valid_block": None,
+            "payload": None,
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def tmpdir():
+    with tempfile.TemporaryDirectory(prefix="elric_swin_") as d:
+        yield d
+
+
+class TestStreamingWindows:
+    def test_tumbling_window_with_watermark(self, spark, tmpdir):
+        """10-minute tumbling windows over event time with a 5-minute
+        watermark; availableNow drains everything, append mode emits only
+        windows the watermark has closed."""
+        landing = f"{tmpdir}/landing"
+        land_blocks(spark, _ts_blocks(60), landing)  # 60 blocks, 1/min
+        stream = read_block_stream(spark, landing)
+        agg = (
+            stream.withWatermark("block_ts", "5 minutes")
+            .groupBy(F.window("block_ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.max("block_num").alias("max_block"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("swin_tumble")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("swin_tumble").orderBy("w").collect()
+        # 60 minutes of data = 6 windows; the last window (50-60min) is
+        # NOT closed by the watermark (max ts 59min, wm 54min) -> 5 emitted
+        assert len(rows) == 5
+        assert all(r.n == 10 for r in rows)
+        assert rows[0].w.start == BASE and rows[-1].max_block == 49
+
+    def test_late_rows_dropped_by_watermark(self, spark, tmpdir):
+        """A row older than the watermark in a later micro-batch is
+        dropped, not merged into a closed window (the at-scale correctness
+        contract for out-of-order streams)."""
+        landing = f"{tmpdir}/landing"
+        out = f"{tmpdir}/out"
+        land_blocks(spark, _ts_blocks(60), landing, batch_size=60)
+        # second file: one very late row (t = +1 min, far behind wm 54min)
+        late = [dict(_ts_blocks(1)[0], block_num=999,
+                     block_ts=BASE + datetime.timedelta(minutes=1))]
+
+        def run_once():
+            stream = read_block_stream(spark, landing)
+            agg = (
+                stream.withWatermark("block_ts", "5 minutes")
+                .groupBy(F.window("block_ts", "10 minutes").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmpdir}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        land_blocks(spark, late, landing)
+        run_once()
+        # every emitted window has exactly 10 rows: the late row neither
+        # re-emitted a closed window nor created a duplicate
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 5
+        assert all(r.n == 10 for r in rows)
+        assert BASE in [r.w.start for r in rows]
+
+    def test_session_window_stream(self, spark, tmpdir):
+        """Session windows (5-min gap) under readStream: two bursts
+        separated by >gap form exactly two sessions."""
+        landing = f"{tmpdir}/landing"
+        burst1 = _ts_blocks(5, gap_s=60)  # 12:00..12:04
+        burst2 = [
+            dict(b, block_num=b["block_num"] + 100,
+                 block_ts=b["block_ts"] + datetime.timedelta(minutes=30))
+            for b in _ts_blocks(3, gap_s=60)  # 12:30..12:32
+        ]
+        # closing row far in the future so the watermark closes both
+        closer = [dict(_ts_blocks(1)[0], block_num=500,
+                       block_ts=BASE + datetime.timedelta(hours=2))]
+        land_blocks(spark, burst1 + burst2 + closer, landing)
+        stream = read_block_stream(spark, landing)
+        # streaming session windows require a non-global grouping key
+        agg = (
+            stream.withWatermark("block_ts", "1 minute")
+            .groupBy(
+                "stream_id", F.session_window("block_ts", "5 minutes").alias("s")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("swin_session")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("swin_session").orderBy("s").collect()
+        closed = [r for r in rows if r.n > 1]
+        assert [r.n for r in closed] == [5, 3]
