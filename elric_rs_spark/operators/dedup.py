@@ -5,11 +5,12 @@ Scale design (the 100 TB stance):
 - Exact dedup = hash-groupBy on a fingerprint — one shuffle keyed by a
   uniform 128-bit hash, no skew by construction.
 - MinHash+LSH: shingles -> K minhashes -> B bands of R rows; candidate
-  pairs come from a self-join on (band_id, band_signature) — i.e. a
-  shuffle on small keys, NEVER a cross join. Verification (exact Jaccard)
-  runs only on candidates.
-- SimHash: 64-bit signature via per-token hash bit-voting; near-dup
-  candidates grouped by signature prefix bands (Hamming-ball blocking).
+  pairs come from ONE groupBy on (band_id, band_signature) with in-bucket
+  pair explosion — a shuffle on small uniform keys, NEVER a cross join.
+  Verification (exact Jaccard) runs only on candidates.
+- SimHash: 64-bit signature via per-token hash bit-voting; identical
+  signatures collapse to a representative (linear output), then prefix
+  chunks block the distinct signatures (Hamming-ball blocking).
 - Embedding near-dup: cosine over candidate pairs from a blocking key
   (here: label; at scale: LSH bucket / IVF cell), built-ins only.
 
@@ -358,3 +359,8 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_raw") > 0.4)
         .drop("_raw")
     )
+
+
+# SURVEY.md §2.3 X15 names the near-dup contract key `q_dedup_near`; the
+# MinHash+LSH pipeline IS that operator — register it under both names.
+query("q_dedup_near")(q_dedup_minhash)
