@@ -46,10 +46,16 @@ def decode_changes(block_df: DataFrame) -> DataFrame:
         F.explode(F.from_json("payload", CHANGES_JSON_SCHEMA)).alias("c"),
     )
     pk = F.col("c.pk")
-    # single PK ignored / composite merged (ref loader.rs:143-149)
+    # single PK ignored / composite merged (ref loader.rs:143-149).
+    # HashMap::extend is LAST-wins on duplicate keys; Spark's map_concat
+    # default policy is EXCEPTION, so drop pk-shadowed field keys first —
+    # policy-independent, exact reference semantics.
+    fields_clean = F.map_filter(
+        F.col("c.fields"), lambda k, v: ~F.map_contains_key(pk, k)
+    )
     merged = F.when(
         pk.isNull() | (F.size(F.map_keys(pk)) <= 1), F.col("c.fields")
-    ).otherwise(F.map_concat(F.col("c.fields"), pk))
+    ).otherwise(F.map_concat(fields_clean, pk))
     return changes.select(
         "stream_id",
         "block_num",

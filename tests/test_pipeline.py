@@ -155,3 +155,46 @@ class TestFullPipeline:
         nums = sorted(r.block_num for r in approvals.collect())
         # 11..20 were retracted by the undo; 0..10 + 30 flushed
         assert nums == list(range(11)) + [30]
+
+
+class TestDecodeChanges:
+    def test_pk_overwrites_field_last_wins(self, spark):
+        """HashMap::extend semantics (ref loader.rs:143-146): a composite
+        PK key that also exists among the fields wins — and must not throw
+        under Spark's default EXCEPTION map-dedup policy."""
+        import json as _json
+
+        from elric_rs_spark.streaming.pipeline import decode_changes
+
+        payload = _json.dumps(
+            [
+                {
+                    "table": "t",
+                    "fields": {"a": "field", "b": "1"},
+                    "pk": {"a": "pk_wins", "k2": "2"},
+                }
+            ]
+        )
+        df = spark.createDataFrame(
+            [("s1", 1, "b1", "1", payload)],
+            "stream_id string, block_num long, block_id string, "
+            "cursor string, payload string",
+        )
+        row = decode_changes(df).collect()[0]
+        assert row.row_map["a"] == "pk_wins"
+        assert row.row_map["b"] == "1" and row.row_map["k2"] == "2"
+
+    def test_single_pk_ignored(self, spark):
+        import json as _json
+
+        from elric_rs_spark.streaming.pipeline import decode_changes
+
+        payload = _json.dumps(
+            [{"table": "t", "fields": {"a": "field"}, "pk": {"a": "IGNORED"}}]
+        )
+        df = spark.createDataFrame(
+            [("s1", 1, "b1", "1", payload)],
+            "stream_id string, block_num long, block_id string, "
+            "cursor string, payload string",
+        )
+        assert decode_changes(df).collect()[0].row_map["a"] == "field"
