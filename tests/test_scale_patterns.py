@@ -1,0 +1,112 @@
+"""At-scale physical patterns, proven at the plan level on local data:
+
+- salted join: equals the plain join, shuffles on (key, salt)
+- bucketed tables: co-located join with NO shuffle exchange
+- partition pruning: a cell filter becomes PartitionFilters at the scan
+  (the IVF "probe = pruning" claim from operators/similarity.py)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elric_rs_spark.functions.skew import salted_join
+from elric_rs_spark.plans.inspect import formatted_plan, physical_plan
+
+
+@pytest.fixture()
+def skewed(spark):
+    # hot key: 90% of fact rows hit key 7
+    fact = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    return fact, dim
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark, skewed):
+        fact, dim = skewed
+        plain = fact.join(dim, "k").groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+        salted = salted_join(fact, dim, "k").groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+    def test_shuffle_key_includes_salt(self, spark, skewed):
+        fact, dim = skewed
+        # disable auto-broadcast so the join actually shuffles (the salt
+        # only matters for shuffle joins; broadcast joins don't skew)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = salted_join(fact, dim, "k")
+            assert "__salt" in physical_plan(df)
+            assert "__salt" not in df.columns  # never leaks
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+
+
+class TestBucketedJoin:
+    def test_colocated_join_no_shuffle(self, spark, tmp_path):
+        """Two tables bucketed by the join key: the sort-merge join reads
+        bucket-aligned files and the plan has NO shuffle exchange — the
+        pre-partitioned co-located join of a 100 TB star schema."""
+        # (spark.sql.warehouse.dir is static; tables land in ./spark-warehouse,
+        # dropped below and gitignored)
+        a = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("va")
+        )
+        b = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 5).alias("vb")
+        )
+        for name, df in (("bkt_a", a), ("bkt_b", b)):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.format("parquet")
+                .bucketBy(8, "k")
+                .sortBy("k")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+            plan = physical_plan(joined)
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 10_000
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+            for name in ("bkt_a", "bkt_b"):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+class TestPartitionPruning:
+    def test_cell_filter_prunes_partitions(self, spark, tmp_path):
+        """Corpus written partitionBy(cell): a cell predicate shows up as
+        PartitionFilters on the scan and non-probed cells are never read —
+        the at-scale form of the IVF probe (operators/similarity.py)."""
+        out = str(tmp_path / "cells")
+        df = spark.range(0, 1000).select(
+            (F.col("id") % 16).alias("cell"), F.col("id").alias("vec_id")
+        )
+        df.write.partitionBy("cell").mode("overwrite").parquet(out)
+        probed = spark.read.parquet(out).filter(F.col("cell").isin(3, 7))
+        fp = formatted_plan(probed)
+        part_lines = [
+            ln for ln in fp.splitlines() if "PartitionFilters" in ln
+        ]
+        assert part_lines and "cell" in part_lines[0]
+        # cells 0..7 hold 63 rows each (1000 = 16*62 + 8): 2 cells -> 126
+        assert probed.count() == 126
