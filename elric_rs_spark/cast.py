@@ -65,3 +65,48 @@ def typed_null_type(ct: ColumnType):
     if ct.name == "FixedString":
         return T.BinaryType()
     return ct.spark_type
+
+
+def typed_cast_split(
+    df: DataFrame, map_col: str, columns: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """The at-scale error policy: permissive cast + quarantine routing.
+
+    Returns (good, quarantine). A row is quarantined when any declared
+    column carried a non-NULL string that cast to NULL (malformed value);
+    missing keys are fine (NULL column, clean row). `good` has the typed
+    columns; `quarantine` keeps the ORIGINAL raw map plus a
+    `_malformed_cols` array naming the offending columns — everything a
+    replay/repair job needs. One bad row must never kill a 6-hour job,
+    and it must never silently vanish either."""
+    schema = schema_for(columns)
+    flags = [
+        (
+            F.col(map_col).getItem(name).isNotNull()
+            & cast_expr(F.col(map_col).getItem(name), ct).isNull()
+        ).alias(f"__bad_{name}")
+        for name, ct in schema
+    ]
+    flagged = df.select("*", *flags)
+    bad_any = None
+    for name, _ in schema:
+        c = F.col(f"__bad_{name}")
+        bad_any = c if bad_any is None else (bad_any | c)
+    bad_cols = F.array_compact(
+        F.array(
+            *[
+                F.when(F.col(f"__bad_{name}"), F.lit(name))
+                for name, _ in schema
+            ]
+        )
+    )
+    drop = [f"__bad_{name}" for name, _ in schema]
+    good = typed_cast(
+        flagged.filter(~bad_any).drop(*drop), map_col, columns, mode="permissive"
+    )
+    quarantine = (
+        flagged.filter(bad_any)
+        .withColumn("_malformed_cols", bad_cols)
+        .drop(*drop)
+    )
+    return good, quarantine

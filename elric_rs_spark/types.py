@@ -112,7 +112,8 @@ def cast_expr(col: Column, ct: ColumnType) -> Column:
     (see cast.py permissive/strict modes).
     """
     if ct.name == "FixedString":
-        # zero-pad bytes to N (ref table_info.rs:140-146)
+        # zero-pad bytes to N (ref table_info.rs:140-146); string->binary
+        # never fails, so a plain cast is safe
         return F.rpad(col.cast("binary"), ct.fixed_len, bytes([0])).cast("binary")
     if ct.name in ("UInt256", "Int256"):
         # Exceeds any Spark numeric: keep canonical decimal string.
@@ -122,9 +123,12 @@ def cast_expr(col: Column, ct: ColumnType) -> Column:
         return F.when(valid, canon)
     if ct.name == "DateTime":
         # RFC3339 (ref table_info.rs:151-156) and plain 'yyyy-MM-dd HH:mm:ss'
-        # both parse via Spark's lenient timestamp cast (ISO-8601 aware).
-        return col.cast(T.TimestampType())
-    return col.cast(ct.spark_type)
+        # both parse via Spark's timestamp cast (ISO-8601 aware). try_cast:
+        # under ANSI mode a plain cast THROWS on malformed input, which
+        # would break permissive mode; strict mode raises its own clearer
+        # error from the NULL (see cast.typed_cast).
+        return col.try_cast(T.TimestampType())
+    return col.try_cast(ct.spark_type)
 
 
 def schema_for(columns: dict[str, str]) -> list[tuple[str, ColumnType]]:

@@ -158,3 +158,28 @@ class TestTypedCast:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestQuarantineSplit:
+    def test_split_routes_malformed_rows(self, spark):
+        from elric_rs_spark.cast import typed_cast_split
+
+        df = spark.createDataFrame(
+            [
+                ({"a": "1", "b": "x"},),     # clean
+                ({"a": "oops", "b": "y"},),  # malformed a
+                ({"b": "z"},),               # missing a: clean (NULL)
+                ({"a": "nope", "ts": "bad"},),  # two malformed cols
+            ],
+            "m map<string,string>",
+        )
+        schema = {"a": "UInt32", "b": "String", "ts": "DateTime"}
+        good, quar = typed_cast_split(df, "m", schema)
+        g = good.orderBy("b").collect()
+        assert [r.a for r in g] == [1, None] and [r.b for r in g] == ["x", "z"]
+        q = quar.collect()
+        assert len(q) == 2
+        bad_sets = sorted(sorted(r._malformed_cols) for r in q)
+        assert bad_sets == [["a"], ["a", "ts"]]
+        # quarantine keeps the raw map for replay
+        assert all(r.m is not None for r in q)
