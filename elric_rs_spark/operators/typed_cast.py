@@ -59,3 +59,36 @@ def q_typed_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round("value", 6).alias("value"),
     )
+
+
+@query(
+    "q_cast_quarantine",
+    oracle="""
+SELECT
+  event_id,
+  'event_type' AS malformed_col
+FROM events
+WHERE try_cast(event_type AS INTEGER) IS NULL AND event_type IS NOT NULL
+""",
+)
+def q_cast_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The permissive-mode quarantine path (cast.typed_cast_split) as a
+    checkable query: declare event_type as UInt32 — every textual value is
+    malformed — and return the quarantined rows with the offending column
+    name. At 100 TB this split is how one bad row avoids killing a 6-hour
+    job without silently vanishing (the reference instead panics,
+    ref table_info.rs:85-153)."""
+    from elric_rs_spark.cast import typed_cast_split
+
+    ev = load_table(spark, sf_dir, "events")
+    m = fields_to_map(
+        ("event_id", F.col("event_id")),
+        ("event_type", F.col("event_type")),
+    )
+    mapped = ev.select(F.col("event_id").alias("event_id"), m.alias("fields"))
+    good, quar = typed_cast_split(
+        mapped, "fields", {"event_id": "UInt64", "event_type": "UInt32"}
+    )
+    return quar.select(
+        "event_id", F.explode("_malformed_cols").alias("malformed_col")
+    )
