@@ -173,3 +173,56 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.substring(F.md5(norm), 1, 8).alias("shard_key"),
     )
+
+
+@query(
+    "q_quality_gopher",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, n_chars,
+         string_split(trim(text), ' ') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+)
+SELECT
+  doc_id,
+  len(toks) AS n_words,
+  round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS mean_word_len,
+  round(len(list_filter(toks, t -> t = '...')) / CAST(len(toks) AS DOUBLE), 6)
+    AS ellipsis_ratio,
+  round(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$')))
+        / CAST(len(toks) AS DOUBLE), 6) AS numeric_ratio,
+  CASE WHEN len(toks) BETWEEN 50 AND 100000
+        AND CAST(n_chars AS DOUBLE) / len(toks) BETWEEN 3 AND 10
+        AND len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$')))
+            / CAST(len(toks) AS DOUBLE) < 0.2
+       THEN 1 ELSE 0 END AS gopher_keep
+FROM tok
+""",
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality filter (Rae et al. 2021, §A1.1 heuristics,
+    public): word-count bounds, mean-word-length band 3-10, ellipsis and
+    all-numeric token ratios. All built-in string/array expressions —
+    embarrassingly parallel, codegen end to end; the standard cheap gate
+    before dedup in a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_wl = F.col("n_chars").cast("double") / n
+    ellipsis = F.size(F.filter(toks, lambda t: t == "...")) / nd
+    numeric = F.size(F.filter(toks, lambda t: t.rlike(r"^[0-9]+$"))) / nd
+    keep = (
+        n.between(50, 100_000)
+        & mean_wl.between(3, 10)
+        & (numeric < 0.2)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(ellipsis, 6).alias("ellipsis_ratio"),
+        F.round(numeric, 6).alias("numeric_ratio"),
+        F.when(keep, 1).otherwise(0).alias("gopher_keep"),
+    )
