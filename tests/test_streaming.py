@@ -369,3 +369,39 @@ class TestRestartRecovery:
         run_once(msgs[20:])  # watermark reaches 34: 15..34 emitted from state
         final = sorted(r.block_num for r in spark.read.parquet(out).collect())
         assert final == list(range(35)), "gap or duplicate after restart"
+
+
+class TestMultiStreamState:
+    def test_keyed_state_is_independent(self, spark, tmpdir):
+        """applyInPandasWithState keys state by stream_id: stream A's
+        watermark progress must not flush stream B's buffer. This is the
+        scale-out story — thousands of independent streams, each with its
+        own <=12-block state, sharded across executors by key."""
+        landing = f"{tmpdir}/landing"
+        msgs = []
+        for sid, depth in (("sA", 5), ("sB", 1000)):  # sB never finalizes
+            for n in range(20):
+                msgs.append(
+                    {
+                        "stream_id": sid,
+                        "msg_type": "new",
+                        "block_num": n,
+                        "block_id": f"{sid}-{n}",
+                        "block_ts": None,
+                        "cursor": str(n),
+                        "final_block_height": max(n - depth, 0),
+                        "last_valid_block": None,
+                        "payload": None,
+                    }
+                )
+        land_blocks(spark, msgs, landing)
+        got = _run_stream(spark, landing, f"{tmpdir}/ckpt", "fin_multi")
+        by_stream = {
+            r.stream_id: r.n
+            for r in got.groupBy("stream_id").agg(F.count("*").alias("n")).collect()
+        }
+        # sA: watermark reached 14 -> 15 finalized; plus overflow flushes
+        # past the 12-cap never happen (buffer holds 5). sB: watermark 0 ->
+        # only block 0 final; 19 buffered > cap 12 -> 7 overflow-flushed.
+        assert by_stream["sA"] == 15
+        assert by_stream["sB"] == 8  # block 0 + 7 overflow
