@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) — the layer the reference's test
+pyramid lacks entirely (SURVEY.md §5: no property tests upstream).
+
+Pure-Python targets only (the Spark paths are covered by the oracle and
+plan gates): the FinalityBuffer state machine under arbitrary
+push/undo interleavings, and the ClickHouse type-string parser.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elric_rs_spark.streaming.finality import Block, FinalityBuffer, REORG_BUFFER_LEN
+from elric_rs_spark.types import parse_column_type
+
+
+# ---------------------------------------------------------------------------
+# FinalityBuffer: invariants under arbitrary operation sequences
+# ---------------------------------------------------------------------------
+
+# an op is either ("push", watermark_lag) or ("undo", drop_back)
+OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("push"), st.integers(min_value=0, max_value=30)),
+        st.tuples(st.just("undo"), st.integers(min_value=0, max_value=20)),
+    ),
+    min_size=1,
+    max_size=200,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(OPS)
+def test_finality_buffer_invariants(ops):
+    """For ANY interleaving of monotonically-numbered pushes (watermark
+    trailing by an arbitrary lag) and undos:
+
+    1. the buffer never exceeds the 12-block cap (ref loader.rs:24);
+    2. emitted block numbers are strictly increasing (order preserved);
+    3. no block is emitted twice;
+    4. every pushed block is exactly one of: emitted, still buffered, or
+       dropped by an undo whose last_valid_block was below it;
+    5. an undo never touches emitted blocks (checked by 2+3 remaining
+       true afterwards — emitted is append-only).
+    """
+    buf = FinalityBuffer()
+    emitted: list[int] = []
+    pushed: set[int] = set()
+    dropped: set[int] = set()
+    next_num = 0
+    for kind, arg in ops:
+        if kind == "push":
+            num = next_num
+            next_num += 1
+            pushed.add(num)
+            out = buf.push(Block(num, f"b{num}", str(num), max(num - arg, 0)))
+            emitted.extend(b.block_num for b in out)
+        else:
+            if next_num == 0:
+                continue
+            last_valid = max(next_num - 1 - arg, 0)
+            before = {b.block_num for b in buf.buffer}
+            buf.undo(last_valid)
+            after = {b.block_num for b in buf.buffer}
+            gone = before - after
+            assert all(n > last_valid for n in gone)  # only above last_valid
+            dropped |= gone
+        # (1) cap
+        assert len(buf.buffer) <= REORG_BUFFER_LEN
+    # (2) strictly increasing, (3) no duplicates
+    assert emitted == sorted(set(emitted))
+    # (4) partition: emitted ⊎ buffered ⊎ dropped == pushed
+    buffered = {b.block_num for b in buf.buffer}
+    assert set(emitted) | buffered | dropped == pushed
+    assert not (set(emitted) & buffered)
+    assert not (set(emitted) & dropped)
+    assert not (buffered & dropped)
+
+
+# ---------------------------------------------------------------------------
+# Type parser: round-trip + total on the declared grammar
+# ---------------------------------------------------------------------------
+
+SIMPLE = st.sampled_from(
+    "String UInt8 UInt16 UInt32 UInt64 UInt128 UInt256 Int8 Int16 Int32 "
+    "Int64 Int128 Int256 Float32 Float64 Bool DateTime Date".split()
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(SIMPLE)
+def test_parser_simple_total(name):
+    ct = parse_column_type(name)
+    assert ct.name == name and ct.spark_type is not None
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=1024))
+def test_parser_fixed_string(n):
+    ct = parse_column_type(f"FixedString({n})")
+    assert ct.fixed_len == n
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=38), st.integers(min_value=0, max_value=37))
+def test_parser_decimal(p, s):
+    s = min(s, p)
+    ct = parse_column_type(f"Decimal({p}, {s})")
+    assert (ct.precision, ct.scale) == (p, s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(SIMPLE)
+def test_parser_nullable_lowcard_wrappers(name):
+    assert parse_column_type(f"Nullable({name})").nullable is True
+    assert parse_column_type(f"LowCardinality({name})").name == name
+    assert parse_column_type(f"Nullable(LowCardinality({name}))").nullable is True
