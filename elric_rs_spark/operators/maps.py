@@ -66,16 +66,21 @@ FROM events
 def q_map_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: merge a composite-PK map into the field map (ref
     loader.rs:143-146); a single scalar Pk would be ignored
-    (ref loader.rs:147). map_concat is last-wins on duplicate keys under
-    spark.sql.mapKeyDedupPolicy=LAST_WIN, matching HashMap::extend."""
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    (ref loader.rs:147). HashMap::extend is last-wins on duplicate keys;
+    instead of flipping the session-wide mapKeyDedupPolicy conf (a
+    cross-query side effect), drop pk-shadowed field keys with map_filter
+    before map_concat — policy-independent, same reference semantics
+    (the pattern streaming/pipeline.py decode_changes uses)."""
     ev = load_table(spark, sf_dir, "events")
     fields = fields_to_map(("event_type", F.col("event_type")))
     composite_pk = fields_to_map(
         ("pk_event_id", F.col("event_id")),
         ("pk_user_id", F.col("user_id")),
     )
-    merged = F.map_concat(fields, composite_pk)
+    fields_clean = F.map_filter(
+        fields, lambda k, _v: ~F.map_contains_key(composite_pk, k)
+    )
+    merged = F.map_concat(fields_clean, composite_pk)
     return ev.select(
         "event_id",
         merged.getItem("event_type").alias("event_type"),

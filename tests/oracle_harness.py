@@ -18,6 +18,27 @@ import duckdb
 from elric_rs_spark.tables import TABLES
 
 
+def hash_risky_columns(spark_df) -> list[str]:
+    """Columns whose RETURNED type is hash-fragile under a string-hashing
+    driver comparator, even when values are semantically identical.
+
+    Round-1 lesson (VERDICT r01 "What's wrong" #1): q_typed_cast returned
+    DECIMAL(20,0) — every row repr-identical between Spark and DuckDB
+    locally, yet the driver's value hash differed, because decimal/float32
+    rendering is representation-dependent across the two clients' pandas
+    conversions. Queries must re-normalize such columns to
+    BIGINT/DOUBLE/STRING in the returned projection; the cast fidelity
+    itself belongs in pytest assertions.
+    """
+    from pyspark.sql import types as T
+
+    risky = []
+    for f in spark_df.schema.fields:
+        if isinstance(f.dataType, (T.DecimalType, T.FloatType)):
+            risky.append(f"{f.name}:{f.dataType.simpleString()}")
+    return risky
+
+
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
@@ -41,6 +62,8 @@ def _norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"  # distinct from 0.0 under any string hash
         return v
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
@@ -66,6 +89,12 @@ def normalize(cols: list[str], rows: list[tuple]):
 def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     """Return list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
+    risky = hash_risky_columns(spark_df)
+    if risky:
+        problems.append(
+            f"{name}: hash-risky output types {risky} — re-normalize to "
+            "BIGINT/DOUBLE/STRING in the returned projection"
+        )
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     o_cols, o_rows = run_oracle(oracle_sql, sf_dir)

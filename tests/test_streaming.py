@@ -258,6 +258,51 @@ class TestStatefulFinalityStreaming:
         nums = [r.block_num for r in got.orderBy("block_num").collect()]
         assert 16 not in nums and 20 not in nums
 
+    def test_reorg_replacement_ordering(self, spark, tmpdir):
+        """Undo + same-numbered replacement blocks inside ONE micro-batch
+        must apply in arrival order. block_num alone cannot order this: the
+        undo row carries block_num 7, the dropped block is 7, and the
+        post-reorg chain re-announces 6/7 — a block_num sort (or an
+        unstable sort on ties) could drop the replacements or keep the
+        stale blocks. The seq column stamped by land_blocks makes the
+        kernel replay exact arrival order (ADVICE r01 finality flag)."""
+
+        def new(n, bid, fh=0):
+            return {
+                "stream_id": "s1",
+                "msg_type": "new",
+                "block_num": n,
+                "block_id": bid,
+                "block_ts": None,
+                "cursor": str(n),
+                "final_block_height": fh,
+                "last_valid_block": None,
+                "payload": None,
+            }
+
+        msgs = [new(n, f"blk-{n}") for n in range(8)]
+        msgs.append(
+            {
+                "stream_id": "s1",
+                "msg_type": "undo",
+                "block_num": 7,
+                "block_id": None,
+                "block_ts": None,
+                "cursor": None,
+                "final_block_height": None,
+                "last_valid_block": 5,
+                "payload": None,
+            }
+        )
+        msgs += [new(6, "blk-R6"), new(7, "blk-R7"), new(8, "blk-8", fh=8)]
+        landing = f"{tmpdir}/landing"
+        land_blocks(spark, msgs, landing)
+        got = _run_stream(spark, landing, f"{tmpdir}/ckpt", "fin_reorg")
+        rows = got.collect()
+        ids = {r.block_num: r.block_id for r in rows}
+        assert ids[6] == "blk-R6" and ids[7] == "blk-R7"
+        assert len(rows) == 9  # 0..8 exactly once, reorged ids for 6/7
+
     def test_fixture_replay_shape(self, spark):
         msgs = fixture_replay(spark, "/root/testdata/sf0.001", undo_at=50)
         assert any(m["msg_type"] == "undo" for m in msgs)
