@@ -361,6 +361,56 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_embed_lsh")  # rows-only: LSH recall is approximate by design
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with LSH-bucket blocking (X15 at-scale path,
+    VERDICT r01 fix #5): q_dedup_embed's label blocking is fine as the
+    oracle-checkable demo but `label` is low-cardinality — in-block work
+    is quadratic in corpus size. This variant blocks on the multi-table
+    hyperplane buckets from similarity.lsh_candidate_pairs instead: no
+    attribute column needed, buckets stay cluster-sized at any corpus
+    size, exact cosine runs on candidates only.
+
+    Output = the strongest candidate pairs ranked by exact cosine (top
+    20). The synthetic embeddings top out at ~0.47 cosine — no true
+    near-dups exist to threshold at — so ranking shows the operator's
+    candidate quality; a production dedup run would `.filter(cosine >=
+    0.9)` the same plan. Run q_dedup_exact upstream at scale so identical
+    payloads never reach the bucketing (same contract as q_dedup_minhash)."""
+    from pyspark import StorageLevel
+
+    from elric_rs_spark.functions.vector import cosine as _cosine
+    from elric_rs_spark.operators.similarity import lsh_candidate_pairs
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = lsh_candidate_pairs(spark, e)
+    va = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label"), F.col("v").alias("va")
+    )
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            "label",
+            F.round(_cosine(F.col("va"), F.col("vb")), 5).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
+        .limit(20)
+    )
+
+
 # SURVEY.md §2.3 X15 names the near-dup contract key `q_dedup_near`; the
 # MinHash+LSH pipeline IS that operator — register it under both names.
 query("q_dedup_near")(q_dedup_minhash)
