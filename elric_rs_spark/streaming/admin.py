@@ -68,21 +68,16 @@ def jdbc_url(opts: dict[str, str]) -> str:
 # ---------------------------------------------------------------------------
 
 
-def read_package(path: str):
+def read_package(path: str) -> dict:
     """Read a Substreams `.spkg` (a serialized `sf.substreams.v1.Package`
-    protobuf) and return the decoded message. The container ships no
-    generated Substreams bindings, so this is gated: with them installed
-    the body is `Package.FromString(open(path,'rb').read())`; without,
-    raise rather than mis-parse."""
-    try:
-        from substreams.v1 import package_pb2  # type: ignore[import-not-found]
-    except ImportError as e:
-        raise NotImplementedError(
-            "Substreams protobuf bindings not available in this environment; "
-            "install the generated sf.substreams.v1 package to read .spkg files"
-        ) from e
-    with open(path, "rb") as fh:  # pragma: no cover - needs bindings
-        return package_pb2.Package.FromString(fh.read())
+    protobuf, ref main.rs:312-315) and return the decoded package dict:
+    version, modules (name/kind/output_type/initial_block), package_meta,
+    network, sink_module. Uses the pure-Python wire decoder in
+    functions/protowire.py — no protobuf toolchain needed."""
+    from elric_rs_spark.functions.protowire import decode_package
+
+    with open(path, "rb") as fh:
+        return decode_package(fh.read())
 
 
 # ---------------------------------------------------------------------------

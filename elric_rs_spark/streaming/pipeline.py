@@ -4,12 +4,16 @@ change-set decode (T1) -> field-map + composite-PK merge (T2/T3) ->
 split-by-table (T4) -> typed cast in alphabetical column order (T5/T6) ->
 per-table sink + cursor checkpoint, data first (S5/S6/T9).
 
-The reference decodes protobuf `DatabaseChanges`; the container has no
-protobuf toolchain, so the wire stand-in is the same structure as JSON:
-`[{"table": t, "fields": {..}, "pk": {..}}, ...]` per block. `from_json`
-plays `DatabaseChanges::decode` (ref loader.rs:128-129); with a real
-.spkg descriptor the one-line swap is `from_protobuf(payload,
-"DatabaseChanges", descFile)` — every downstream stage is unchanged.
+Two decode paths produce the same (table, fields, pk) intermediate and
+share the merge/cast/sink stages:
+- `decode_changes` — JSON stand-in payloads (`[{"table": t, "fields":
+  {..}, "pk": {..}}, ...]`), pure Catalyst via `from_json`;
+- `decode_changes_protobuf` — real `DatabaseChanges` wire bytes
+  (base64 in the payload column), decoded by the pure-Python wire
+  reader in functions/protowire.py inside an Arrow-batched
+  `mapInPandas` kernel — the faithful equivalent of
+  `DatabaseChanges::decode` (ref loader.rs:128-129) with no protobuf
+  toolchain dependency.
 
 Semantic gotchas preserved (SURVEY.md §2.4):
 - composite PK merged into the field map, single PK ignored
@@ -34,6 +38,17 @@ CHANGES_JSON_SCHEMA = (
 )
 
 
+def _merged_row_map(fields, pk) -> F.Column:
+    """T3: single PK ignored / composite merged (ref loader.rs:143-149).
+    HashMap::extend is LAST-wins on duplicate keys; Spark's map_concat
+    default policy is EXCEPTION, so drop pk-shadowed field keys first —
+    policy-independent, exact reference semantics."""
+    fields_clean = F.map_filter(fields, lambda k, v: ~F.map_contains_key(pk, k))
+    return F.when(
+        pk.isNull() | (F.size(F.map_keys(pk)) <= 1), fields
+    ).otherwise(F.map_concat(fields_clean, pk))
+
+
 def decode_changes(block_df: DataFrame) -> DataFrame:
     """T1+T2+T3: payload -> one row per table-change with the merged
     string->string field map. Pure Catalyst (from_json + explode +
@@ -45,23 +60,63 @@ def decode_changes(block_df: DataFrame) -> DataFrame:
         "cursor",
         F.explode(F.from_json("payload", CHANGES_JSON_SCHEMA)).alias("c"),
     )
-    pk = F.col("c.pk")
-    # single PK ignored / composite merged (ref loader.rs:143-149).
-    # HashMap::extend is LAST-wins on duplicate keys; Spark's map_concat
-    # default policy is EXCEPTION, so drop pk-shadowed field keys first —
-    # policy-independent, exact reference semantics.
-    fields_clean = F.map_filter(
-        F.col("c.fields"), lambda k, v: ~F.map_contains_key(pk, k)
-    )
-    merged = F.when(
-        pk.isNull() | (F.size(F.map_keys(pk)) <= 1), F.col("c.fields")
-    ).otherwise(F.map_concat(fields_clean, pk))
+    merged = _merged_row_map(F.col("c.fields"), F.col("c.pk"))
     return changes.select(
         "stream_id",
         "block_num",
         "block_id",
         "cursor",
         F.col("c.table").alias("table"),
+        merged.alias("row_map"),
+    )
+
+
+_PROTO_CHANGES_SCHEMA = (
+    "stream_id string, block_num long, block_id string, cursor string, "
+    "table string, fields map<string,string>, pk map<string,string>"
+)
+
+
+def decode_changes_protobuf(block_df: DataFrame) -> DataFrame:
+    """T1 on the real wire format: payload = base64 `DatabaseChanges`
+    protobuf bytes, decoded by functions/protowire.py in one Arrow-batched
+    mapInPandas pass (the sanctioned Python path — batch transfer, no
+    per-row pickling). Emits the same (table, fields, pk) intermediate as
+    the JSON path, then the SAME Catalyst merge stage, so pk semantics
+    cannot drift between decoders."""
+    import base64
+
+    from elric_rs_spark.functions.protowire import table_change_rows
+
+    def _decode(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "stream_id", "block_num", "block_id", "cursor",
+                "table", "fields", "pk",
+            )}
+            for row in pdf.itertuples(index=False):
+                raw = base64.b64decode(row.payload) if row.payload else b""
+                for tc in table_change_rows(raw):
+                    out["stream_id"].append(row.stream_id)
+                    out["block_num"].append(row.block_num)
+                    out["block_id"].append(row.block_id)
+                    out["cursor"].append(row.cursor)
+                    out["table"].append(tc["table"])
+                    out["fields"].append(tc["fields"])
+                    out["pk"].append(tc["pk"])
+            import pandas as pd
+
+            yield pd.DataFrame(out)
+
+    cols = ["stream_id", "block_num", "block_id", "cursor", "payload"]
+    changes = block_df.select(*cols).mapInPandas(_decode, _PROTO_CHANGES_SCHEMA)
+    merged = _merged_row_map(F.col("fields"), F.col("pk"))
+    return changes.select(
+        "stream_id",
+        "block_num",
+        "block_id",
+        "cursor",
+        "table",
         merged.alias("row_map"),
     )
 
@@ -74,15 +129,16 @@ class TypedPerTableSink:
     repeat a block but never lose data the cursor claims is done."""
 
     def __init__(self, base_dir: str, table_schemas: dict[str, dict[str, str]],
-                 mode: str = "strict"):
+                 mode: str = "strict", decode=decode_changes):
         self.base_dir = base_dir
         self.table_schemas = table_schemas
         self.mode = mode
+        self.decode = decode  # decode_changes (JSON) or decode_changes_protobuf
 
     def write_batch(self, block_df: DataFrame, epoch_id: int) -> None:
         block_df = block_df.cache()
         try:
-            changes = decode_changes(block_df).cache()
+            changes = self.decode(block_df).cache()
             try:
                 for t, schema in sorted(self.table_schemas.items()):
                     rows = changes.filter(F.col("table") == t).select(

@@ -58,9 +58,30 @@ class TestDatabaseUrl:
 
 
 class TestSpkgReader:
-    def test_gated_without_bindings(self):
-        with pytest.raises(NotImplementedError):
+    def test_missing_file_raises(self):
+        with pytest.raises(OSError):
             read_package("/nonexistent.spkg")
+
+    def test_reads_package(self, tmp_path):
+        """S4 end-to-end: a wire-encoded sf.substreams.v1.Package file
+        decodes to version/modules/network (encoder lives in
+        test_protowire)."""
+        from tests.test_protowire import enc_str, enc_sub, enc_varint_field
+
+        module = enc_str(1, "db_out") + enc_sub(2, enc_str(1, "proto:sf.substreams.sink.database.v1.DatabaseChanges")) + enc_varint_field(8, 12)
+        pkg = (
+            enc_varint_field(5, 1)
+            + enc_sub(6, enc_sub(1, module))
+            + enc_str(9, "mainnet")
+            + enc_str(11, "db_out")
+        )
+        p = tmp_path / "test.spkg"
+        p.write_bytes(pkg)
+        got = read_package(str(p))
+        assert got["version"] == 1 and got["network"] == "mainnet"
+        assert got["modules"][0]["name"] == "db_out"
+        assert got["modules"][0]["kind"] == "map"
+        assert got["modules"][0]["initial_block"] == 12
 
 
 class FakeQuery:
