@@ -335,6 +335,7 @@ def decode_package(buf: bytes) -> dict:
     pkg = {
         "version": 0,
         "modules": [],
+        "modules_raw": b"",  # verbatim Modules bytes, re-embedded in Request
         "package_meta": [],
         "network": "",
         "sink_module": "",
@@ -343,6 +344,7 @@ def decode_package(buf: bytes) -> dict:
         if fno == 5 and wt == WIRE_VARINT:
             pkg["version"] = val
         elif fno == 6 and wt == WIRE_LEN:
+            pkg["modules_raw"] = val
             for mfno, mwt, mval in iter_fields(val):
                 if mfno == 1 and mwt == WIRE_LEN:
                     pkg["modules"].append(decode_module(mval))
@@ -363,3 +365,65 @@ def decode_package(buf: bytes) -> dict:
         elif fno == 11 and wt == WIRE_LEN:
             pkg["sink_module"] = _utf8(val)
     return pkg
+
+
+# ---------------------------------------------------------------------------
+# Request encoder (S1 — the one message the client SENDS;
+# tags per ref pb/sf.substreams.rpc.v2.rs:4-43, values per
+# ref substreams_stream.rs:72-85)
+# ---------------------------------------------------------------------------
+
+
+def write_varint(v: int) -> bytes:
+    """Encode one varint; negative ints use 64-bit two's complement
+    (proto int64 rule — always 10 bytes when negative)."""
+    v &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _write_tag(field_no: int, wire_type: int) -> bytes:
+    return write_varint((field_no << 3) | wire_type)
+
+
+def _write_varint_field(field_no: int, v: int) -> bytes:
+    return b"" if v == 0 else _write_tag(field_no, WIRE_VARINT) + write_varint(v)
+
+
+def _write_len_field(field_no: int, payload: bytes) -> bytes:
+    if not payload:
+        return b""
+    return _write_tag(field_no, WIRE_LEN) + write_varint(len(payload)) + payload
+
+
+def encode_request(
+    start_block_num: int = 0,
+    start_cursor: str = "",
+    stop_block_num: int = 0,
+    output_module: str = "",
+    modules_raw: bytes = b"",
+    final_blocks_only: bool = False,
+    production_mode: bool = True,
+) -> bytes:
+    """`sf.substreams.rpc.v2.Request` wire bytes. Defaults mirror the
+    reference's hardcoded choices: final_blocks_only=false (finality is
+    enforced client-side by T7, ref substreams_stream.rs:76) and
+    production_mode=true (forward-parallel server execution,
+    ref substreams_stream.rs:83). `modules_raw` is the verbatim Modules
+    submessage from the .spkg (decode_package()["modules_raw"])."""
+    return (
+        _write_varint_field(1, start_block_num)
+        + _write_len_field(2, start_cursor.encode())
+        + _write_varint_field(3, stop_block_num)
+        + _write_varint_field(4, int(final_blocks_only))
+        + _write_varint_field(5, int(production_mode))
+        + _write_len_field(6, output_module.encode())
+        + _write_len_field(7, modules_raw)
+    )

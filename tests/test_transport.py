@@ -1,0 +1,202 @@
+"""Contract tests for the gRPC transport adapter (S1/S2) against an
+in-process fake channel speaking real wire bytes — grpcio itself is absent
+in this container, so the fake implements the same generic
+`unary_stream(method, request_serializer, response_deserializer)` surface
+the adapter uses, and every request/response crosses the boundary as
+actual protobuf wire bytes (encoders from test_protowire).
+
+Covered reference semantics:
+- reconnect resumes from the latest cursor (ref substreams_stream.rs:72-74)
+- exponential backoff, reset after progress (ref substreams_stream.rs:62,96)
+- Unauthenticated is fatal, never retried (ref substreams_stream.rs:116-118)
+- auth token rides as raw `authorization` metadata (ref substreams.rs:55-71)
+- request carries production_mode=true, final_blocks_only=false
+  (ref substreams_stream.rs:76,83)
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+import pytest
+
+from elric_rs_spark.functions.protowire import WIRE_LEN, WIRE_VARINT, iter_fields
+from elric_rs_spark.streaming.source import FatalStreamError, ReconnectingReader, demux
+from elric_rs_spark.streaming.transport import (
+    BLOCKS_METHOD,
+    make_substreams_connect,
+    response_to_message,
+)
+from tests.test_protowire import (
+    enc_block_scoped_data,
+    enc_database_changes,
+    enc_str,
+    enc_sub,
+    enc_table_change,
+    enc_varint_field,
+)
+
+
+class FakeRpcError(Exception):
+    def __init__(self, code_name: str):
+        super().__init__(code_name)
+        self._code_name = code_name
+
+    def code(self):
+        return SimpleNamespace(name=self._code_name)
+
+
+class FakeChannel:
+    """One scripted connection session: yields wire-encoded Response
+    messages, then optionally raises. Records the decoded request."""
+
+    def __init__(self, server: "FakeServer"):
+        self.server = server
+
+    def unary_stream(self, method, request_serializer, response_deserializer):
+        assert method == BLOCKS_METHOD
+
+        def call(request, metadata=None):
+            return self.server.handle(
+                request_serializer(request), metadata, response_deserializer
+            )
+
+        return call
+
+
+class FakeServer:
+    def __init__(self, sessions):
+        # sessions: list of (list[wire_bytes], exception | None)
+        self.sessions = list(sessions)
+        self.requests: list[bytes] = []
+        self.metadata: list = []
+
+    def channel_factory(self):
+        return FakeChannel(self)
+
+    def handle(self, request_bytes, metadata, deserializer):
+        self.requests.append(request_bytes)
+        self.metadata.append(metadata)
+        responses, err = self.sessions.pop(0)
+
+        def gen():
+            for wire in responses:
+                yield deserializer(wire)
+            if err is not None:
+                raise err
+
+        return gen()
+
+
+def parse_request(buf: bytes) -> dict:
+    out = {"start_block_num": 0, "start_cursor": "", "final_blocks_only": 0,
+           "production_mode": 0, "output_module": "", "modules_raw": b""}
+    for fno, wt, val in iter_fields(buf):
+        if fno == 1 and wt == WIRE_VARINT:
+            out["start_block_num"] = val
+        elif fno == 2 and wt == WIRE_LEN:
+            out["start_cursor"] = val.decode()
+        elif fno == 4 and wt == WIRE_VARINT:
+            out["final_blocks_only"] = val
+        elif fno == 5 and wt == WIRE_VARINT:
+            out["production_mode"] = val
+        elif fno == 6 and wt == WIRE_LEN:
+            out["output_module"] = val.decode()
+        elif fno == 7 and wt == WIRE_LEN:
+            out["modules_raw"] = val
+    return out
+
+
+def block_response(n: int) -> bytes:
+    changes = enc_database_changes(enc_table_change("t", {"v": str(n)}))
+    return enc_sub(3, enc_block_scoped_data(n, f"c{n}", max(n - 2, 0), changes))
+
+
+def undo_response(last_valid: int) -> bytes:
+    block_ref = enc_str(1, f"blk-{last_valid}") + enc_varint_field(2, last_valid)
+    return enc_sub(4, enc_sub(1, block_ref) + enc_str(2, f"c{last_valid}"))
+
+
+class TestTransportContract:
+    def test_reconnect_resumes_from_cursor(self):
+        """Mid-stream failure: the reader reconnects and the SECOND request
+        must carry the last good cursor as start_cursor."""
+        server = FakeServer(
+            [
+                ([block_response(1), block_response(2)], FakeRpcError("UNAVAILABLE")),
+                ([block_response(3)], None),
+            ]
+        )
+        connect = make_substreams_connect(
+            server.channel_factory, output_module="db_out", modules_raw=b"\x0a\x00"
+        )
+        sleeps: list[float] = []
+        reader = ReconnectingReader(connect=connect, sleep=sleeps.append)
+        msgs = list(demux(reader))
+        assert [m["block_num"] for m in msgs] == [1, 2, 3]
+        assert len(server.requests) == 2
+        assert parse_request(server.requests[0])["start_cursor"] == ""
+        assert parse_request(server.requests[1])["start_cursor"] == "c2"
+        # backoff reset after progress -> one initial-backoff sleep
+        assert sleeps == [0.010]
+
+    def test_unauthenticated_is_fatal(self):
+        server = FakeServer([([], FakeRpcError("UNAUTHENTICATED"))])
+        connect = make_substreams_connect(server.channel_factory)
+        reader = ReconnectingReader(connect=connect, sleep=lambda s: None)
+        with pytest.raises(FatalStreamError):
+            list(reader)
+        assert len(server.requests) == 1  # no retry
+
+    def test_request_shape_and_auth_metadata(self):
+        server = FakeServer([([], None)])
+        connect = make_substreams_connect(
+            server.channel_factory,
+            output_module="db_out",
+            token="tok-123",
+            start_block_num=100,
+            modules_raw=b"\x0a\x02\x0a\x00",
+        )
+        list(connect("cur-9"))
+        req = parse_request(server.requests[0])
+        assert req["start_block_num"] == 100
+        assert req["start_cursor"] == "cur-9"
+        assert req["output_module"] == "db_out"
+        assert req["production_mode"] == 1  # ref substreams_stream.rs:83
+        assert req["final_blocks_only"] == 0  # ref substreams_stream.rs:76
+        assert req["modules_raw"] == b"\x0a\x02\x0a\x00"
+        assert ("authorization", "tok-123") in server.metadata[0]
+
+    def test_undo_and_skip_mapping(self):
+        """Session/progress responses are dropped (S3); undo maps to the
+        landing-schema undo row."""
+        server = FakeServer(
+            [([enc_sub(1, b""), block_response(5), enc_sub(2, b""), undo_response(3)], None)]
+        )
+        connect = make_substreams_connect(server.channel_factory)
+        msgs = list(connect(None))
+        assert [m["msg_type"] for m in msgs] == ["new", "undo"]
+        assert msgs[1]["last_valid_block"] == 3
+        assert msgs[1]["cursor"] == "c3"
+
+    def test_payload_base64_roundtrip(self):
+        """The payload column carries the DatabaseChanges bytes base64 —
+        exactly what decode_changes_protobuf consumes."""
+        import base64
+
+        from elric_rs_spark.functions.protowire import table_change_rows
+
+        server = FakeServer([([block_response(7)], None)])
+        connect = make_substreams_connect(server.channel_factory)
+        (msg,) = [m for m in connect(None) if m["msg_type"] == "new"]
+        rows = table_change_rows(base64.b64decode(msg["payload"]))
+        assert rows == [{"table": "t", "fields": {"v": "7"}, "pk": {}}]
+        assert msg["final_block_height"] == 5
+        assert msg["block_id"] == "blk-7"
+
+
+class TestResponseToMessage:
+    def test_skip_kinds(self):
+        assert response_to_message({"msg_type": "session"}, "s") is None
+        assert response_to_message({"msg_type": "progress"}, "s") is None
+        assert response_to_message({"msg_type": "skip"}, "s") is None
