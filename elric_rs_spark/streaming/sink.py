@@ -79,6 +79,22 @@ class PerTableParquetSink:
             batch_df.unpersist()
 
 
+def read_exactly_once(
+    spark, base_dir: str, table: str, pk_cols: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
+    """Exactly-once READ view over the at-least-once sink (SURVEY.md §7
+    risk 2). foreachBatch can replay a completed epoch after a crash; the
+    sink appends the same rows again tagged with the SAME epoch_id. The
+    reference delegates replay collapse to ClickHouse ReplacingMergeTree
+    ordered by the primary key (ref README.md:9-11); the parquet analogue
+    is dedup-on-read keyed by (epoch_id, block_num, *pk): replayed rows
+    tie on the full key, while distinct changes inside one block differ in
+    their PK columns. At scale this is a window-free dropDuplicates — one
+    hash aggregate on a uniform composite key."""
+    df = spark.read.parquet(f"{base_dir}/data/{table}")
+    return df.dropDuplicates(["epoch_id", "block_num", *pk_cols])
+
+
 def load_persisted_cursor(spark, base_dir: str, stream_id: str) -> str | None:
     """S7 cursor recovery (ref main.rs:299-310): latest cursor by block_num."""
     try:

@@ -157,6 +157,89 @@ class TestFullPipeline:
         assert nums == list(range(11)) + [30]
 
 
+class TestExactlyOnceReplay:
+    def test_epoch_replay_is_idempotent_on_read(self, spark, tmpdir):
+        """SURVEY §7 risk 2 (VERDICT r01 next #6): foreachBatch can replay
+        a completed epoch after a crash. Re-run the SAME batch through
+        TypedPerTableSink with the same epoch_id and prove:
+        (a) the raw sink is at-least-once (rows doubled),
+        (b) read_exactly_once by (epoch_id, block_num, pk) restores the
+            exact pre-replay result — the ReplacingMergeTree semantics the
+            reference delegates to ClickHouse (ref README.md:9-11),
+        (c) cursor recovery is unaffected."""
+        from elric_rs_spark.streaming.sink import read_exactly_once
+        from elric_rs_spark.streaming.source import BLOCK_STREAM_SCHEMA
+
+        out = f"{tmpdir}/out"
+        schema = dict(TRANSFERS_SCHEMA, evt_tx_hash="String", evt_index="UInt32")
+        sink = TypedPerTableSink(out, {"transfers": schema})
+        batch = spark.createDataFrame(
+            [
+                {
+                    "stream_id": "s1",
+                    "msg_type": "new",
+                    "block_num": n,
+                    "block_id": f"blk-{n}",
+                    "block_ts": None,
+                    "cursor": str(n),
+                    "final_block_height": n,
+                    "last_valid_block": None,
+                    "payload": _payload(n),
+                    "seq": n,
+                }
+                for n in range(5)
+            ],
+            BLOCK_STREAM_SCHEMA,
+        )
+        sink.write_batch(batch, epoch_id=3)
+        pk = ["evt_tx_hash", "evt_index"]
+        before = sorted(
+            map(repr, read_exactly_once(spark, out, "transfers", pk).collect())
+        )
+
+        sink.write_batch(batch, epoch_id=3)  # the crash-replay
+        raw = spark.read.parquet(f"{out}/data/transfers")
+        assert raw.count() == 10  # at-least-once: appended again
+        after = sorted(
+            map(repr, read_exactly_once(spark, out, "transfers", pk).collect())
+        )
+        assert after == before and len(after) == 5
+        assert load_persisted_cursor(spark, out, "s1") == "4"
+
+    def test_replay_does_not_collapse_distinct_changes(self, spark, tmpdir):
+        """Two DIFFERENT changes in the same block (distinct PKs) must both
+        survive dedup-on-read — only true replays tie on the full key."""
+        import json as _json
+
+        from elric_rs_spark.streaming.sink import read_exactly_once
+        from elric_rs_spark.streaming.source import BLOCK_STREAM_SCHEMA
+
+        out = f"{tmpdir}/out"
+        payload = _json.dumps(
+            [
+                {"table": "approvals",
+                 "fields": {"owner": "o1", "spender": "s1", "amount": "1"},
+                 "pk": {}},
+                {"table": "approvals",
+                 "fields": {"owner": "o2", "spender": "s2", "amount": "2"},
+                 "pk": {}},
+            ]
+        )
+        batch = spark.createDataFrame(
+            [{"stream_id": "s1", "msg_type": "new", "block_num": 1,
+              "block_id": "b1", "block_ts": None, "cursor": "1",
+              "final_block_height": 1, "last_valid_block": None,
+              "payload": payload, "seq": 0}],
+            BLOCK_STREAM_SCHEMA,
+        )
+        sink = TypedPerTableSink(out, {"approvals": APPROVALS_SCHEMA})
+        sink.write_batch(batch, epoch_id=0)
+        sink.write_batch(batch, epoch_id=0)  # replay
+        deduped = read_exactly_once(spark, out, "approvals", ["owner"])
+        assert deduped.count() == 2
+        assert sorted(r.owner for r in deduped.collect()) == ["o1", "o2"]
+
+
 class TestDecodeChanges:
     def test_pk_overwrites_field_last_wins(self, spark):
         """HashMap::extend semantics (ref loader.rs:143-146): a composite
