@@ -22,6 +22,7 @@ sufficient (install: `pip install grpcio`).
 from __future__ import annotations
 
 import base64
+import datetime
 from collections.abc import Callable, Iterable
 
 from elric_rs_spark.functions.protowire import decode_package, encode_request
@@ -63,12 +64,20 @@ def response_to_message(resp: dict, stream_id: str) -> dict | None:
     kind = resp.get("msg_type")
     if kind == "new":
         clock = resp.get("clock") or {"id": "", "number": 0, "timestamp": None}
+        ts = clock.get("timestamp")
+        block_ts = (
+            datetime.datetime.fromtimestamp(ts, tz=datetime.timezone.utc).replace(
+                tzinfo=None
+            )
+            if ts is not None
+            else None
+        )
         return {
             "stream_id": stream_id,
             "msg_type": "new",
             "block_num": clock["number"],
             "block_id": clock["id"],
-            "block_ts": None,  # stamped Spark-side from the float if needed
+            "block_ts": block_ts,  # event time from the wire Clock (UTC)
             "cursor": resp.get("cursor", ""),
             "final_block_height": resp.get("final_block_height", 0),
             "last_valid_block": None,

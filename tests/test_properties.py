@@ -16,6 +16,92 @@ from elric_rs_spark.types import parse_column_type
 
 
 # ---------------------------------------------------------------------------
+# protowire: decode(encode(x)) == x for arbitrary DatabaseChanges content
+# ---------------------------------------------------------------------------
+
+_TEXT = st.text(max_size=30)  # includes unicode; wire strings are UTF-8
+_SMALL_MAP = st.dictionaries(_TEXT, _TEXT, max_size=5)
+
+
+@st.composite
+def _table_changes(draw):
+    return {
+        "table": draw(_TEXT),
+        "fields": draw(_SMALL_MAP),
+        "composite_pk": draw(st.one_of(st.none(), _SMALL_MAP)),
+        "single_pk": draw(st.one_of(st.none(), _TEXT)),
+        "ordinal": draw(st.integers(min_value=0, max_value=2**63)),
+        "operation": draw(st.integers(min_value=0, max_value=3)),
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_table_changes(), max_size=5))
+def test_protowire_database_changes_roundtrip(changes):
+    """encode (test-side encoder) -> decode (prod decoder) preserves every
+    field for arbitrary content, including unicode values, empty strings,
+    large ordinals, and both PK shapes."""
+    from elric_rs_spark.functions.protowire import decode_database_changes
+    from tests.test_protowire import enc_database_changes, enc_table_change
+
+    # single_pk and composite_pk are a oneof: encoder emits single first,
+    # composite second; decoder keeps the LAST one (proto3 rule)
+    raw = enc_database_changes(
+        *[
+            enc_table_change(
+                c["table"],
+                c["fields"],
+                composite_pk=c["composite_pk"],
+                single_pk=c["single_pk"],
+                ordinal=c["ordinal"],
+                operation=c["operation"],
+            )
+            for c in changes
+        ]
+    )
+    got = decode_database_changes(raw)
+    assert len(got) == len(changes)
+    for g, c in zip(got, changes):
+        assert g["table"] == c["table"]
+        assert {f["name"]: f["new_value"] for f in g["fields"]} == c["fields"]
+        assert g["ordinal"] == c["ordinal"]
+        if c["composite_pk"] is not None:
+            assert g["composite_pk"] == c["composite_pk"] and g["pk"] is None
+        elif c["single_pk"] is not None:
+            assert g["pk"] == c["single_pk"] and g["composite_pk"] is None
+        else:
+            assert g["pk"] is None and g["composite_pk"] is None
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**64 - 1))
+def test_protowire_varint_roundtrip_total(v):
+    """write_varint/read_varint agree over the full int64/uint64 range
+    (negative int64 encodes as 64-bit two's complement, 10 bytes)."""
+    from elric_rs_spark.functions.protowire import read_varint, write_varint
+
+    got, _ = read_varint(write_varint(v), 0)
+    assert got == v % (1 << 64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200))
+def test_protowire_decoder_total_on_garbage(data):
+    """Arbitrary bytes either decode or raise ProtoWireError — never an
+    unexpected exception type, never a hang (fail-fast like the
+    reference's prost decode at loader.rs:128-129)."""
+    from elric_rs_spark.functions.protowire import (
+        ProtoWireError,
+        decode_database_changes,
+    )
+
+    try:
+        decode_database_changes(data)
+    except ProtoWireError:
+        pass
+
+
+# ---------------------------------------------------------------------------
 # FinalityBuffer: invariants under arbitrary operation sequences
 # ---------------------------------------------------------------------------
 

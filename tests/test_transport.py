@@ -200,3 +200,65 @@ class TestResponseToMessage:
         assert response_to_message({"msg_type": "session"}, "s") is None
         assert response_to_message({"msg_type": "progress"}, "s") is None
         assert response_to_message({"msg_type": "skip"}, "s") is None
+
+    def test_block_ts_from_clock(self):
+        msg = response_to_message(
+            {
+                "msg_type": "new",
+                "clock": {"id": "b", "number": 1, "timestamp": 1722988800.0},
+                "cursor": "c",
+                "final_block_height": 0,
+                "payload": b"",
+            },
+            "s",
+        )
+        assert msg["block_ts"].year == 2024 and msg["block_ts"].month == 8
+
+
+class TestFullTopologyOverWire:
+    def test_grpc_to_typed_tables(self, spark, tmp_path):
+        """The COMPLETE reference lifecycle (SURVEY §3) on real wire bytes
+        end to end: fake gRPC server (with one mid-stream disconnect) ->
+        ReconnectingReader (cursor resume) -> demux -> land_blocks ->
+        Structured Streaming -> stateful finality -> protobuf decode ->
+        PK merge -> typed cast -> per-table sink -> cursor recovery. The
+        Spark-native equivalent of running `elric-rs run` against a live
+        endpoint."""
+        from elric_rs_spark.streaming.pipeline import (
+            TypedPerTableSink,
+            decode_changes_protobuf,
+            run_pipeline,
+        )
+        from elric_rs_spark.streaming.sink import load_persisted_cursor
+        from elric_rs_spark.streaming.source import land_blocks
+
+        server = FakeServer(
+            [
+                ([block_response(n) for n in range(6)], FakeRpcError("UNAVAILABLE")),
+                ([block_response(n) for n in range(6, 10)], None),
+            ]
+        )
+        connect = make_substreams_connect(
+            server.channel_factory, output_module="db_out", stream_id="s1"
+        )
+        reader = ReconnectingReader(connect=connect, sleep=lambda s: None)
+        landing = str(tmp_path / "landing")
+        n = land_blocks(spark, demux(reader), landing)
+        assert n == 10
+        # reconnect resumed from block 5's cursor
+        assert parse_request(server.requests[1])["start_cursor"] == "c5"
+
+        sink = TypedPerTableSink(
+            str(tmp_path / "out"),
+            {"t": {"v": "UInt64"}},
+            decode=decode_changes_protobuf,
+        )
+        q = run_pipeline(spark, landing, str(tmp_path / "ckpt"), sink)
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(f"{tmp_path}/out/data/t")
+        rows = {r.block_num: r.v for r in out.collect()}
+        # block_response(n) watermarks at n-2 -> blocks 0..7 finalized
+        assert sorted(rows) == list(range(8))
+        assert rows[7] == 7  # typed UInt64 from wire string
+        assert load_persisted_cursor(spark, f"{tmp_path}/out", "s1") == "c7"
