@@ -40,7 +40,9 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_dedup_embed_lsh",
     "q_sim_topk",
+    "q_sim_lsh",
     "q_sim_ivf",
     "q_text_stats",
     "q_agg_stats",

@@ -92,6 +92,31 @@ def test_entry_runs(spark):
     assert df.count() >= 0
 
 
+@pytest.mark.parametrize("name", ["q_dedup_minhash", "q_sim_lsh"])
+def test_shared_stage_reuses_exchange_not_persist(spark, name):
+    """The expensive multi-consumer stages (gram pipeline, vector
+    clusters) must be shared via ReusedExchange, not .persist(): caching
+    pins the plan and disables AQE inside it (measured 6.7s vs 2.4s for
+    q_sim_lsh on a vanilla 200-shuffle-partition session — BASELINE.md
+    round 2). q_dedup_embed_lsh is exempt from the reuse assertion: its
+    branches prune different columns below the exchange (only a cheap
+    scan+cast is recomputed), but it must still not cache."""
+    df = QUERIES[name](spark, SF_DIR)
+    df.collect()  # AQE finalizes (and reveals) exchange reuse at execution
+    plan = physical_plan(df)
+    assert "ReusedExchange" in plan, f"{name}: shared stage not reused"
+    assert "InMemoryTableScan" not in plan, f"{name}: unexpected cached plan"
+
+
+@pytest.mark.parametrize(
+    "name", ["q_dedup_minhash", "q_sim_lsh", "q_dedup_embed_lsh"]
+)
+def test_no_cached_plans(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    df.collect()
+    assert "InMemoryTableScan" not in physical_plan(df), f"{name}: cached plan"
+
+
 def test_lsh_bucket_sizes_bounded(spark):
     """The round-1 scale-killer gate (VERDICT r01 #3): q_sim_lsh's
     in-bucket pairing is quadratic in bucket size, so buckets must stay
