@@ -260,6 +260,51 @@ def _anchors(n: int = IVF_CELLS):
     return [[h64(p + 1000, d) for d in range(EMB_DIM)] for p in range(n)]
 
 
+@query("q_sim_ivf_trained")  # rows-only: ANN recall is approximate by design
+def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer (X16): k-means centroids
+    from spark.ml replace q_sim_ivf's hash-derived anchors (which that
+    query keeps as the zero-dependency baseline). Deterministic via fixed
+    seed.
+
+    Scale shape: the fit runs over a bounded deterministic sample (at
+    100 TB you train the quantizer on ~1e5 sampled vectors, never the
+    corpus; here the corpus IS sample-sized); cell assignment is one
+    model.transform projection; the probe list is driver-side math over
+    k=16 centroids (k floats, independent of corpus size) folded into an
+    `isin` filter — with the corpus written partitionBy(cell), that
+    filter is partition pruning at the scan."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    feats = e.withColumn("features", array_to_vector("v"))
+    train = feats.sample(fraction=1.0, seed=7).limit(100_000)
+    model = KMeans(k=IVF_CELLS, seed=7, maxIter=10).fit(train)
+    cells = model.transform(feats).withColumnRenamed("prediction", "cell")
+
+    # probe: the query's IVF_NPROBE nearest centroids — k-sized driver math
+    qv = e.filter(F.col("vec_id") == 0).select("v").head()[0]
+    dists = [
+        (sum((a - b) ** 2 for a, b in zip(c, qv)), i)
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    probe_cells = [i for _, i in sorted(dists)[:IVF_NPROBE]]
+
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    cosine = F.round(_dot(F.col("v"), qcol) / (_norm(F.col("v")) * _norm(qcol)), 6)
+    return (
+        cells.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.col("cell").cast("long").alias("cell"),
+                cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 @query("q_sim_ivf")  # rows-only: ANN recall is approximate by design
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (X16 scale path #2): every vector is assigned to its

@@ -83,13 +83,63 @@ FINALITY_STATE_SCHEMA = (
 )
 
 
+def _replay_pdf(buf: FinalityBuffer, pdf, stream_id: str) -> list[tuple]:
+    """Shared kernel: replay one pandas frame of messages through the
+    buffer, returning flushed output tuples.
+
+    Arrival order, not block order: block numbers repeat in the reorg
+    case (an undo shares the dropped block's number; replacement blocks
+    reuse numbers), and pandas' default quicksort is unstable. `seq` is
+    the source's monotonic arrival counter; stable-sort on block_num is
+    the fallback for seq-less test frames."""
+    if "seq" in pdf.columns and pdf["seq"].notna().all():
+        pdf = pdf.sort_values("seq", kind="stable")
+    else:
+        pdf = pdf.sort_values("block_num", kind="stable")
+    out_rows: list[tuple] = []
+    for row in pdf.itertuples(index=False):
+        if getattr(row, "msg_type", "new") == "undo":
+            buf.undo(int(row.last_valid_block))
+            continue
+        flushed = buf.push(
+            Block(
+                int(row.block_num),
+                str(row.block_id),
+                str(row.cursor),
+                int(row.final_block_height),
+                getattr(row, "payload", None),
+            )
+        )
+        out_rows.extend(
+            (
+                stream_id,
+                b.block_num,
+                b.block_id,
+                b.cursor,
+                b.final_block_height,
+                b.payload,
+            )
+            for b in flushed
+        )
+    return out_rows
+
+
+_OUTPUT_COLS = [
+    "stream_id",
+    "block_num",
+    "block_id",
+    "cursor",
+    "final_block_height",
+    "payload",
+]
+
+
 def _finality_func(key, pdf_iter, state):
     """Grouped-map-with-state kernel: replays FinalityBuffer per stream key.
 
     Input rows must arrive in block order within the micro-batch (the
-    source guarantees per-stream ordering; micro-batches preserve it via a
-    sort on block_num below). Undo signals are rows with msg_type='undo'
-    and last_valid_block set.
+    source guarantees per-stream ordering via `seq`). Undo signals are
+    rows with msg_type='undo' and last_valid_block set.
     """
     import pandas as pd
 
@@ -107,39 +157,7 @@ def _finality_func(key, pdf_iter, state):
 
     out_rows: list[tuple] = []
     for pdf in pdf_iter:
-        # Arrival order, not block order: block numbers repeat in the reorg
-        # case (an undo shares the dropped block's number; replacement
-        # blocks reuse numbers), and pandas' default quicksort is unstable.
-        # `seq` is the source's monotonic arrival counter; stable-sort on
-        # block_num is the fallback for seq-less test frames.
-        if "seq" in pdf.columns and pdf["seq"].notna().all():
-            pdf = pdf.sort_values("seq", kind="stable")
-        else:
-            pdf = pdf.sort_values("block_num", kind="stable")
-        for row in pdf.itertuples(index=False):
-            if getattr(row, "msg_type", "new") == "undo":
-                buf.undo(int(row.last_valid_block))
-                continue
-            flushed = buf.push(
-                Block(
-                    int(row.block_num),
-                    str(row.block_id),
-                    str(row.cursor),
-                    int(row.final_block_height),
-                    getattr(row, "payload", None),
-                )
-            )
-            for b in flushed:
-                out_rows.append(
-                    (
-                        stream_id,
-                        b.block_num,
-                        b.block_id,
-                        b.cursor,
-                        b.final_block_height,
-                        b.payload,
-                    )
-                )
+        out_rows.extend(_replay_pdf(buf, pdf, stream_id))
 
     state.update(
         (
@@ -150,17 +168,7 @@ def _finality_func(key, pdf_iter, state):
             [b.payload for b in buf.buffer],
         )
     )
-    yield pd.DataFrame(
-        out_rows,
-        columns=[
-            "stream_id",
-            "block_num",
-            "block_id",
-            "cursor",
-            "final_block_height",
-            "payload",
-        ],
-    )
+    yield pd.DataFrame(out_rows, columns=_OUTPUT_COLS)
 
 
 def apply_finality_stateful(block_df):
@@ -175,4 +183,74 @@ def apply_finality_stateful(block_df):
         stateStructType=FINALITY_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas form (Spark 4's successor API): typed
+# ListState instead of one packed state tuple, same replay kernel.
+# Runtime requirements: the RocksDB state store provider
+# (spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider)
+# AND the python `protobuf` package — TWS's state-server protocol itself
+# speaks protobuf (verified: absent protobuf fails the driver worker with
+# "cannot import google.protobuf.descriptor"). This container has no
+# protobuf, so the TWS form is tested where available and the
+# applyInPandasWithState form (above) remains the default everywhere.
+# ---------------------------------------------------------------------------
+
+_TWS_STATE_SCHEMA = (
+    "block_num long, block_id string, cursor string, "
+    "final_height long, payload string"
+)
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class FinalityProcessor(StatefulProcessor):
+    """T7/T8 on transformWithStateInPandas: the buffered blocks live in a
+    typed ListState (one row per buffered block) instead of
+    applyInPandasWithState's single packed tuple — clearer state evolution
+    and per-element append semantics at scale. Module-level class: the TWS
+    driver worker pickles the processor instance."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._buf = handle.getListState("buffer", _TWS_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (stream_id,) = key
+        buf = FinalityBuffer(
+            buffer=[Block(*t) for t in self._buf.get()]
+            if self._buf.exists()
+            else []
+        )
+        out_rows: list[tuple] = []
+        for pdf in rows:
+            out_rows.extend(_replay_pdf(buf, pdf, stream_id))
+        self._buf.put(
+            [
+                (b.block_num, b.block_id, b.cursor, b.final_block_height,
+                 b.payload)
+                for b in buf.buffer
+            ]
+        )
+        yield pd.DataFrame(out_rows, columns=_OUTPUT_COLS)
+
+    def close(self) -> None:
+        pass
+
+
+def apply_finality_tws(block_df):
+    """transformWithStateInPandas form of apply_finality_stateful — same
+    input/output contract, state in a typed ListState."""
+    return block_df.groupBy("stream_id").transformWithStateInPandas(
+        statefulProcessor=FinalityProcessor(),
+        outputStructType=FINALITY_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
     )

@@ -110,3 +110,22 @@ class TestPartitionPruning:
         assert part_lines and "cell" in part_lines[0]
         # cells 0..7 hold 63 rows each (1000 = 16*62 + 8): 2 cells -> 126
         assert probed.count() == 126
+
+
+class TestTrainedIVF:
+    def test_recall_against_exact_topk(self, spark):
+        """q_sim_ivf_trained probes 4 of 16 k-means cells; with the
+        clustered synthetic embeddings it must recover most of the exact
+        brute-force top-10 (deterministic: fixed seed, fixed data). This
+        is the ANN quality gate — a broken quantizer or probe selection
+        drops recall to ~nprobe/cells of random."""
+        from elric_rs_spark.operators.similarity import (
+            q_sim_ivf_trained,
+            q_sim_topk,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {r.vec_id for r in q_sim_ivf_trained(spark, sf).collect()}
+        exact = {r.vec_id for r in q_sim_topk(spark, sf).collect()}
+        assert len(got) == 10
+        assert len(got & exact) >= 6, f"recall too low: {len(got & exact)}/10"
