@@ -281,12 +281,19 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", _as_double("embedding").alias("v")
     )
     feats = e.withColumn("features", array_to_vector("v"))
-    train = feats.sample(fraction=1.0, seed=7).limit(100_000)
-    model = KMeans(k=IVF_CELLS, seed=7, maxIter=10).fit(train)
+    # bounded fit: at 100 TB the quantizer trains on the first ~1e5
+    # vectors (or a .sample(fraction) tuned to corpus size), never the
+    # full corpus
+    model = KMeans(k=IVF_CELLS, seed=7, maxIter=10).fit(feats.limit(100_000))
     cells = model.transform(feats).withColumnRenamed("prediction", "cell")
 
     # probe: the query's IVF_NPROBE nearest centroids — k-sized driver math
-    qv = e.filter(F.col("vec_id") == 0).select("v").head()[0]
+    qrow = e.filter(F.col("vec_id") == 0).select("v").head()
+    if qrow is None:  # no query vector in this corpus: empty result, not a crash
+        return spark.createDataFrame(
+            [], "vec_id long, label string, cell long, cosine double"
+        )
+    qv = qrow[0]
     dists = [
         (sum((a - b) ** 2 for a, b in zip(c, qv)), i)
         for i, c in enumerate(model.clusterCenters())

@@ -90,10 +90,14 @@ def _replay_pdf(buf: FinalityBuffer, pdf, stream_id: str) -> list[tuple]:
     Arrival order, not block order: block numbers repeat in the reorg
     case (an undo shares the dropped block's number; replacement blocks
     reuse numbers), and pandas' default quicksort is unstable. `seq` is
-    the source's monotonic arrival counter; stable-sort on block_num is
-    the fallback for seq-less test frames."""
-    if "seq" in pdf.columns and pdf["seq"].notna().all():
-        pdf = pdf.sort_values("seq", kind="stable")
+    the source's monotonic arrival counter. Rows with null seq (data
+    landed by a pre-seq writer) sort FIRST in their original frame order
+    (they were landed earlier; stable sort preserves file order within
+    them) — never silently re-sorted by block_num alongside seq-bearing
+    rows. Block-num stable sort remains only for frames with no seq
+    column at all (hand-built test frames)."""
+    if "seq" in pdf.columns:
+        pdf = pdf.sort_values("seq", kind="stable", na_position="first")
     else:
         pdf = pdf.sort_values("block_num", kind="stable")
     out_rows: list[tuple] = []
@@ -204,10 +208,19 @@ _TWS_STATE_SCHEMA = (
 )
 
 
-from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
+try:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover - pre-4.0 PySpark
+    # The TWS API is optional; its absence must not take down the
+    # applyInPandasWithState form or FinalityBuffer (apply_finality_tws
+    # itself will fail loudly at call time).
+    class StatefulProcessor:  # type: ignore[no-redef]
+        pass
+
+    StatefulProcessorHandle = object  # type: ignore[assignment]
 
 
 class FinalityProcessor(StatefulProcessor):
@@ -232,13 +245,19 @@ class FinalityProcessor(StatefulProcessor):
         out_rows: list[tuple] = []
         for pdf in rows:
             out_rows.extend(_replay_pdf(buf, pdf, stream_id))
-        self._buf.put(
-            [
-                (b.block_num, b.block_id, b.cursor, b.final_block_height,
-                 b.payload)
-                for b in buf.buffer
-            ]
-        )
+        if buf.buffer:
+            self._buf.put(
+                [
+                    (b.block_num, b.block_id, b.cursor, b.final_block_height,
+                     b.payload)
+                    for b in buf.buffer
+                ]
+            )
+        else:
+            # put([]) is rejected by the state store
+            # (ILLEGAL_STATE_STORE_VALUE.EMPTY_LIST_VALUE); a drained
+            # buffer — everything flushed or undone — must clear() instead
+            self._buf.clear()
         yield pd.DataFrame(out_rows, columns=_OUTPUT_COLS)
 
     def close(self) -> None:

@@ -80,7 +80,7 @@ class PerTableParquetSink:
 
 
 def read_exactly_once(
-    spark, base_dir: str, table: str, pk_cols: list[str] | tuple[str, ...] = ()
+    spark, base_dir: str, table: str, pk_cols: list[str] | tuple[str, ...]
 ) -> DataFrame:
     """Exactly-once READ view over the at-least-once sink (SURVEY.md §7
     risk 2). foreachBatch can replay a completed epoch after a crash; the
@@ -90,7 +90,18 @@ def read_exactly_once(
     is dedup-on-read keyed by (epoch_id, block_num, *pk): replayed rows
     tie on the full key, while distinct changes inside one block differ in
     their PK columns. At scale this is a window-free dropDuplicates — one
-    hash aggregate on a uniform composite key."""
+    hash aggregate on a uniform composite key.
+
+    pk_cols is REQUIRED (pass the table's ordering key): deduping on
+    (epoch_id, block_num) alone would collapse distinct same-block
+    changes. A table with no PK and no possibility of two identical
+    legitimate rows may pass all non-key columns explicitly."""
+    if not pk_cols:
+        raise ValueError(
+            "read_exactly_once needs the table's pk/ordering columns — "
+            "deduping on (epoch_id, block_num) alone collapses distinct "
+            "changes within a block"
+        )
     df = spark.read.parquet(f"{base_dir}/data/{table}")
     return df.dropDuplicates(["epoch_id", "block_num", *pk_cols])
 

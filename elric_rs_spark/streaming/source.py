@@ -30,15 +30,33 @@ BLOCK_STREAM_SCHEMA = (
     "last_valid_block long, payload string, seq long"
 )
 
-# Monotonic arrival counter stamped by land_blocks. block_num alone cannot
-# order a micro-batch: an undo shares the dropped block's number and
-# post-reorg blocks REUSE numbers, so sorting by block_num can apply an
-# undo before the same-numbered new block (or after its replacement).
-# The reader thread is the single consumer (same topology as the
-# reference's one gRPC stream), so a process-local counter is a total
-# arrival order; a multi-writer deployment would move this into the
-# upstream cursor.
-_ARRIVAL_SEQ = itertools.count()
+# Monotonic arrival counters stamped by land_blocks, one per landing dir.
+# block_num alone cannot order a micro-batch: an undo shares the dropped
+# block's number and post-reorg blocks REUSE numbers, so sorting by
+# block_num can apply an undo before the same-numbered new block (or
+# after its replacement). The reader thread is the single consumer (same
+# topology as the reference's one gRPC stream), so a per-dir counter is a
+# total arrival order; on process restart it resumes from the max seq
+# already in the landing dir so replayed and new rows never overlap.
+_DIR_SEQ: dict[str, Iterator[int]] = {}
+
+
+def _seq_counter(spark: SparkSession, landing_dir: str) -> Iterator[int]:
+    if landing_dir not in _DIR_SEQ:
+        start = 0
+        try:
+            row = (
+                spark.read.schema(BLOCK_STREAM_SCHEMA)
+                .parquet(landing_dir)
+                .agg({"seq": "max"})
+                .collect()[0]
+            )
+            if row[0] is not None:
+                start = int(row[0]) + 1
+        except Exception:
+            pass  # dir doesn't exist yet: fresh stream
+        _DIR_SEQ[landing_dir] = itertools.count(start)
+    return _DIR_SEQ[landing_dir]
 
 # ref substreams_stream.rs:62 — ExponentialBackoff from 10ms, capped 45s
 BACKOFF_INITIAL_S = 0.010
@@ -74,6 +92,13 @@ class ReconnectingReader:
                 for msg in self.connect(self.latest_cursor):
                     got_progress = True
                     if msg.get("msg_type") == "new":
+                        self.latest_cursor = msg.get("cursor")
+                    elif msg.get("msg_type") == "undo" and msg.get("cursor"):
+                        # resume BEHIND the reorg: the undo carries
+                        # last_valid_cursor and the reference adopts it
+                        # (ref substreams_stream.rs:104-111) — resuming
+                        # from the pre-undo cursor would replay the
+                        # orphaned fork
                         self.latest_cursor = msg.get("cursor")
                     yield msg
                 return  # upstream ended cleanly
@@ -152,11 +177,12 @@ def land_blocks(
     dir the streaming query tails. Returns rows written."""
     n = 0
     it = iter(messages)
+    seq = _seq_counter(spark, landing_dir)
     while True:
         chunk = list(itertools.islice(it, batch_size))
         if not chunk:
             return n
-        chunk = [{**m, "seq": next(_ARRIVAL_SEQ)} for m in chunk]
+        chunk = [{**m, "seq": next(seq)} for m in chunk]
         df = spark.createDataFrame(chunk, BLOCK_STREAM_SCHEMA)
         df.write.mode("append").parquet(landing_dir)
         n += len(chunk)

@@ -157,6 +157,12 @@ def make_substreams_connect(
             if _is_unauthenticated(e):
                 raise FatalStreamError("Unauthenticated") from e
             raise
+        finally:
+            # each (re)connect opens a fresh channel; an infinite
+            # reconnect loop must not leak sockets/threads across retries
+            close = getattr(channel, "close", None)
+            if callable(close):
+                close()
 
     return connect
 

@@ -351,6 +351,24 @@ class TestStatefulFinalityStreaming:
             else:
                 spark.conf.set(conf_key, prev)
 
+    def test_seq_continues_across_process_restart(self, spark, tmpdir):
+        """The arrival counter must resume from the max seq already in the
+        landing dir after a process restart — a counter restarting at 0
+        would interleave post-restart rows before pre-restart ones in the
+        seq sort, recreating the reorg misordering seq exists to fix."""
+        from elric_rs_spark.streaming import source as src
+
+        landing = f"{tmpdir}/landing"
+        land_blocks(spark, _blocks(spark, 5, reorg_depth=3), landing)
+        src._DIR_SEQ.clear()  # simulate a fresh process
+        land_blocks(spark, _blocks(spark, 5, reorg_depth=3), landing)
+        seqs = sorted(
+            r.seq for r in spark.read.schema(BLOCK_STREAM_SCHEMA)
+            .parquet(landing).select("seq").collect()
+        )
+        assert len(seqs) == 10 and len(set(seqs)) == 10  # no overlap
+        assert seqs == list(range(seqs[0], seqs[0] + 10))  # contiguous
+
     def test_fixture_replay_shape(self, spark):
         msgs = fixture_replay(spark, "/root/testdata/sf0.001", undo_at=50)
         assert any(m["msg_type"] == "undo" for m in msgs)

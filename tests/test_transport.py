@@ -140,6 +140,42 @@ class TestTransportContract:
         # backoff reset after progress -> one initial-backoff sleep
         assert sleeps == [0.010]
 
+    def test_reconnect_after_undo_resumes_from_last_valid_cursor(self):
+        """An undo signal moves the resume point BEHIND the reorg: the
+        reference adopts last_valid_cursor (ref substreams_stream.rs:
+        104-111), so a disconnect right after an undo must reconnect from
+        the undo's cursor, not the orphaned fork's last block cursor."""
+        server = FakeServer(
+            [
+                (
+                    [block_response(1), block_response(2), undo_response(1)],
+                    FakeRpcError("UNAVAILABLE"),
+                ),
+                ([block_response(2)], None),
+            ]
+        )
+        connect = make_substreams_connect(server.channel_factory)
+        reader = ReconnectingReader(connect=connect, sleep=lambda s: None)
+        list(demux(reader))
+        assert parse_request(server.requests[1])["start_cursor"] == "c1"
+
+    def test_channel_closed_per_connect(self):
+        """Each (re)connect's channel must be closed when its stream ends
+        or errors — an infinite retry loop must not leak channels."""
+        closed = []
+
+        class ClosableChannel(FakeChannel):
+            def close(self):
+                closed.append(True)
+
+        server = FakeServer(
+            [([block_response(1)], FakeRpcError("UNAVAILABLE")), ([], None)]
+        )
+        connect = make_substreams_connect(lambda: ClosableChannel(server))
+        reader = ReconnectingReader(connect=connect, sleep=lambda s: None)
+        list(reader)
+        assert len(closed) == 2  # one close per connection attempt
+
     def test_unauthenticated_is_fatal(self):
         server = FakeServer([([], FakeRpcError("UNAUTHENTICATED"))])
         connect = make_substreams_connect(server.channel_factory)
