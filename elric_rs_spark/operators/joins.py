@@ -202,3 +202,36 @@ def q_join_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_big"), F.lit(0)).alias("n_big"),
         F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+SELECT
+  c.c_mktsegment AS segment,
+  count(*) AS n_orders,
+  round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (the 100 TB hot-key pattern), oracle-checked
+    against the plain join: replicate the dimension SALT ways, scatter the
+    fact side across salt buckets, join on (key, salt) — the hot key's
+    rows spread over SALT reducers instead of melting one. Correctness is
+    salt-invariant by construction (the oracle is the UNSALTED join), and
+    the shuffle-key shape is held by tests/test_scale_patterns.py."""
+    from elric_rs_spark.functions.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, "custkey", salt=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
