@@ -21,6 +21,11 @@ from elric_rs_spark.streaming.source import (  # noqa: F401
     land_blocks,
     read_block_stream,
 )
+from elric_rs_spark.streaming.transport import (  # noqa: F401
+    make_substreams_connect,
+    open_grpc_channel,
+    response_to_message,
+)
 from elric_rs_spark.tables import (  # noqa: F401
     load_table,
     load_tables,

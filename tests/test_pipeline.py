@@ -157,6 +157,31 @@ class TestFullPipeline:
         assert nums == list(range(11)) + [30]
 
 
+class TestLiveTrigger:
+    def test_processing_time_trigger_runs(self, spark, tmpdir):
+        """run_pipeline(available_now=False) uses the reference's 15s
+        insert cadence as a processingTime trigger (ref loader.rs:58).
+        Exercise the live branch: start, let one micro-batch land, stop.
+        (availableNow covers the drain path everywhere else.)"""
+        import os
+        import time
+
+        landing, ckpt, out = (f"{tmpdir}/{d}" for d in ("landing", "ckpt", "out"))
+        land_blocks(spark, _blocks(8, reorg_depth=2), landing)
+        sink = TypedPerTableSink(out, {"approvals": APPROVALS_SCHEMA})
+        q = run_pipeline(spark, landing, ckpt, sink, available_now=False)
+        try:
+            # cursor dir appears only AFTER the batch's data writes (T9)
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline and not os.path.exists(f"{out}/cursors"):
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        approvals = spark.read.parquet(f"{out}/data/approvals")
+        assert approvals.count() > 0  # watermark 7-2=5 -> blocks 0..5 landed
+
+
 class TestExactlyOnceReplay:
     def test_epoch_replay_is_idempotent_on_read(self, spark, tmpdir):
         """SURVEY §7 risk 2 (VERDICT r01 next #6): foreachBatch can replay
