@@ -289,9 +289,13 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # probe: the query's IVF_NPROBE nearest centroids — k-sized driver math
     qrow = e.filter(F.col("vec_id") == 0).select("v").head()
-    if qrow is None:  # no query vector in this corpus: empty result, not a crash
-        return spark.createDataFrame(
-            [], "vec_id long, label string, cell long, cosine double"
+    if qrow is None:
+        # no query vector in this corpus: empty result, not a crash —
+        # schema derived from the SAME plan so it matches the non-empty
+        # branch exactly (label's type comes from the table)
+        return cells.filter(F.lit(False)).select(
+            "vec_id", "label", F.col("cell").cast("long").alias("cell"),
+            F.lit(0.0).alias("cosine"),
         )
     qv = qrow[0]
     dists = [

@@ -93,10 +93,11 @@ def _replay_pdf(buf: FinalityBuffer, pdf, stream_id: str) -> list[tuple]:
     the source's monotonic arrival counter. Rows with null seq (data
     landed by a pre-seq writer) sort FIRST in their original frame order
     (they were landed earlier; stable sort preserves file order within
-    them) — never silently re-sorted by block_num alongside seq-bearing
-    rows. Block-num stable sort remains only for frames with no seq
-    column at all (hand-built test frames)."""
-    if "seq" in pdf.columns:
+    them). Frames with NO usable seq at all (column absent, or present
+    but all-null) fall back to a stable block_num sort — a sort is still
+    mandatory there because Spark gives no row-order guarantee after the
+    groupBy shuffle."""
+    if "seq" in pdf.columns and pdf["seq"].notna().any():
         pdf = pdf.sort_values("seq", kind="stable", na_position="first")
     else:
         pdf = pdf.sort_values("block_num", kind="stable")

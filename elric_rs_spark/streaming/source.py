@@ -18,6 +18,7 @@ provides a deterministic stand-in built from events.parquet.
 from __future__ import annotations
 
 import itertools
+import os
 import time
 from collections.abc import Callable, Iterable, Iterator
 from dataclasses import dataclass
@@ -42,9 +43,16 @@ _DIR_SEQ: dict[str, Iterator[int]] = {}
 
 
 def _seq_counter(spark: SparkSession, landing_dir: str) -> Iterator[int]:
-    if landing_dir not in _DIR_SEQ:
+    # realpath: '/x' and '/x/' (or a symlinked spelling) must share one
+    # counter — two counters over one dir would issue colliding seqs
+    key = os.path.realpath(landing_dir)
+    if key not in _DIR_SEQ:
         start = 0
-        try:
+        # Only a missing dir means "fresh stream". Any other failure
+        # (corrupt footer, permissions, transient FS error) must
+        # propagate: silently restarting at 0 over a dir holding higher
+        # seqs would recreate the reorg misordering seq exists to fix.
+        if os.path.isdir(key):
             row = (
                 spark.read.schema(BLOCK_STREAM_SCHEMA)
                 .parquet(landing_dir)
@@ -53,10 +61,8 @@ def _seq_counter(spark: SparkSession, landing_dir: str) -> Iterator[int]:
             )
             if row[0] is not None:
                 start = int(row[0]) + 1
-        except Exception:
-            pass  # dir doesn't exist yet: fresh stream
-        _DIR_SEQ[landing_dir] = itertools.count(start)
-    return _DIR_SEQ[landing_dir]
+        _DIR_SEQ[key] = itertools.count(start)
+    return _DIR_SEQ[key]
 
 # ref substreams_stream.rs:62 — ExponentialBackoff from 10ms, capped 45s
 BACKOFF_INITIAL_S = 0.010

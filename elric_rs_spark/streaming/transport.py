@@ -135,20 +135,21 @@ def make_substreams_connect(
     metadata = [("authorization", token)] if token else None
 
     def connect(cursor: str | None) -> Iterable[dict]:
-        channel = channel_factory()
-        call = channel.unary_stream(
-            BLOCKS_METHOD,
-            request_serializer=lambda b: b,  # already wire bytes
-            response_deserializer=_deserialize_response,
-        )
-        request = encode_request(
-            start_block_num=start_block_num,
-            start_cursor=cursor or "",
-            stop_block_num=stop_block_num,
-            output_module=output_module,
-            modules_raw=modules_raw,
-        )
+        channel = None
         try:
+            channel = channel_factory()
+            call = channel.unary_stream(
+                BLOCKS_METHOD,
+                request_serializer=lambda b: b,  # already wire bytes
+                response_deserializer=_deserialize_response,
+            )
+            request = encode_request(
+                start_block_num=start_block_num,
+                start_cursor=cursor or "",
+                stop_block_num=stop_block_num,
+                output_module=output_module,
+                modules_raw=modules_raw,
+            )
             for resp in call(request, metadata=metadata):
                 msg = response_to_message(resp, stream_id)
                 if msg is not None:
@@ -160,9 +161,11 @@ def make_substreams_connect(
         finally:
             # each (re)connect opens a fresh channel; an infinite
             # reconnect loop must not leak sockets/threads across retries
-            close = getattr(channel, "close", None)
-            if callable(close):
-                close()
+            # — including when unary_stream/encode_request themselves fail
+            if channel is not None:
+                close = getattr(channel, "close", None)
+                if callable(close):
+                    close()
 
     return connect
 
