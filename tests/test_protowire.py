@@ -271,6 +271,55 @@ def tmpdir():
         yield d
 
 
+class TestDecoderParity:
+    def test_json_and_protobuf_paths_agree(self, spark):
+        """The same logical change-set fed through decode_changes (JSON
+        stand-in) and decode_changes_protobuf (wire bytes) must produce
+        IDENTICAL downstream rows — the gate against decoder drift."""
+        import json
+
+        from elric_rs_spark.streaming.pipeline import (
+            decode_changes,
+            decode_changes_protobuf,
+        )
+
+        logical = [
+            {"table": "t1", "fields": {"a": "1", "b": "x"},
+             "pk": {"k1": "p1", "k2": "p2"}},
+            {"table": "t2", "fields": {"a": "shadow", "c": "3"},
+             "pk": {"a": "pk_wins", "k": "v"}},
+            {"table": "t3", "fields": {"only": "field"}, "pk": {}},
+        ]
+        base = ("s1", 1, "b1", "c1")
+        json_df = spark.createDataFrame(
+            [(*base, json.dumps(logical))],
+            "stream_id string, block_num long, block_id string, "
+            "cursor string, payload string",
+        )
+        wire = enc_database_changes(
+            enc_table_change("t1", {"a": "1", "b": "x"},
+                             composite_pk={"k1": "p1", "k2": "p2"}),
+            enc_table_change("t2", {"a": "shadow", "c": "3"},
+                             composite_pk={"a": "pk_wins", "k": "v"}),
+            enc_table_change("t3", {"only": "field"}),
+        )
+        proto_df = spark.createDataFrame(
+            [(*base, base64.b64encode(wire).decode())],
+            "stream_id string, block_num long, block_id string, "
+            "cursor string, payload string",
+        )
+
+        def rows(df):
+            return sorted(
+                (r.table, r.block_num, sorted(r.row_map.items()))
+                for r in df.collect()
+            )
+
+        assert rows(decode_changes(json_df)) == rows(
+            decode_changes_protobuf(proto_df)
+        )
+
+
 class TestProtobufPipeline:
     def test_process_data_end_to_end(self, spark, tmpdir):
         """The reference's test_process_data on the REAL wire format:
