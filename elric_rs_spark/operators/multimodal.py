@@ -142,6 +142,126 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio: REAL decode via stdlib `wave` (no media libs needed). Payloads are
+# genuine RIFF/WAVE files (PCM16 mono sine tones synthesized per doc), and
+# the decoder parses the actual container + frames — this is the one
+# modality where the full decode path runs for real in this environment.
+# ---------------------------------------------------------------------------
+
+AUDIO_RATE = 8000  # Hz
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate long, n_channels long, n_samples long, "
+    "duration_ms long, rms double"
+)
+
+
+def synth_wav(doc_id: int, n_samples: int) -> bytes:
+    """Deterministic fixture synthesis: a real PCM16 mono WAV of a sine
+    tone whose amplitude derives from doc_id. This is test-data
+    generation, not a codec stub — the bytes are a spec-conformant WAV
+    any player could open."""
+    import io
+    import math
+    import struct
+    import wave
+
+    amp = 1000 + (doc_id % 20000)
+    samples = [
+        int(amp * math.sin(2 * math.pi * 440 * i / AUDIO_RATE))
+        for i in range(n_samples)
+    ]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(AUDIO_RATE)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode: parse the RIFF/WAVE container and PCM frames
+    with the stdlib `wave` module — header fields + RMS energy. The
+    Spark-side contract is identical to a librosa/ffmpeg call."""
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    vals = struct.unpack(f"<{n * ch}h", raw)
+    rms = math.sqrt(sum(v * v for v in vals) / len(vals)) if vals else 0.0
+    return {
+        "sample_rate": rate,
+        "n_channels": ch,
+        "n_samples": n,
+        "duration_ms": n * 1000 // rate,
+        "rms": rms,
+    }
+
+
+def _decode_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "sample_rate", "n_channels", "n_samples",
+            "duration_ms", "rms",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            d = decode_wav(payload)
+            out["doc_id"].append(doc_id)
+            for k in ("sample_rate", "n_channels", "n_samples", "duration_ms", "rms"):
+                out[k].append(d[k])
+        yield pd.DataFrame(out)
+
+
+def _synth_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "payload": [
+                    synth_wav(int(i), int(n))
+                    for i, n in zip(pdf["doc_id"], pdf["n_samples"])
+                ],
+            }
+        )
+
+
+@query(
+    "q_multimodal_audio",
+    oracle="""
+SELECT
+  doc_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(1 AS BIGINT) AS n_channels,
+  CAST((n_chars % 100 + 10) * 8 AS BIGINT) AS n_samples,
+  CAST(((n_chars % 100 + 10) * 8) * 1000 // 8000 AS BIGINT) AS duration_ms
+FROM documents
+""",
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode, for REAL (stdlib wave): synthesize a true PCM WAV per
+    document (one mapInPandas stage — fixture generation), then parse the
+    container + frames back (a second mapInPandas stage — the actual
+    decoder). The oracle predicts the container fields from the synthesis
+    parameters, proving the bytes round-trip through a spec-conformant
+    encode->decode; RMS energy is asserted against the analytic sine
+    amplitude in pytest (not hash-stable enough for the oracle)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ((F.col("n_chars") % 100 + 10) * 8).alias("n_samples")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    wavs = d.mapInPandas(_synth_audio, "doc_id long, payload binary")
+    decoded = wavs.mapInPandas(_decode_audio, AUDIO_SCHEMA)
+    return decoded.select(
+        "doc_id", "sample_rate", "n_channels", "n_samples", "duration_ms"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Frame sampling + resize plumbing (video/image shape; codecs stubbed)
 # ---------------------------------------------------------------------------
 

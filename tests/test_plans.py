@@ -31,7 +31,12 @@ SF_DIR = "/root/testdata/sf0.001"
 QUERIES = entrymod.queries()
 
 # Queries whose semantics are Arrow-batched Python by design
-PANDAS_QUERIES = {"q_udf_pandas", "q_multimodal", "q_multimodal_frames"}
+PANDAS_QUERIES = {
+    "q_udf_pandas",
+    "q_multimodal",
+    "q_multimodal_frames",
+    "q_multimodal_audio",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -129,3 +129,24 @@ class TestTrainedIVF:
         exact = {r.vec_id for r in q_sim_topk(spark, sf).collect()}
         assert len(got) == 10
         assert len(got & exact) >= 6, f"recall too low: {len(got & exact)}/10"
+
+
+class TestRealAudioDecode:
+    def test_wav_roundtrip_and_rms(self):
+        """decode_wav is a REAL container parse: synth a WAV, decode it,
+        check header fields exactly and RMS against the analytic sine
+        value A/sqrt(2) (within quantization tolerance)."""
+        from elric_rs_spark.operators.multimodal import decode_wav, synth_wav
+
+        d = decode_wav(synth_wav(doc_id=7, n_samples=800))
+        assert d["sample_rate"] == 8000 and d["n_channels"] == 1
+        assert d["n_samples"] == 800 and d["duration_ms"] == 100
+        amp = 1000 + 7
+        assert abs(d["rms"] - amp / 2**0.5) / amp < 0.02
+
+    def test_wav_is_spec_conformant(self):
+        """The synthesized bytes are a genuine RIFF/WAVE file."""
+        from elric_rs_spark.operators.multimodal import synth_wav
+
+        b = synth_wav(doc_id=1, n_samples=80)
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
