@@ -235,3 +235,56 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "q_join_star",
+    oracle="""
+SELECT
+  n.n_name AS nation,
+  p.p_brand AS brand,
+  count(*) AS n_items,
+  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+    AS revenue_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_size <= 20
+GROUP BY n.n_name, p.p_brand
+""",
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema fact join (TPC-H Q9 shape): lineitem against three
+    broadcast dimensions (part filtered, supplier, nation). At 100 TB the
+    fact table never shuffles before the aggregate — every dimension ships
+    to the executors and the p_size predicate pushes into the part scan;
+    the only shuffle is the final (nation, brand) rollup with map-side
+    partial aggregation.
+
+    Revenue sums INTEGER CENTS (per-row round, then exact long sum):
+    summing doubles is order-dependent across engines and a 2dp rounding
+    of the total flips at ULP boundaries (observed on this very query);
+    per-row rounding before an integer sum is order-independent."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20).select(
+        "p_partkey", "p_brand"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )

@@ -6,9 +6,12 @@ tables. The driver's correctness gate runs both sides at sf0.01 and compares
 row-count + schema + order-insensitive value hash, so:
 
 - alias every computed column identically in Spark and SQL;
-- round floating aggregates the same way on both sides (sum -> 2dp,
-  avg/ratio -> 6dp) so ULP-level differences from summation order can't
-  flip the hash;
+- round floating aggregates the same way on both sides (avg/ratio ->
+  6dp); for SUMS of money-like doubles prefer per-row rounding into
+  integer cents then an exact long sum (order-independent) — rounding the
+  float total is ULP-boundary fragile (observed flipping on q_join_star);
+- never return Decimal or Float32 columns (representation-fragile under
+  the driver's value hash — tests/oracle_harness.hash_risky_columns);
 - break ranking ties on a unique key so top-k membership is deterministic.
 """
 
