@@ -156,3 +156,92 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 2).alias("max_value"),
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
     )
+
+
+_GROUPING_SETS_SQL = """
+SELECT
+  c_mktsegment AS segment,
+  CAST(c_nationkey AS BIGINT) AS nationkey,
+  count(*) AS n_customers
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+"""
+
+
+@query("q_agg_groupsets", oracle=_GROUPING_SETS_SQL)
+def q_agg_groupsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (X6 beyond rollup/cube): three independent
+    grouping layouts in ONE pass — Spark expands to a single Expand +
+    hash-aggregate, not three scans. Identical ANSI text is the oracle."""
+    from elric_rs_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot",
+    oracle="""
+SELECT
+  user_id % 10 AS bucket,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY user_id % 10
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): event counts per user bucket, one column per
+    event type. The pivot VALUES are declared explicitly — at scale an
+    implicit pivot triggers a distinct-scan job just to discover columns,
+    and nondeterministic column sets break downstream schemas."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .pivot("event_type", PIVOT_EVENT_TYPES)
+        .count()
+    )
+    return pivoted.select(
+        "bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_EVENT_TYPES],
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+SELECT
+  c_mktsegment AS segment,
+  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (X5 extension): Spark's percentile()
+    and DuckDB's quantile_cont share the linear-interpolation definition,
+    so the values agree bit-for-bit before rounding. (approx_percentile
+    is the at-scale variant; exact percentile is the oracle-checkable
+    one.)"""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pct = F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(pct.alias("pct"))
+        .select(
+            "segment",
+            F.round(F.element_at("pct", 1), 4).alias("p25"),
+            F.round(F.element_at("pct", 2), 4).alias("p50"),
+            F.round(F.element_at("pct", 3), 4).alias("p75"),
+        )
+    )

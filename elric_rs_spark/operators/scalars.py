@@ -155,3 +155,25 @@ def q_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.from_json("props", schema).getField("k").alias("k_val"),
     )
+
+
+@query(
+    "q_explode_pos",
+    oracle="""
+SELECT doc_id, unnest(range(len(words))) AS pos, unnest(words) AS word
+FROM (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE doc_id < 20
+)
+""",
+)
+def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral-view shape): one row per (doc, word
+    position). posexplode keeps the ordinal that a plain explode loses —
+    the shape every tokenize/chunk pipeline needs; generator output stays
+    inside codegen (no UDF)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
