@@ -262,6 +262,123 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Image: REAL decode of uncompressed 24-bit BMP (pure struct parsing, no
+# PIL). Like the audio path: payloads are spec-conformant bitmaps
+# synthesized per doc, the decoder parses the actual BITMAPFILEHEADER /
+# BITMAPINFOHEADER and padded pixel rows.
+# ---------------------------------------------------------------------------
+
+BMP_HEIGHT = 4
+
+
+def synth_bmp(doc_id: int, width: int) -> bytes:
+    """Deterministic fixture synthesis: a real uncompressed 24bpp BMP
+    (BM magic, 54-byte headers, 4-byte-aligned rows, bottom-up), pixel
+    values a gradient seeded by doc_id. Spec-conformant — any viewer
+    opens it."""
+    import struct
+
+    height = BMP_HEIGHT
+    row_size = (3 * width + 3) // 4 * 4
+    pixel_bytes = row_size * height
+    rows = bytearray()
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            v = (doc_id * 31 + y * 17 + x * 7) % 256
+            row += bytes((v, (v * 3) % 256, (v * 5) % 256))  # B, G, R
+        row += b"\x00" * (row_size - len(row))
+        rows += row
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    return bytes(file_header + info_header + rows)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL image decode: parse the BMP headers and pixel rows with
+    struct — width/height/bpp plus the mean of each BGR channel over the
+    unpadded pixels. The Spark-side contract is identical to a
+    PIL.Image.open call."""
+    import struct
+
+    magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    (_hdr, width, height, _planes, bpp) = struct.unpack_from("<IiiHH", payload, 14)
+    row_size = (bpp // 8 * width + 3) // 4 * 4
+    sums = [0, 0, 0]
+    n = 0
+    for y in range(abs(height)):
+        base = offset + y * row_size
+        for x in range(width):
+            i = base + 3 * x
+            sums[0] += payload[i]
+            sums[1] += payload[i + 1]
+            sums[2] += payload[i + 2]
+            n += 1
+    return {
+        "width": width,
+        "height": abs(height),
+        "bpp": bpp,
+        "n_pixels": n,
+        "mean_b": sums[0] / n if n else 0.0,
+        "mean_g": sums[1] / n if n else 0.0,
+        "mean_r": sums[2] / n if n else 0.0,
+    }
+
+
+IMAGE_SCHEMA = (
+    "doc_id long, width long, height long, bpp long, n_pixels long, "
+    "n_bytes long"
+)
+
+
+def _synth_and_decode_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "bpp", "n_pixels", "n_bytes",
+        )}
+        for doc_id, width in zip(pdf["doc_id"], pdf["width"]):
+            payload = synth_bmp(int(doc_id), int(width))
+            d = decode_bmp(payload)
+            out["doc_id"].append(doc_id)
+            out["width"].append(d["width"])
+            out["height"].append(d["height"])
+            out["bpp"].append(d["bpp"])
+            out["n_pixels"].append(d["n_pixels"])
+            out["n_bytes"].append(len(payload))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q_multimodal_image",
+    oracle="""
+SELECT
+  doc_id,
+  CAST(doc_id % 13 + 3 AS BIGINT) AS width,
+  CAST(4 AS BIGINT) AS height,
+  CAST(24 AS BIGINT) AS bpp,
+  CAST((doc_id % 13 + 3) * 4 AS BIGINT) AS n_pixels,
+  CAST(54 + ((3 * (doc_id % 13 + 3) + 3) // 4 * 4) * 4 AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode, for REAL (struct-level BMP): synthesize a true
+    uncompressed 24bpp bitmap per document and parse the actual headers +
+    padded pixel rows back. The oracle predicts every container field —
+    including the 4-byte row alignment in n_bytes — from the synthesis
+    parameters, proving a spec-level encode->decode round-trip. Channel
+    means are asserted against the gradient formula in pytest."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 13 + 3).alias("width")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return d.mapInPandas(_synth_and_decode_images, IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Frame sampling + resize plumbing (video/image shape; codecs stubbed)
 # ---------------------------------------------------------------------------
 

@@ -121,6 +121,20 @@ def decode_changes_protobuf(block_df: DataFrame) -> DataFrame:
     )
 
 
+def dedup_block_stream(stream: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Collapse at-least-once upstream deliveries pre-sink: a reconnect
+    resumes from the last cursor and can re-deliver blocks already landed
+    (the reference tolerates this by delegating dedup to ClickHouse
+    ReplacingMergeTree, README.md:9-11). Streaming-native form:
+    `dropDuplicatesWithinWatermark` keyed by (stream_id, block_num,
+    block_id) with an event-time watermark on block_ts — state is bounded
+    by the watermark horizon instead of growing forever, which is the
+    only dedup shape that survives an unbounded stream."""
+    return stream.withWatermark("block_ts", within).dropDuplicatesWithinWatermark(
+        ["stream_id", "block_num", "block_id"]
+    )
+
+
 class TypedPerTableSink:
     """S5/S6/T9 with the reference's typed-cast stage: route change rows
     by table, cast each table's string map to its declared schema

@@ -36,6 +36,7 @@ PANDAS_QUERIES = {
     "q_multimodal",
     "q_multimodal_frames",
     "q_multimodal_audio",
+    "q_multimodal_image",
 }
 
 

@@ -150,3 +150,23 @@ class TestRealAudioDecode:
 
         b = synth_wav(doc_id=1, n_samples=80)
         assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+
+class TestRealImageDecode:
+    def test_bmp_roundtrip_and_channel_means(self):
+        from elric_rs_spark.operators.multimodal import BMP_HEIGHT, decode_bmp, synth_bmp
+
+        d = decode_bmp(synth_bmp(doc_id=5, width=7))
+        assert d["width"] == 7 and d["height"] == BMP_HEIGHT and d["bpp"] == 24
+        assert d["n_pixels"] == 7 * BMP_HEIGHT
+        # channel means follow the gradient formula exactly
+        vals = [(5 * 31 + y * 17 + x * 7) % 256 for y in range(BMP_HEIGHT) for x in range(7)]
+        assert abs(d["mean_b"] - sum(vals) / len(vals)) < 1e-9
+
+    def test_bmp_is_spec_conformant(self):
+        from elric_rs_spark.operators.multimodal import synth_bmp
+
+        b = synth_bmp(doc_id=1, width=5)
+        assert b[:2] == b"BM"
+        import struct
+        assert struct.unpack_from("<I", b, 2)[0] == len(b)  # declared size == actual

@@ -369,6 +369,47 @@ class TestStatefulFinalityStreaming:
         assert len(seqs) == 10 and len(set(seqs)) == 10  # no overlap
         assert seqs == list(range(seqs[0], seqs[0] + 10))  # contiguous
 
+    def test_stream_dedup_of_reconnect_replays(self, spark, tmpdir):
+        """A reconnect re-delivers blocks already seen (at-least-once
+        upstream). dedup_block_stream must collapse the replays inside
+        the watermark horizon so each block reaches the sink once."""
+        import datetime
+
+        from elric_rs_spark.streaming.pipeline import dedup_block_stream
+
+        base = datetime.datetime(2024, 8, 7, 12, 0, 0)
+
+        def blk(n):
+            return {
+                "stream_id": "s1",
+                "msg_type": "new",
+                "block_num": n,
+                "block_id": f"blk-{n}",
+                "block_ts": base + datetime.timedelta(minutes=n),
+                "cursor": str(n),
+                "final_block_height": n,
+                "last_valid_block": None,
+                "payload": None,
+            }
+
+        # blocks 0..9, then a reconnect replays 7..9 (cursor overlap)
+        msgs = [blk(n) for n in range(10)] + [blk(n) for n in range(7, 10)]
+        landing = f"{tmpdir}/landing"
+        land_blocks(spark, msgs, landing)
+        stream = read_block_stream(spark, landing)
+        q = (
+            dedup_block_stream(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        nums = sorted(r.block_num for r in spark.table("dedup_stream").collect())
+        assert nums == list(range(10))  # replays collapsed, no gaps
+
     def test_fixture_replay_shape(self, spark):
         msgs = fixture_replay(spark, "/root/testdata/sf0.001", undo_at=50)
         assert any(m["msg_type"] == "undo" for m in msgs)
