@@ -1,0 +1,326 @@
+"""Temporal operators: as-of join, range (interval) join, hypertable
+time-bucket rollup, latest-row-per-key.
+
+These are the operators a time-series / event-log deployment needs beyond
+plain SQL, each expressed as a composition of built-in DataFrame ops so
+Catalyst plans them (no UDFs, no cross joins):
+
+- **as-of join** (`q_join_asof`): the classic "most recent fact at or
+  before this time per key". Implemented as a tagged UNION + one keyed
+  window pass with `last(..., ignorenulls=True)` — ONE shuffle on the key,
+  no range explosion, no per-row probe. The DuckDB oracle uses its native
+  `ASOF LEFT JOIN`, which is an *independent algorithm* for the same
+  semantics — a stronger check than mirroring the union trick in SQL.
+- **range join** (`q_join_range`): events within a ± window of each other.
+  A naive formulation is a quadratic theta-join; this one bins timestamps
+  to window-width buckets, replicates one side to its 3 candidate buckets,
+  equi-joins on bucket, then applies the precise predicate — the standard
+  binned-interval-join that shards on a 1000-executor cluster. The oracle
+  is the plain inequality join (DuckDB plans an IEJoin).
+- **hypertable rollup** (`q_rollup_timebucket`): the continuous-aggregate
+  pattern (TimescaleDB's `time_bucket`): epoch-aligned 15-minute buckets
+  via `F.window`, the exact op a streaming deployment would run with
+  `readStream` + watermark unchanged.
+- **latest per key** (`q_latest_per_key`): read-side dedup that the
+  reference delegates to ClickHouse's ReplacingMergeTree + FINAL
+  (/root/reference/README.md:9-11 uses that engine trick for cursors).
+  Implemented as a lexicographic `max(struct(ts, ...))` aggregate — NOT a
+  row_number window — because an aggregate gets map-side partial
+  combining (per-executor state = one row per live key) while a window
+  must fully sort every partition; at 100 TB that is the difference
+  between a rollup and a global sort.
+
+Cents convention per registry.py: money-like doubles are rounded per-row
+into integer cents and summed as longs (order-independent across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elric_rs_spark.registry import query
+from elric_rs_spark.tables import load_table
+
+RANGE_US = 300 * 1_000_000  # ± 5 minutes, in microseconds
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _us(col: str) -> F.Column:
+    """Microseconds since epoch for a TIMESTAMP_NTZ column, timezone-free.
+
+    `unix_micros` rejects NTZ inputs and casting NTZ->TIMESTAMP reads the
+    session timezone (a vanilla driver session may not be UTC), so derive
+    the integer directly: timestampdiff against the NTZ epoch literal is
+    exact and independent of any session conf. DuckDB side: `epoch_us`.
+    """
+    return F.expr(
+        f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {col})"
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts,
+         sum(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+),
+c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS click_cents
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.click_cents,
+       p.ts AS purchase_ts, p.purchase_cents,
+       CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent purchase at or
+    before the click's timestamp (the kdb+/pandas `merge_asof` semantic).
+
+    Purchases are pre-aggregated to unique (user_id, ts) so ties at the
+    same instant are deterministic on both engines. The union+window form
+    shuffles each side ONCE on user_id; `(ts, is_click)` ordering puts a
+    same-instant purchase before the click, giving `>=` (at-or-before)
+    semantics. Skewed keys split under AQE like any keyed window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.sum(_cents("value")).alias("purchase_cents"))
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", _cents("value").alias("click_cents")
+    )
+    u = c.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "click_cents",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("purchase_cents"),
+    ).unionByName(
+        p.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("click_cents"),
+            F.lit(0).alias("is_click"),
+            "purchase_cents",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn(
+            "purchase_ts",
+            F.last(F.when(F.col("is_click") == 0, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .withColumn("asof_cents", F.last("purchase_cents", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "click_cents",
+            "purchase_ts",
+            F.col("asof_cents").alias("purchase_cents"),
+            (_us("ts") - _us("purchase_ts")).alias("gap_us"),
+        )
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+WITH e AS (
+  SELECT event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT a.event_id,
+       count(b.event_id) AS n_nearby,
+       COALESCE(sum(b.cents), 0) AS nearby_cents
+FROM e a
+LEFT JOIN e b
+  ON b.event_id <> a.event_id
+ AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+GROUP BY a.event_id
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: for every event, count and sum the OTHER events
+    within ±5 minutes (any user) — the interval-join shape behind
+    concurrency metrics, overlap detection, and windows-of-interest.
+
+    Scale shape: timestamps are binned to window-width (5 min) buckets
+    with exact integer arithmetic on epoch-microseconds; the probe side is
+    replicated to its 3 candidate buckets (bucket-1, bucket, bucket+1) and
+    the join is a plain EQUI-join on bucket with the precise |Δt| ≤ 5 min
+    predicate evaluated inside it. |Δt| ≤ width guarantees the candidate
+    buckets cover every qualifying pair, and each pair qualifies under
+    exactly one offset, so no dedup pass is needed. Work is O(pairs), the
+    shuffle key is a uniform time bucket (AQE splits hot buckets), and no
+    CartesianProduct appears in the plan — the naive theta-join version
+    would be O(n²) and unshardable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        _cents("value").alias("cents"),
+        _us("ts").alias("us"),
+        (_us("ts") - (_us("ts") % F.lit(RANGE_US))).alias("bucket"),
+    )
+    # probe side is re-derived from the source scan (not from `base`) so the
+    # analyzer sees two distinct lineages instead of an ambiguous self-join
+    probe = (
+        ev.select(
+            F.col("event_id").alias("o_id"),
+            F.col("ts").alias("o_ts"),
+            _cents("value").alias("o_cents"),
+        )
+        .withColumn("o_us", _us("o_ts"))
+        .withColumn(
+            "delta", F.explode(F.array(F.lit(-RANGE_US), F.lit(0), F.lit(RANGE_US)))
+        )
+        .select(
+            "o_id",
+            "o_us",
+            "o_cents",
+            ((F.col("o_us") - F.col("o_us") % F.lit(RANGE_US)) + F.col("delta")).alias(
+                "jbucket"
+            ),
+        )
+    )
+    joined = base.join(
+        probe,
+        (base["bucket"] == probe["jbucket"])
+        & (probe["o_id"] != base["event_id"])
+        & (F.abs(probe["o_us"] - base["us"]) <= F.lit(RANGE_US)),
+        "left",
+    )
+    return joined.groupBy(base["event_id"]).agg(
+        F.count("o_id").alias("n_nearby"),
+        F.coalesce(F.sum("o_cents"), F.lit(0)).alias("nearby_cents"),
+    )
+
+
+@query(
+    "q_rollup_timebucket",
+    oracle="""
+SELECT
+  date_trunc('minute', ts)
+    - (CAST(extract(minute FROM ts) AS INT) % 15) * INTERVAL 1 MINUTE
+    AS bucket_start,
+  event_type,
+  count(*) AS n_events,
+  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+  count(DISTINCT user_id) AS n_users,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_rollup_timebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable time-bucket rollup (TimescaleDB `time_bucket` /
+    ClickHouse `toStartOfFifteenMinutes` shape): epoch-aligned 15-minute
+    buckets × event_type, with count / cents-sum / distinct users /
+    min-max.
+
+    Uses `F.window` — the SAME expression works unchanged under
+    `readStream` + `withWatermark` as a streaming continuous aggregate
+    (SURVEY §2 X13 is the streaming variant; this is its hypertable
+    batch form). One shuffle with map-side partial aggregation; at 100 TB
+    the table would be written `partitionBy(date)` so the scan prunes to
+    the queried time range before the rollup. min/max return stored
+    values (not arithmetic), so they compare exactly across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents("value")).alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+            "n_users",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@query(
+    "q_latest_per_key",
+    oracle="""
+SELECT user_id, event_type,
+       event_id AS latest_event_id,
+       ts AS latest_ts,
+       CAST(round(value * 100) AS BIGINT) AS latest_cents
+FROM (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) t
+WHERE rn = 1
+""",
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per (user_id, event_type) — the read-side dedup the
+    reference delegates to ClickHouse ReplacingMergeTree + FINAL
+    (/root/reference/README.md:9-11; its cursors table relies on exactly
+    this "keep the newest version per key" semantic).
+
+    Implemented as `max(struct(ts, event_id, cents))` — lexicographic
+    struct max with event_id as the deterministic tiebreak — rather than
+    a row_number window: the aggregate gets map-side partial combining
+    (executor state is one row per live key, shuffle carries only
+    per-key maxima) while a window function must fully sort each
+    partition. At 100 TB keys ≫ memory this is the difference between a
+    streaming-friendly rollup and a global sort. The oracle uses the
+    row_number formulation — an independent algorithm for the same
+    semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("event_id"),
+                _cents("value").alias("cents"),
+            ).alias("s"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.max("s").alias("s"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("s.event_id").alias("latest_event_id"),
+            F.col("s.ts").alias("latest_ts"),
+            F.col("s.cents").alias("latest_cents"),
+        )
+    )
