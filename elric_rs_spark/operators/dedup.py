@@ -415,3 +415,94 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SURVEY.md §2.3 X15 names the near-dup contract key `q_dedup_near`; the
 # MinHash+LSH pipeline IS that operator — register it under both names.
 query("q_dedup_near")(q_dedup_minhash)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round of map-reduce connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014):
+    every neighbor LARGER than u is re-pointed at the minimum of u's
+    closed neighborhood. One symmetrize + one groupBy."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u"))))
+    return (
+        grouped.select(F.col("u").alias("c"), m.alias("m"), F.explode("nbrs").alias("n"))
+        .filter(F.col("n") > F.col("c"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: direct each edge large->small, then point every
+    smaller-or-equal neighbor (and u itself) at the minimum of that
+    down-neighborhood."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    grouped = directed.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    closed = F.array_union(F.col("nbrs"), F.array(F.col("u")))
+    m = F.array_min(closed)
+    return (
+        grouped.select(F.col("u").alias("c"), m.alias("m"), F.explode(closed).alias("n"))
+        .filter(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+@query("q_dedup_clusters")  # rows-only: iterative fixpoint, not SQL-expressible
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: connected components over the MinHash
+    near-dup pair graph, the endgame of corpus dedup — a chain a~b~c must
+    collapse to ONE kept document even though (a,c) was never a candidate
+    pair, which pairwise dedup alone cannot express.
+
+    Components via alternating large-star/small-star contraction (Kiveris
+    et al., SoCC 2014): converges in O(log n) rounds INDEPENDENT OF GRAPH
+    DIAMETER — naive min-label propagation needs O(diameter) rounds and a
+    chain of near-dups (template drift over time) is exactly a long path.
+    Each round is one groupBy per star op on the EDGE set (candidate
+    pairs, orders of magnitude smaller than the corpus at 100 TB); the
+    driver loop holds no data, only the convergence check (exceptAll on
+    the edge sets, empty => star graph reached; 12-round guard = graphs
+    beyond 2^12 contraction depth don't occur for near-dup clusters).
+
+    Output: one row per duplicate cluster (>= 2 members): representative
+    (min doc_id = the kept document), member count, sorted member list.
+    """
+    pairs = q_dedup_minhash(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    # localCheckpoint per round: an iterative DataFrame loop otherwise
+    # doubles its lineage every iteration (round k's plan embeds round
+    # k-1's twice via the two star ops), so the convergence check would
+    # recompute an exponentially deep DAG. Checkpointing pins each
+    # round's edge set and keeps every round O(|edges|).
+    edges = pairs.distinct().localCheckpoint()
+    for _ in range(12):
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        stable = (
+            nxt.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(nxt).limit(1).count() == 0
+        )
+        edges = nxt
+        if stable:
+            break
+    # star graph: v is the component root for every member u; add the
+    # roots themselves, then fold to one row per cluster
+    labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("rep")).union(
+        edges.select(F.col("v").alias("doc_id"), F.col("v").alias("rep"))
+    ).distinct()
+    return (
+        labels.groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("rep")
+    )

@@ -1,0 +1,236 @@
+"""Deterministic sampling, histogramming, term stats, edit-distance
+matching — the reproducibility-critical utilities of a training-data
+pipeline.
+
+Sampling for dataset curation must be DETERMINISTIC and CLUSTER-STABLE:
+`df.sample()` draws from per-partition RNG streams, so the selected set
+changes with partitioning, task retries, and engine version — unacceptable
+when a training run must be reproducible bit-for-bit. The standard fix is
+hash-based Bernoulli sampling: a row is kept iff a multiplicative hash of
+its stable key lands under the rate threshold. Same rows selected on any
+engine, any partitioning, any day — which is also what makes it
+ORACLE-CHECKABLE (DuckDB evaluates the identical integer arithmetic).
+
+All hash arithmetic stays inside BIGINT (max intermediate ~2.7e15 << 2^63)
+so it is ANSI-overflow-safe, and every op is a Catalyst built-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elric_rs_spark.registry import query
+from elric_rs_spark.tables import load_table
+
+# Knuth multiplicative hash, bounded below 2^63: fold the key into a prime
+# field first, then mix. ~U(0, 2^32) for sequential or hashed keys alike.
+HASH_PRIME = 1_000_003
+HASH_MIX = 2_654_435_761  # floor(2^32 / golden ratio)
+HASH_EXPR = f"((doc_id % {HASH_PRIME}) * {HASH_MIX} + 12345) % 4294967296 % 1000"
+
+
+def _sample_slot() -> F.Column:
+    """Per-row deterministic slot in [0, 1000): keep iff slot < rate‰."""
+    return F.expr(HASH_EXPR)
+
+
+@query(
+    "q_sample_hash",
+    oracle=f"""
+SELECT source,
+       count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents
+WHERE {HASH_EXPR} < 50
+GROUP BY source
+""",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% deterministic Bernoulli sample of `documents` by hashed doc_id.
+
+    The predicate is pure integer arithmetic on the key, so Catalyst
+    pushes it into the scan and the sample never shuffles; at 100 TB this
+    is a full-scan filter with 5% selectivity and zero coordination —
+    vs `df.sample()` whose output depends on partition layout. The
+    grouped per-source stats verify the exact membership against DuckDB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(_sample_slot() < 50)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN {HASH_EXPR} <
+             CASE WHEN lang = 'en' THEN 100 ELSE 400 END
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(CAST(sum(CASE WHEN {HASH_EXPR} <
+             CASE WHEN lang = 'en' THEN 100 ELSE 400 END
+           THEN 1 ELSE 0 END) AS BIGINT) / count(*), 6) AS frac
+FROM documents
+GROUP BY lang
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language rates (10% for the
+    majority 'en' stratum, 40% for the tail) — the down-sample-the-head /
+    up-weight-the-tail move every corpus-balancing pipeline makes.
+
+    Expressed as a conditional aggregate over the SAME hash slot as
+    q_sample_hash, so strata rates can be retuned without re-reading data
+    (one scan, one groupBy, map-side combine).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(100)).otherwise(F.lit(400))
+    sampled = F.sum(F.when(_sample_slot() < rate, 1).otherwise(0)).cast("long")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        sampled.alias("n_sampled"),
+        F.round(sampled / F.count(F.lit(1)), 6).alias("frac"),
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+SELECT least(CAST(round(l_extendedprice * 100) AS BIGINT) // 500000, 19)
+         AS bucket,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM lineitem
+GROUP BY 1
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of lineitem prices: 20 buckets of $5,000
+    (clamped top bucket). Bucketing is INTEGER division on cents — exact
+    and engine-portable, where `floor(price / width)` on doubles flips at
+    ULP boundaries. One scan + one groupBy on a 20-value key: at 100 TB
+    this is a map-side-combined aggregate whose shuffle carries 20 rows
+    per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.select(
+            F.least(
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 500000"),
+                F.lit(19),
+            ).alias("bucket"),
+            cents.alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "q_term_freq",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok
+WHERE term <> ''
+GROUP BY term
+ORDER BY df DESC, tf DESC, term
+LIMIT 20
+""",
+)
+def q_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency top-20 (the TF-IDF building block).
+
+    split -> explode -> one groupBy(term): term frequency is a plain
+    count (map-side combined); document frequency is count(DISTINCT
+    doc_id), which Spark executes as a two-phase partial-distinct — no
+    per-doc set materialization. Top-20 via TakeOrdered with full
+    (df, tf, term) tiebreak so membership is deterministic. At 100 TB
+    the only shuffle is keyed by term; hot stopword keys are exactly
+    what AQE skew-split handles."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, lang, n_chars // 20 AS len_bucket,
+         substring(text, 1, 40) AS prefix
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.prefix, b.prefix) AS dist
+FROM k a
+JOIN k b
+  ON a.lang = b.lang
+ AND a.len_bucket = b.len_bucket
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 12
+""",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs on document prefixes — the fuzzy
+    complement to token-set dedup (MinHash misses small in-word edits;
+    Levenshtein catches them).
+
+    Scale shape: Levenshtein is O(len²) per pair, so it NEVER runs
+    all-pairs — candidate pairs come from an equi-join on a blocking key
+    (lang, length-bucket), the same block-then-verify discipline as
+    MinHash/SimHash. Distance runs on a fixed 40-char prefix, bounding
+    per-pair cost. Both sides derive from independent scans (no ambiguous
+    self-join); the join is a plain shuffle on the block key."""
+    def keyed(alias: str) -> DataFrame:
+        return load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias(f"doc_{alias}"),
+            F.col("lang").alias(f"lang_{alias}"),
+            F.expr("n_chars div 20").alias(f"lb_{alias}"),
+            F.substring("text", 1, 40).alias(f"prefix_{alias}"),
+        )
+
+    a, b = keyed("a"), keyed("b")
+    return (
+        a.join(
+            b,
+            (a["lang_a"] == b["lang_b"])
+            & (a["lb_a"] == b["lb_b"])
+            & (a["doc_a"] < b["doc_b"]),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("prefix_a", "prefix_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 12)
+    )

@@ -56,6 +56,7 @@ def load_all() -> None:
     from elric_rs_spark.operators import aggregates  # noqa: F401  T4/X5-X7
     from elric_rs_spark.operators import joins  # noqa: F401  X1-X4
     from elric_rs_spark.operators import temporal  # noqa: F401  as-of/range/time-bucket
+    from elric_rs_spark.operators import sampling  # noqa: F401  det-sample/histogram/fuzzy
     from elric_rs_spark.operators import subqueries  # noqa: F401  SQL surface
     from elric_rs_spark.operators import setops  # noqa: F401  X10/X11
     from elric_rs_spark.operators import scalars  # noqa: F401  X12/T1
