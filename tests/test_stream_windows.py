@@ -143,3 +143,90 @@ class TestStreamingWindows:
         rows = spark.table("swin_session").orderBy("s").collect()
         closed = [r for r in rows if r.n > 1]
         assert [r.n for r in closed] == [5, 3]
+
+
+class TestStreamStreamJoin:
+    """Watermarked stream-stream interval join: the streaming result must
+    equal the batch evaluation of the SAME expression over the same
+    landed data (streaming/joins.py)."""
+
+    @staticmethod
+    def _land(spark, tmpdir):
+        import pyspark.sql.types as T
+
+        imp_schema = T.StructType(
+            [
+                T.StructField("imp_id", T.LongType()),
+                T.StructField("imp_user", T.LongType()),
+                T.StructField("imp_ts", T.TimestampType()),
+            ]
+        )
+        clk_schema = T.StructType(
+            [
+                T.StructField("clk_id", T.LongType()),
+                T.StructField("clk_user", T.LongType()),
+                T.StructField("clk_ts", T.TimestampType()),
+            ]
+        )
+        # 20 impressions (users 0-4, one per minute); clicks: some inside
+        # the 10-minute window, one outside it, one for a user with no
+        # impression
+        imps = [
+            (i, i % 5, BASE + datetime.timedelta(minutes=i)) for i in range(20)
+        ]
+        clks = (
+            [(100 + i, i % 5, BASE + datetime.timedelta(minutes=i, seconds=90)) for i in range(0, 20, 3)]
+            + [(200, 1, BASE + datetime.timedelta(hours=3))]  # outside window
+            + [(201, 9, BASE + datetime.timedelta(minutes=5))]  # no impression
+        )
+        spark.createDataFrame(imps, imp_schema).write.parquet(f"{tmpdir}/imps")
+        spark.createDataFrame(clks, clk_schema).write.parquet(f"{tmpdir}/clks")
+        return imp_schema, clk_schema
+
+    def test_stream_join_matches_batch(self, spark, tmpdir):
+        from elric_rs_spark.streaming.joins import interval_join
+
+        imp_schema, clk_schema = self._land(spark, tmpdir)
+
+        imp_s = (
+            spark.readStream.schema(imp_schema)
+            .parquet(f"{tmpdir}/imps")
+            .withWatermark("imp_ts", "10 minutes")
+        )
+        clk_s = (
+            spark.readStream.schema(clk_schema)
+            .parquet(f"{tmpdir}/clks")
+            .withWatermark("clk_ts", "10 minutes")
+        )
+        joined = interval_join(
+            imp_s, clk_s, "imp_user", "clk_user", "imp_ts", "clk_ts", "10 minutes"
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.imp_id, r.clk_id)
+            for r in spark.table("ssj").collect()
+        }
+
+        batch = interval_join(
+            spark.read.parquet(f"{tmpdir}/imps"),
+            spark.read.parquet(f"{tmpdir}/clks"),
+            "imp_user",
+            "clk_user",
+            "imp_ts",
+            "clk_ts",
+            "10 minutes",
+        )
+        want = {(r.imp_id, r.clk_id) for r in batch.collect()}
+
+        assert got == want and len(want) > 0
+        # the out-of-window click (id 200) and the no-impression click
+        # (id 201) never attribute
+        assert not any(c in (200, 201) for _, c in got)
