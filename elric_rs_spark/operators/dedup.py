@@ -417,6 +417,38 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("q_dedup_near")(q_dedup_minhash)
 
 
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Distributed connected components over an edge list `(u, v)` via
+    alternating large-star/small-star contraction (Kiveris et al., SoCC
+    2014): O(log n) rounds independent of graph diameter.
+
+    Returns a label table `(doc_id, rep)` covering every vertex that
+    appears in an edge; `rep` is the component minimum. Isolated
+    vertices (no edges) are absent — union them in if needed.
+
+    localCheckpoint per round: an iterative DataFrame loop otherwise
+    doubles its lineage every iteration (round k's plan embeds round
+    k-1's twice via the two star ops), so the convergence check would
+    recompute an exponentially deep DAG. Checkpointing pins each
+    round's edge set and keeps every round O(|edges|).
+    """
+    cur = edges.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    for _ in range(12):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        stable = (
+            nxt.exceptAll(cur).limit(1).count() == 0
+            and cur.exceptAll(nxt).limit(1).count() == 0
+        )
+        cur = nxt
+        if stable:
+            break
+    # star graph reached: v is the component root for every member u;
+    # add the roots themselves
+    return cur.select(F.col("u").alias("doc_id"), F.col("v").alias("rep")).union(
+        cur.select(F.col("v").alias("doc_id"), F.col("v").alias("rep"))
+    ).distinct()
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round of map-reduce connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond", SoCC 2014):
@@ -477,26 +509,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_minhash(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    # localCheckpoint per round: an iterative DataFrame loop otherwise
-    # doubles its lineage every iteration (round k's plan embeds round
-    # k-1's twice via the two star ops), so the convergence check would
-    # recompute an exponentially deep DAG. Checkpointing pins each
-    # round's edge set and keeps every round O(|edges|).
-    edges = pairs.distinct().localCheckpoint()
-    for _ in range(12):
-        nxt = _small_star(_large_star(edges)).localCheckpoint()
-        stable = (
-            nxt.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(nxt).limit(1).count() == 0
-        )
-        edges = nxt
-        if stable:
-            break
-    # star graph: v is the component root for every member u; add the
-    # roots themselves, then fold to one row per cluster
-    labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("rep")).union(
-        edges.select(F.col("v").alias("doc_id"), F.col("v").alias("rep"))
-    ).distinct()
+    labels = connected_components(pairs)
     return (
         labels.groupBy("rep")
         .agg(

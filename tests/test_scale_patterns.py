@@ -170,3 +170,58 @@ class TestRealImageDecode:
         assert b[:2] == b"BM"
         import struct
         assert struct.unpack_from("<I", b, 2)[0] == len(b)  # declared size == actual
+
+
+class TestConnectedComponents:
+    """connected_components (dedup.py) vs a reference union-find, on
+    graph shapes chosen to break weak implementations: a long path
+    (diameter ~ n, where naive min-label propagation needs n rounds — the
+    star-contraction must still converge inside its 12-round guard), a
+    union of cliques, and a seeded random graph."""
+
+    @staticmethod
+    def _union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {x: find(x) for x in parent}
+
+    def _check(self, spark, edges):
+        from elric_rs_spark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {r.doc_id: r.rep for r in connected_components(df).collect()}
+        want = self._union_find(edges)
+        assert got == want
+
+    def test_long_path(self, spark):
+        # 60-node path: one component rooted at 0; diameter 60 >> 12
+        # rounds, so this fails if contraction were diameter-bound
+        self._check(spark, [(i, i + 1) for i in range(60)])
+
+    def test_disjoint_cliques(self, spark):
+        edges = []
+        for base in (0, 100, 200):
+            nodes = [base + i for i in range(6)]
+            edges += [(a, b) for a in nodes for b in nodes if a < b]
+        self._check(spark, edges)
+
+    def test_seeded_random_graph(self, spark):
+        import random
+
+        rng = random.Random(42)
+        edges = [
+            (rng.randrange(80), rng.randrange(80)) for _ in range(120)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        self._check(spark, edges)
