@@ -245,3 +245,82 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("pct", 3), 4).alias("p75"),
         )
     )
+
+
+@query(
+    "q_agg_custdist",
+    oracle="""
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY n_orders
+""",
+)
+def q_agg_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT join so
+    zero-order customers land in the n_orders=0 bin, then an aggregate OF
+    an aggregate.
+
+    Scale shape: the inner count groups on the join key the left join
+    just shuffled on, so Catalyst reuses the partitioning (no second
+    exchange); the outer groupBy keys on the count value — tiny domain,
+    map-side combine collapses it to one row per distinct count per task.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "q_agg_topview",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.total_cents
+FROM rev
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_cents = (SELECT max(total_cents) FROM rev)
+""",
+)
+def q_agg_topview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-revenue supplier via aggregate view + join-back (TPC-H Q15
+    shape): the revenue rollup is computed once, its max is taken as a
+    scalar, and the winning row(s) join back to the dimension — ties
+    all surface, unlike a LIMIT 1.
+
+    Scale shape: the rollup aggregates lineitem down to one row per
+    supplier BEFORE anything else touches it; the max is a single-row
+    reduction of that small result and broadcasts back as a filter, and
+    the supplier dimension joins broadcast. The 100 TB fact table is
+    read once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("total_cents")
+    )
+    best = rev.agg(F.max("total_cents").alias("m"))
+    return (
+        rev.join(F.broadcast(best), rev.total_cents == best.m)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+    )
