@@ -380,3 +380,70 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+WITH d AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS maxabs
+  FROM d
+),
+q AS (
+  SELECT vec_id, maxabs,
+         list_transform(v, x -> CAST(round(x * 127.0 / maxabs) AS BIGINT)) AS qv
+  FROM s
+  WHERE maxabs > 0
+)
+SELECT vec_id,
+       round(maxabs, 6) AS maxabs,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+FROM q
+ORDER BY vec_id
+LIMIT 100
+""",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings (the standard
+    4x ANN-index compression): per-vector scale = 127 / max|v|,
+    q_i = round(v_i * scale) in [-127, 127].
+
+    Embarrassingly parallel array math, no shuffle except the final
+    top-100 TakeOrdered (which exists only to keep the oracle row set
+    bounded). Float32 inputs are widened to DOUBLE on BOTH engines
+    before any arithmetic — float32 ops differ across engines, doubles
+    widened from the same float32 bits do not. The checked columns are
+    integer summaries of the full quantized vector, so the oracle
+    verifies every element's rounding without hashing a float array."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    d = e.select("vec_id", v.alias("v"), maxabs.alias("maxabs")).filter(
+        F.col("maxabs") > 0
+    )
+    qv = F.transform(
+        F.col("v"), lambda x: F.round(x * 127.0 / F.col("maxabs")).cast("long")
+    )
+    d = d.select("vec_id", F.round("maxabs", 6).alias("maxabs"), qv.alias("qv"))
+    zero = F.lit(0).cast("long")
+    return (
+        d.select(
+            "vec_id",
+            "maxabs",
+            F.array_min("qv").alias("q_min"),
+            F.array_max("qv").alias("q_max"),
+            F.aggregate("qv", zero, lambda acc, x: acc + x).alias("q_sum"),
+            F.aggregate("qv", zero, lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )

@@ -324,3 +324,63 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.cents").alias("latest_cents"),
         )
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT '2_click', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel signup -> click -> purchase (the
+    ClickHouse `windowFunnel` semantic, strict mode): a user advances to
+    stage k only with an event strictly AFTER their stage k-1 time;
+    stage time = earliest qualifying event.
+
+    Scale shape: each stage is a filtered scan (event_type predicate
+    pushes into parquet, so 3 'passes' read ~1/5 of the data each) plus a
+    shuffle join on user_id against the previous stage's per-user row —
+    never broadcast, since at 100 TB the user dimension is itself huge.
+    Stage state is one row per surviving user, shrinking monotonically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None, prev_t: str, t: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(t))
+
+    s1 = stage("signup", None, "", "t1")
+    s2 = stage("click", s1, "t1", "t2")
+    s3 = stage("purchase", s2, "t2", "t3")
+
+    def count_stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        count_stage(s1, "1_signup")
+        .unionByName(count_stage(s2, "2_click"))
+        .unionByName(count_stage(s3, "3_purchase"))
+    )
