@@ -435,10 +435,10 @@ def connected_components(edges: DataFrame) -> DataFrame:
     cur = edges.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
     for _ in range(12):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
-        stable = (
-            nxt.exceptAll(cur).limit(1).count() == 0
-            and cur.exceptAll(nxt).limit(1).count() == 0
-        )
+        # one symmetric-difference job per round (not two): either
+        # direction non-empty means not converged
+        diff = nxt.exceptAll(cur).union(cur.exceptAll(nxt))
+        stable = diff.limit(1).count() == 0
         cur = nxt
         if stable:
             break

@@ -177,3 +177,67 @@ def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "word"),
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+
+
+@query(
+    "q_scalar_regex",
+    oracle="""
+SELECT event_type,
+       CAST(count(CASE WHEN regexp_matches(props, '"k":\\s*[0-9]*[02468]\\b')
+                  THEN 1 END) AS BIGINT) AS n_even_k,
+       min(regexp_extract(props, '[0-9]+')) AS first_num_min,
+       max(regexp_extract(props, '[0-9]+')) AS first_num_max
+FROM events
+GROUP BY event_type
+""",
+)
+def q_scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function surface (X12): match-count + extract aggregation.
+
+    Patterns stay inside the POSIX-common subset (character classes,
+    quantifiers, word boundary) that Java regex (Spark) and RE2-style
+    engines (DuckDB) interpret identically — engine-portable regex means
+    no backrefs, no lookaround, no engine-specific classes. rlike/
+    regexp_extract are codegen'd JVM calls, embarrassingly parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    even_k = F.col("props").rlike('"k":\\s*[0-9]*[02468]\\b')
+    first_num = F.regexp_extract("props", "[0-9]+", 0)
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(even_k, 1)).alias("n_even_k"),
+        F.min(first_num).alias("first_num_min"),
+        F.max(first_num).alias("first_num_max"),
+    )
+
+
+@query(
+    "q_scalar_array",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_toks,
+       array_to_string(list_sort(toks[1:3]), '|') AS first3_sorted,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       CAST(len(list_filter(toks, x -> length(x) > 4)) AS INT) AS n_long,
+       array_to_string(list_reverse(toks)[1:2], '|') AS last2_rev
+FROM t
+""",
+)
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function surface (X12): slice, sort, distinct,
+    filter-lambda, reverse — the list-manipulation core, all Catalyst
+    built-ins evaluated row-locally (array columns never shuffle as
+    join keys here; string renderings keep the oracle comparison scalar
+    and representation-stable)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split(F.trim(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_join(F.array_sort(F.slice(toks, 1, 3)), "|").alias("first3_sorted"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.array_join(F.slice(F.reverse(toks), 1, 2), "|").alias("last2_rev"),
+    )
