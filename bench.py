@@ -47,6 +47,11 @@ HEADLINE = [
     "q_text_stats",
     "q_agg_stats",
     "q_topk",
+    "q_join_asof",
+    "q_join_range",
+    "q_latest_per_key",
+    "q_funnel",
+    "q_curation_pipeline",
 ]
 
 
