@@ -150,3 +150,42 @@ def test_lsh_bucket_sizes_bounded(spark):
     assert max_bucket <= max(8, n // 10), (
         f"LSH bucket of {max_bucket} rows vs corpus {n} — quadratic blowup"
     )
+
+
+class TestExchangeBudgets:
+    """Shuffle-count pins for the second-wave operators: the property that
+    makes each scale-safe is a BOUNDED number of exchanges — a regression
+    that adds a shuffle (lost partitioning reuse, lost broadcast) fails
+    here even though results stay correct."""
+
+    @pytest.mark.parametrize(
+        "name,max_exchanges",
+        [
+            ("q_latest_per_key", 1),   # one keyed aggregate, no window sort
+            ("q_histogram", 1),        # scan -> partial agg -> one shuffle
+            ("q_curation_pipeline", 2),  # dedup groupBy + report groupBy
+            ("q_join_asof", 2),        # purchase pre-agg + one window shuffle
+            ("q_sample_hash", 1),      # pushed filter + one report groupBy
+        ],
+    )
+    def test_exchange_budget(self, spark, name, max_exchanges):
+        plan = physical_plan(QUERIES[name](spark, SF_DIR))
+        # ReusedExchange re-reads shuffle files; only count real shuffles
+        n = plan.count("Exchange") - plan.count("ReusedExchange")
+        assert n <= max_exchanges, f"{name}: {n} exchanges (max {max_exchanges})\n{plan}"
+
+    def test_sample_filter_pushed_to_scan(self, spark):
+        """The deterministic-sample predicate is key arithmetic only, so
+        it must reach the parquet scan as a pushed/partition-local filter
+        (no separate filter stage after a full materialization)."""
+        df = QUERIES["q_sample_hash"](spark, SF_DIR)
+        plan = physical_plan(df)
+        assert "Filter" in plan  # evaluated scan-side, pre-aggregate
+
+    def test_range_join_is_equi_not_theta(self, spark):
+        """q_join_range must plan as an equi-join on the bucket key (hash
+        or sort-merge) — a theta-only join (BroadcastNestedLoop /
+        Cartesian) means the binning regressed."""
+        plan = physical_plan(QUERIES["q_join_range"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
