@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Streaming-pipeline throughput bench (the reference's headline claim).
+
+The reference's performance posture is qualitative — "insert data into
+Clickhouse as fast as possible" (ref README.md:3) with NO published
+numbers — so this records the graft's self-baseline for the full
+wire-to-typed-tables topology: land block change-sets -> tail as a
+stream -> stateful finality buffer -> JSON decode -> composite-PK merge
+-> typed cast -> per-table parquet sink (the ClickHouse stand-in).
+
+Two rows per block across two tables (the reference's own end-to-end
+test shape, ref loader.rs:358-402). Prints ONE JSON line:
+  {"metric": "pipeline_blocks_per_sec", ...}
+
+Not wired into bench.py (the driver contract is one JSON line of query
+timings); run manually and record in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+
+def main() -> None:
+    n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    from elric_rs_spark.session import get_spark
+    from elric_rs_spark.streaming.pipeline import TypedPerTableSink, run_pipeline
+    from elric_rs_spark.streaming.source import land_blocks
+    from test_pipeline import APPROVALS_SCHEMA, TRANSFERS_SCHEMA, _blocks
+
+    spark = get_spark("elric_rs_spark_stream_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp(prefix="elric_sbench_")
+    try:
+        landing, ckpt, out = f"{d}/landing", f"{d}/ckpt", f"{d}/out"
+        blocks = _blocks(n_blocks, reorg_depth=12)
+
+        t_land = time.monotonic()
+        land_blocks(spark, blocks, landing, batch_size=5_000)
+        land_s = time.monotonic() - t_land
+
+        schema = dict(TRANSFERS_SCHEMA, evt_tx_hash="String", evt_index="UInt32")
+        sink = TypedPerTableSink(
+            out, {"transfers": schema, "approvals": APPROVALS_SCHEMA}
+        )
+        t0 = time.monotonic()
+        q = run_pipeline(spark, landing, ckpt, sink)
+        q.awaitTermination(600)
+        wall = time.monotonic() - t0
+
+        n_rows = sum(
+            spark.read.parquet(f"{out}/data/{t}").count()
+            for t in ("transfers", "approvals")
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "pipeline_blocks_per_sec",
+                    "value": round(n_blocks / wall, 1),
+                    "unit": "blocks/sec",
+                    "rows_per_sec": round(n_rows / wall, 1),
+                    "n_blocks": n_blocks,
+                    "typed_rows_landed": n_rows,
+                    "pipeline_wall_sec": round(wall, 2),
+                    "landing_write_sec": round(land_s, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

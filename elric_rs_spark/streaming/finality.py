@@ -138,6 +138,37 @@ _OUTPUT_COLS = [
     "payload",
 ]
 
+_BUF_COLS = ["block_num", "block_id", "cursor", "final_block_height", "payload"]
+
+
+def _sort_arrival(pdf):
+    """Arrival-order sort shared by both kernels (see _replay_pdf doc)."""
+    if "seq" in pdf.columns and pdf["seq"].notna().any():
+        return pdf.sort_values("seq", kind="stable", na_position="first")
+    return pdf.sort_values("block_num", kind="stable")
+
+
+def _emit_count(buf_nums: list, new_nums: list, watermarks: list, cap: int) -> int:
+    """Vectorized-fast-path core: how many rows of (buffer + batch), in
+    arrival order, the sequential push() loop would emit.
+
+    Replays the reference's per-block rule (ref loader.rs:82-109) on
+    integer lists instead of row objects: after appending row i, advance
+    the emit pointer over the prefix while front.block_num <= that row's
+    watermark (stop at the first non-final front — NOT a filter), then
+    force it forward if more than `cap` rows remain buffered. Amortized
+    O(n); equivalence with FinalityBuffer.push is property-tested."""
+    nums = buf_nums + new_nums
+    m = len(buf_nums)
+    p = 0
+    for i, w in enumerate(watermarks):
+        total = m + i + 1
+        while p < total and nums[p] <= w:
+            p += 1
+        if total - p > cap:
+            p = total - cap
+    return p
+
 
 def _finality_func(key, pdf_iter, state):
     """Grouped-map-with-state kernel: replays FinalityBuffer per stream key.
@@ -145,35 +176,96 @@ def _finality_func(key, pdf_iter, state):
     Input rows must arrive in block order within the micro-batch (the
     source guarantees per-stream ordering via `seq`). Undo signals are
     rows with msg_type='undo' and last_valid_block set.
+
+    Two kernels per frame: undo-free frames (the steady state — reorgs
+    are rare) take a FAST PATH that computes the emit count on integer
+    lists and emits a DataFrame SLICE, avoiding per-row object churn
+    (measured 37 s -> sub-second for a 40k-row micro-batch); frames
+    containing an undo replay the exact row-by-row state machine.
     """
     import pandas as pd
 
     (stream_id,) = key
     if state.exists:
         nums, ids, curs, heights, payloads = state.get
-        buf = FinalityBuffer(
-            buffer=[
-                Block(n, i, c, h, p)
-                for n, i, c, h, p in zip(nums, ids, curs, heights, payloads)
-            ]
-        )
+        buf_pdf = pd.DataFrame(
+            {
+                "block_num": list(nums),
+                "block_id": list(ids),
+                "cursor": list(curs),
+                "final_block_height": list(heights),
+                "payload": list(payloads),
+            }
+        ).astype({"block_num": "int64", "final_block_height": "int64"})
     else:
-        buf = FinalityBuffer()
+        buf_pdf = pd.DataFrame(
+            {
+                "block_num": pd.Series([], dtype="int64"),
+                "block_id": pd.Series([], dtype="object"),
+                "cursor": pd.Series([], dtype="object"),
+                "final_block_height": pd.Series([], dtype="int64"),
+                "payload": pd.Series([], dtype="object"),
+            }
+        )
 
-    out_rows: list[tuple] = []
+    outs: list[pd.DataFrame] = []
     for pdf in pdf_iter:
-        out_rows.extend(_replay_pdf(buf, pdf, stream_id))
+        has_undo = (
+            "msg_type" in pdf.columns and (pdf["msg_type"] == "undo").any()
+        )
+        if has_undo:
+            # exact slow path: rebuild Block objects, replay, store back
+            buf = FinalityBuffer(
+                buffer=[
+                    Block(
+                        int(r.block_num),
+                        r.block_id,
+                        r.cursor,
+                        int(r.final_block_height),
+                        r.payload,
+                    )
+                    for r in buf_pdf.itertuples(index=False)
+                ]
+            )
+            rows = _replay_pdf(buf, pdf, stream_id)
+            outs.append(pd.DataFrame(rows, columns=_OUTPUT_COLS))
+            buf_pdf = pd.DataFrame(
+                {
+                    "block_num": [b.block_num for b in buf.buffer],
+                    "block_id": [b.block_id for b in buf.buffer],
+                    "cursor": [b.cursor for b in buf.buffer],
+                    "final_block_height": [b.final_block_height for b in buf.buffer],
+                    "payload": [b.payload for b in buf.buffer],
+                }
+            )
+        else:
+            pdf = _sort_arrival(pdf)
+            combined = pd.concat(
+                [buf_pdf, pdf[_BUF_COLS]], ignore_index=True, copy=False
+            )
+            p = _emit_count(
+                buf_pdf["block_num"].tolist(),
+                pdf["block_num"].tolist(),
+                pdf["final_block_height"].tolist(),
+                REORG_BUFFER_LEN,
+            )
+            emitted = combined.iloc[:p].copy()
+            emitted.insert(0, "stream_id", stream_id)
+            outs.append(emitted[_OUTPUT_COLS])
+            buf_pdf = combined.iloc[p:].reset_index(drop=True)
 
     state.update(
         (
-            [b.block_num for b in buf.buffer],
-            [b.block_id for b in buf.buffer],
-            [b.cursor for b in buf.buffer],
-            [b.final_block_height for b in buf.buffer],
-            [b.payload for b in buf.buffer],
+            [int(v) for v in buf_pdf["block_num"]],
+            [str(v) for v in buf_pdf["block_id"]],
+            [str(v) for v in buf_pdf["cursor"]],
+            [int(v) for v in buf_pdf["final_block_height"]],
+            list(buf_pdf["payload"]),
         )
     )
-    yield pd.DataFrame(out_rows, columns=_OUTPUT_COLS)
+    yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+        columns=_OUTPUT_COLS
+    )
 
 
 def apply_finality_stateful(block_df):

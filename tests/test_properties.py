@@ -202,3 +202,41 @@ def test_parser_nullable_lowcard_wrappers(name):
     assert parse_column_type(f"Nullable({name})").nullable is True
     assert parse_column_type(f"LowCardinality({name})").name == name
     assert parse_column_type(f"Nullable(LowCardinality({name}))").nullable is True
+
+
+class TestEmitCountEquivalence:
+    """The finality fast path (_emit_count over integer lists) must agree
+    with the sequential FinalityBuffer.push replay on EVERY undo-free
+    arrival sequence — buffered prefix included."""
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=60), min_size=0, max_size=8),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=60),  # block_num
+                st.integers(min_value=0, max_value=60),  # final_block_height
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(min_value=1, max_value=12),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_matches_sequential_push(self, buf_nums, rows, cap):
+        from elric_rs_spark.streaming.finality import (
+            Block,
+            FinalityBuffer,
+            _emit_count,
+        )
+
+        buf = FinalityBuffer(
+            buffer_len=cap,
+            buffer=[Block(n, f"b{n}", str(n), 0) for n in buf_nums],
+        )
+        emitted = 0
+        for num, wm in rows:
+            emitted += len(buf.push(Block(num, f"b{num}", str(num), wm)))
+        got = _emit_count(
+            buf_nums, [num for num, _ in rows], [wm for _, wm in rows], cap
+        )
+        assert got == emitted
