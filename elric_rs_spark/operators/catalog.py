@@ -104,3 +104,45 @@ def q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, col_name in enumerate(sorted(f.name for f in schema.fields), start=1):
             rows.append((table, col_name, i))
     return spark.createDataFrame(rows, "table_name string, column_name string, ordinal int")
+
+
+_PROFILE_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, "
+    f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+    f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM lineitem"
+    for c in _PROFILE_COLS
+)
+
+
+@query("q_profile", oracle=_PROFILE_ORACLE)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE / data-quality surface): per-column
+    row, null, and exact distinct counts for every lineitem column, as
+    one long-format result.
+
+    ONE scan computes all 33 aggregates (vs the oracle's 11 scans —
+    DuckDB re-reads per UNION branch); the exact multi-column distinct
+    makes Spark expand the input 11x before the aggregate, which is the
+    oracle-checkable form. At 100 TB you swap count(DISTINCT) for
+    approx_count_distinct and the expand disappears — one pass, one
+    HLL sketch per column; the declared contract (long-format profile)
+    is unchanged. `stack` unpivots the single wide row row-locally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows, n_rows - nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (column_name, n_rows, n_nulls, n_distinct)"
+    )
