@@ -384,3 +384,61 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(count_stage(s2, "2_click"))
         .unionByName(count_stage(s3, "3_purchase"))
     )
+
+
+@query(
+    "q_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT f.cohort_day,
+       CAST(count(DISTINCT f.user_id) AS BIGINT) AS cohort_size,
+       CAST(count(DISTINCT CASE WHEN a.day = f.cohort_day + 7
+             THEN a.user_id END) AS BIGINT) AS retained_d7,
+       CAST(count(DISTINCT CASE WHEN a.day = f.cohort_day + 14
+             THEN a.user_id END) AS BIGINT) AS retained_d14
+FROM first_seen f
+LEFT JOIN activity a ON a.user_id = f.user_id
+GROUP BY f.cohort_day
+""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the ClickHouse `retention()` analytics shape):
+    users grouped by first-seen day; for each cohort, how many were
+    active exactly 7 and 14 days later.
+
+    Scale shape: both CTEs aggregate events down to per-user rows before
+    anything joins (first_seen = one row per user, activity = one row
+    per user-day), so the join input is user-dimension-sized, not
+    event-sized; the join keys on user_id and the final rollup groups on
+    ~30 cohort days with conditional distinct counts. No window
+    functions, no event-grain shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        first_seen.join(activity, "user_id", "left")
+        .groupBy("cohort_day")
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            F.countDistinct(
+                F.when(
+                    F.col("day") == F.date_add(F.col("cohort_day"), 7),
+                    F.col("user_id"),
+                )
+            ).alias("retained_d7"),
+            F.countDistinct(
+                F.when(
+                    F.col("day") == F.date_add(F.col("cohort_day"), 14),
+                    F.col("user_id"),
+                )
+            ).alias("retained_d14"),
+        )
+    )
