@@ -49,16 +49,37 @@ def _merged_row_map(fields, pk) -> F.Column:
     ).otherwise(F.map_concat(fields_clean, pk))
 
 
-def decode_changes(block_df: DataFrame) -> DataFrame:
+def decode_changes(block_df: DataFrame, mode: str = "strict") -> DataFrame:
     """T1+T2+T3: payload -> one row per table-change with the merged
     string->string field map. Pure Catalyst (from_json + explode +
-    map_concat) — whole-stage codegen, no Python."""
+    map_concat) — whole-stage codegen, no Python.
+
+    Malformed-payload policy (the reference PANICS on a decode failure,
+    loader.rs:128-131 `expect`): mode='strict' raises on the first
+    non-null payload that fails to parse — fail-fast reference parity;
+    mode='permissive' drops malformed rows (use `decode_errors` to
+    quarantine them for inspection, the same split discipline as the
+    typed-cast quarantine)."""
+    parsed = F.from_json("payload", CHANGES_JSON_SCHEMA)
+    if mode == "strict":
+        # the guard must live INSIDE a consumed expression — a separate
+        # guard column would be pruned by Catalyst before it evaluates
+        checked = F.when(
+            F.col("payload").isNotNull() & parsed.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("malformed change payload at block "),
+                    F.col("block_num").cast("string"),
+                )
+            ),
+        ).otherwise(F.col("payload"))
+        parsed = F.from_json(checked, CHANGES_JSON_SCHEMA)
     changes = block_df.select(
         "stream_id",
         "block_num",
         "block_id",
         "cursor",
-        F.explode(F.from_json("payload", CHANGES_JSON_SCHEMA)).alias("c"),
+        F.explode(parsed).alias("c"),
     )
     merged = _merged_row_map(F.col("c.fields"), F.col("c.pk"))
     return changes.select(
@@ -68,6 +89,16 @@ def decode_changes(block_df: DataFrame) -> DataFrame:
         "cursor",
         F.col("c.table").alias("table"),
         merged.alias("row_map"),
+    )
+
+
+def decode_errors(block_df: DataFrame) -> DataFrame:
+    """The quarantine half of mode='permissive': rows whose non-null
+    payload failed to parse, with full provenance (stream/block/cursor)
+    — same split discipline as cast.py's quarantine (T5)."""
+    parsed = F.from_json("payload", CHANGES_JSON_SCHEMA)
+    return block_df.filter(F.col("payload").isNotNull() & parsed.isNull()).select(
+        "stream_id", "block_num", "block_id", "cursor", "payload"
     )
 
 

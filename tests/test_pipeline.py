@@ -306,3 +306,43 @@ class TestDecodeChanges:
             "cursor string, payload string",
         )
         assert decode_changes(df).collect()[0].row_map["a"] == "field"
+
+
+class TestMalformedPayloadPolicy:
+    """Decode policy (the reference PANICS on malformed payloads,
+    ref loader.rs:128-131): strict raises with block provenance,
+    permissive drops + decode_errors quarantines."""
+
+    @staticmethod
+    def _frame(spark):
+        rows = [
+            ("s1", 1, "b1", "c1", _payload(1)),
+            ("s1", 2, "b2", "c2", "{not json at all"),
+            ("s1", 3, "b3", "c3", _payload(3)),
+        ]
+        return spark.createDataFrame(
+            rows, "stream_id string, block_num long, block_id string, "
+            "cursor string, payload string"
+        )
+
+    def test_strict_raises_with_block_provenance(self, spark):
+        from elric_rs_spark.streaming.pipeline import decode_changes
+
+        with pytest.raises(Exception, match="malformed change payload at block 2"):
+            decode_changes(self._frame(spark), mode="strict").collect()
+
+    def test_permissive_drops_and_quarantines(self, spark):
+        from elric_rs_spark.streaming.pipeline import decode_changes, decode_errors
+
+        df = self._frame(spark)
+        good = decode_changes(df, mode="permissive").collect()
+        # 2 valid payloads x 2 table changes each
+        assert sorted({r.block_num for r in good}) == [1, 3]
+        bad = decode_errors(df).collect()
+        assert [(r.block_num, r.payload) for r in bad] == [(2, "{not json at all")]
+
+    def test_strict_passes_clean_batches(self, spark):
+        from elric_rs_spark.streaming.pipeline import decode_changes
+
+        df = self._frame(spark).filter("block_num <> 2")
+        assert len(decode_changes(df, mode="strict").collect()) == 4
