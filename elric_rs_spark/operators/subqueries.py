@@ -67,3 +67,61 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a per-row inner query."""
     register_views(spark, sf_dir)
     return spark.sql(_SCALAR_SQL)
+
+
+_BIG_ORDERS_SQL = """
+SELECT c.c_name, o.o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+"""
+
+
+@query("q_subquery_bigorders", oracle=_BIG_ORDERS_SQL)
+def q_subquery_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): an IN subquery over a
+    grouped HAVING, joined back through customer. Catalyst plans the IN
+    as a left-semi join against the pre-aggregated order list — the fact
+    table is aggregated down BEFORE the three-way join, so at 100 TB the
+    heavy join inputs are order-grain, not lineitem-grain. Quantities
+    are integral doubles; their sums are exact and cast to BIGINT for a
+    representation-stable compare."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BIG_ORDERS_SQL)
+
+
+_IDLE_RICH_SQL = """
+SELECT c.c_nationkey % 7 AS cohort,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+  )
+GROUP BY c.c_nationkey % 7
+"""
+
+
+@query("q_subquery_idlerich", oracle=_IDLE_RICH_SQL)
+def q_subquery_idlerich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-customer potential): an UNCORRELATED
+    scalar subquery (broadcast as a literal after one aggregate pass),
+    an anti join against orders, and a derived-key rollup. The scalar
+    avg compares raw doubles on both engines — identical inputs, one
+    avg, same IEEE result — while the SUMMED money column goes through
+    integer cents. Anti join + scalar broadcast both shard: no per-row
+    subquery execution anywhere in the plan."""
+    register_views(spark, sf_dir)
+    return spark.sql(_IDLE_RICH_SQL)
