@@ -52,8 +52,14 @@ def main() -> None:
         )
         t0 = time.monotonic()
         q = run_pipeline(spark, landing, ckpt, sink)
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
         wall = time.monotonic() - t0
+        if not finished:
+            # a timed-out run must not masquerade as a measurement
+            q.stop()
+            print(json.dumps({"metric": "pipeline_blocks_per_sec",
+                              "error": "timeout", "n_blocks": n_blocks}))
+            sys.exit(1)
 
         n_rows = sum(
             spark.read.parquet(f"{out}/data/{t}").count()

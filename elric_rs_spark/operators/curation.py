@@ -121,8 +121,26 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     labels = connected_components(pairs)
-    dropped = labels.filter(F.col("doc_id") != F.col("rep")).select("doc_id")
-    survivors = deduped.join(F.broadcast(dropped), "doc_id", "left_anti")
+    # Survivor selection happens AMONG the upstream survivors, not the
+    # raw corpus: the cluster label keys the group, and the minimum doc
+    # still present after the quality gate + exact dedup is kept. Using
+    # the raw-corpus representative would erase a whole cluster whenever
+    # its rep was already quality-filtered out — every cluster with any
+    # surviving member must keep exactly one document.
+    keyed = deduped.join(F.broadcast(labels), "doc_id", "left").withColumn(
+        "cluster", F.coalesce("rep", "doc_id")
+    )
+    survivors = (
+        keyed.groupBy("cluster")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("doc_id"), F.col("lang"), F.col("source"), F.col("n_chars")
+                )
+            ).alias("s")
+        )
+        .select("s.doc_id", "s.lang", "s.source", "s.n_chars")
+    )
     return (
         survivors.groupBy("lang", "source")
         .agg(

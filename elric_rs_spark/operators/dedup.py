@@ -433,6 +433,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
     round's edge set and keeps every round O(|edges|).
     """
     cur = edges.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    stable = False
     for _ in range(12):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
         # one symmetric-difference job per round (not two): either
@@ -442,6 +443,13 @@ def connected_components(edges: DataFrame) -> DataFrame:
         cur = nxt
         if stable:
             break
+    if not stable:
+        # un-converged labels are WRONG labels (members mapped to
+        # non-root reps) and downstream dedup would drop the wrong
+        # documents — fail loudly instead
+        raise RuntimeError(
+            "connected_components did not converge within 12 star rounds"
+        )
     # star graph reached: v is the component root for every member u;
     # add the roots themselves
     return cur.select(F.col("u").alias("doc_id"), F.col("v").alias("rep")).union(

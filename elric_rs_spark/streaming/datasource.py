@@ -37,6 +37,7 @@ Two transports, chosen by options:
 from __future__ import annotations
 
 import importlib
+import itertools
 from collections.abc import Iterator
 from typing import Any
 
@@ -53,11 +54,15 @@ _FIELDS = [f.split()[0] for f in BLOCK_STREAM_SCHEMA.split(", ")]
 
 
 def _fixture_messages(options: dict) -> list[dict]:
-    """fixture_replay's message shape, derived from events.parquet with
-    pyarrow only (the reader must not depend on a SparkSession)."""
+    """fixture_replay's message stream, derived from events.parquet with
+    pyarrow only (the reader must not depend on a SparkSession). The
+    per-message dict shape comes from the SAME builders the landing-dir
+    replay uses (source.fixture_new_message/fixture_undo_message)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    from elric_rs_spark.streaming.source import fixture_stream_from_rows
 
     sf_dir = options["fixture_sf_dir"]
     reorg_depth = int(options.get("reorg_depth", "12"))
@@ -74,37 +79,11 @@ def _fixture_messages(options: dict) -> list[dict]:
         ),
     )
     rows = sorted(t.to_pylist(), key=lambda r: r["event_id"])
-    out: list[dict] = []
-    for r in rows:
-        num = int(r["event_id"])
-        out.append(
-            {
-                "stream_id": "fixture",
-                "msg_type": "new",
-                "block_num": num,
-                "block_id": f"blk-{num:08d}",
-                "block_ts": r["ts"],
-                "cursor": str(num),
-                "final_block_height": max(num - reorg_depth, 0),
-                "last_valid_block": None,
-                "payload": r["props"],
-            }
-        )
-        if undo_at is not None and num == undo_at:
-            out.append(
-                {
-                    "stream_id": "fixture",
-                    "msg_type": "undo",
-                    "block_num": num,
-                    "block_id": None,
-                    "block_ts": None,
-                    "cursor": None,
-                    "final_block_height": None,
-                    "last_valid_block": max(num - 3, 0),
-                    "payload": None,
-                }
-            )
-    return out
+    return fixture_stream_from_rows(
+        ((r["event_id"], r["ts"], r["props"]) for r in rows),
+        reorg_depth,
+        undo_at,
+    )
 
 
 def _resolve_factory(path: str, extra_sys_path: str | None = None):
@@ -124,53 +103,82 @@ def _resolve_factory(path: str, extra_sys_path: str | None = None):
 class SubstreamsStreamReader(SimpleDataSourceStreamReader):
     """Driver-side stream reader: offset = {"seq": int, "cursor": str}.
 
-    `read(start)` returns at most `batch_size` messages per micro-batch;
-    `readBetweenOffsets` replays a committed range deterministically
-    after driver failure (exact for the fixture transport; for a live
-    gRPC transport replay re-reads from the stream, which Substreams
-    guarantees deterministic for a cursor range).
+    `read(start)` returns at most `batch_size` messages per micro-batch.
+    Fixture mode is seq-addressable (the deterministic replay list);
+    live-factory mode holds ONE open ReconnectingReader and drains it
+    incrementally — it connects lazily FROM THE CHECKPOINTED CURSOR, so
+    a driver restart resumes mid-stream instead of re-reading from
+    genesis, and nothing is ever materialized beyond the current chunk.
+    `readBetweenOffsets` replays a committed range after failure: exact
+    for the fixture; for a live factory it reconnects at the range's
+    start cursor (Substreams replay is deterministic for a cursor range).
+    A quiet live stream blocks read() until messages arrive — production
+    factories should yield in bounded chunks (the transport layer owns
+    liveness, same as the reference's single stream consumer).
     """
 
     def __init__(self, options: dict) -> None:
         self.batch_size = int(options.get("batch_size", "256"))
         self.options = dict(options)
-        self._messages: list[dict] | None = None
+        self._messages: list[dict] | None = None  # fixture mode
+        self._live: Iterator[dict] | None = None  # factory mode
+        self._live_seq = 0
 
     # -- message supply -------------------------------------------------
+    def _fixture_mode(self) -> bool:
+        return "fixture_sf_dir" in self.options
+
     def _all_messages(self) -> list[dict]:
-        """Fixture mode: the full deterministic replay, seq-addressable."""
         if self._messages is None:
-            if "fixture_sf_dir" in self.options:
-                self._messages = list(demux(_fixture_messages(self.options)))
-            else:
-                factory = _resolve_factory(
-                    self.options["transport_factory"],
-                    self.options.get("factory_sys_path"),
-                )
-                reader = ReconnectingReader(connect=factory)
-                self._messages = list(demux(reader))
+            self._messages = list(demux(_fixture_messages(self.options)))
         return self._messages
+
+    def _connect_live(self, cursor: str | None) -> Iterator[dict]:
+        factory = _resolve_factory(
+            self.options["transport_factory"],
+            self.options.get("factory_sys_path"),
+        )
+        return iter(
+            demux(ReconnectingReader(connect=factory, latest_cursor=cursor or None))
+        )
 
     # -- offset protocol ------------------------------------------------
     def initialOffset(self) -> dict:
         return {"seq": 0, "cursor": ""}
 
-    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        msgs = self._all_messages()
-        i = int(start["seq"])
-        chunk = msgs[i : i + self.batch_size]
-        cursor = start.get("cursor", "")
+    @staticmethod
+    def _chunk_cursor(chunk: list[dict], prev: str) -> str:
         for m in reversed(chunk):
             if m.get("cursor"):
-                cursor = m["cursor"]
-                break
-        end = {"seq": i + len(chunk), "cursor": cursor}
+                return m["cursor"]
+        return prev
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        i = int(start["seq"])
+        if self._fixture_mode():
+            chunk = self._all_messages()[i : i + self.batch_size]
+        else:
+            if self._live is None or self._live_seq != i:
+                # fresh process or offset rewind: (re)connect from the
+                # checkpointed cursor, the reference's resume semantic
+                self._live = self._connect_live(start.get("cursor"))
+                self._live_seq = i
+            chunk = list(itertools.islice(self._live, self.batch_size))
+            self._live_seq = i + len(chunk)
+        end = {
+            "seq": i + len(chunk),
+            "cursor": self._chunk_cursor(chunk, start.get("cursor", "")),
+        }
         return iter([self._row(m, i + j) for j, m in enumerate(chunk)]), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        msgs = self._all_messages()
         lo, hi = int(start["seq"]), int(end["seq"])
-        return iter([self._row(m, lo + j) for j, m in enumerate(msgs[lo:hi])])
+        if self._fixture_mode():
+            msgs = self._all_messages()[lo:hi]
+        else:
+            replay = self._connect_live(start.get("cursor"))
+            msgs = list(itertools.islice(replay, hi - lo))
+        return iter([self._row(m, lo + j) for j, m in enumerate(msgs)])
 
     def commit(self, end: dict) -> None:
         # Spark's offset log is the durable cursor store; nothing to do.
@@ -185,13 +193,26 @@ class SubstreamsStreamReader(SimpleDataSourceStreamReader):
 
 
 class SubstreamsBatchReader(DataSourceReader):
-    """Batch form: the full replay as one scan (backfill / test oracle)."""
+    """Batch form: the full replay as one scan (backfill / test oracle).
+    Works for either transport; a live factory must be FINITE here (a
+    batch scan has no offset to stop at)."""
 
     def __init__(self, options: dict) -> None:
         self.options = dict(options)
 
     def read(self, partition) -> Iterator[tuple]:
-        msgs = list(demux(_fixture_messages(self.options)))
+        if "fixture_sf_dir" in self.options:
+            msgs = list(demux(_fixture_messages(self.options)))
+        elif "transport_factory" in self.options:
+            factory = _resolve_factory(
+                self.options["transport_factory"],
+                self.options.get("factory_sys_path"),
+            )
+            msgs = list(demux(ReconnectingReader(connect=factory)))
+        else:
+            raise ValueError(
+                "substreams source needs fixture_sf_dir or transport_factory"
+            )
         return iter(
             [SubstreamsStreamReader._row(m, i) for i, m in enumerate(msgs)]
         )

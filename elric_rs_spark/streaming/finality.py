@@ -97,10 +97,7 @@ def _replay_pdf(buf: FinalityBuffer, pdf, stream_id: str) -> list[tuple]:
     but all-null) fall back to a stable block_num sort — a sort is still
     mandatory there because Spark gives no row-order guarantee after the
     groupBy shuffle."""
-    if "seq" in pdf.columns and pdf["seq"].notna().any():
-        pdf = pdf.sort_values("seq", kind="stable", na_position="first")
-    else:
-        pdf = pdf.sort_values("block_num", kind="stable")
+    pdf = _sort_arrival(pdf)
     out_rows: list[tuple] = []
     for row in pdf.itertuples(index=False):
         if getattr(row, "msg_type", "new") == "undo":

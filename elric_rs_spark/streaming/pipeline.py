@@ -64,16 +64,17 @@ def decode_changes(block_df: DataFrame, mode: str = "strict") -> DataFrame:
     if mode == "strict":
         # the guard must live INSIDE a consumed expression — a separate
         # guard column would be pruned by Catalyst before it evaluates
-        checked = F.when(
+        # raise_error in the matched branch, the PARSED value in the
+        # otherwise — one from_json per row, not a parse-check-reparse
+        parsed = F.when(
             F.col("payload").isNotNull() & parsed.isNull(),
             F.raise_error(
                 F.concat(
                     F.lit("malformed change payload at block "),
                     F.col("block_num").cast("string"),
                 )
-            ),
-        ).otherwise(F.col("payload"))
-        parsed = F.from_json(checked, CHANGES_JSON_SCHEMA)
+            ).cast(CHANGES_JSON_SCHEMA),
+        ).otherwise(parsed)
     changes = block_df.select(
         "stream_id",
         "block_num",
@@ -175,15 +176,26 @@ class TypedPerTableSink:
 
     def __init__(self, base_dir: str, table_schemas: dict[str, dict[str, str]],
                  mode: str = "strict", decode=decode_changes):
+        import inspect
+
         self.base_dir = base_dir
         self.table_schemas = table_schemas
         self.mode = mode
         self.decode = decode  # decode_changes (JSON) or decode_changes_protobuf
+        # thread the sink's strict/permissive mode into the decoder when
+        # it supports one — a permissive sink must not die on the first
+        # malformed payload before the cast stage ever sees it
+        self._decode_takes_mode = "mode" in inspect.signature(decode).parameters
 
     def write_batch(self, block_df: DataFrame, epoch_id: int) -> None:
         block_df = block_df.cache()
         try:
-            changes = self.decode(block_df).cache()
+            decoded = (
+                self.decode(block_df, mode=self.mode)
+                if self._decode_takes_mode
+                else self.decode(block_df)
+            )
+            changes = decoded.cache()
             try:
                 for t, schema in sorted(self.table_schemas.items()):
                     rows = changes.filter(F.col("table") == t).select(

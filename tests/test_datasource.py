@@ -110,29 +110,43 @@ class TestSubstreamsDataSource:
         mx, dist, cnt = df.selectExpr("max(seq)", "count(distinct seq)", "count(*)").first()
         assert cnt == total and dist == total and mx == total - 1
 
-    def test_transport_factory_injection(self, spark, tmpdir):
+    def test_transport_factory_cursor_resume(self, spark, tmpdir):
         """transport_factory option: the reader drives ReconnectingReader
         over an imported connect(cursor) factory — the gRPC adapter's
-        contract — and lands every message."""
-        q = (
-            spark.readStream.format("substreams")
-            .option("transport_factory", "ds_factory:connect")
-            .option("factory_sys_path", "/root/repo/tests")
-            .option("batch_size", "16")
-            .load()
-            .writeStream.format("parquet")
-            .option("path", f"{tmpdir}/out")
-            .outputMode("append")
-            .option("checkpointLocation", f"{tmpdir}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+        contract. Repeated availableNow runs must RESUME FROM THE
+        CHECKPOINTED CURSOR (each restart is a fresh reader process, so
+        the factory is re-called with the last committed cursor — the
+        reference's cursors-table semantic) until the finite stream
+        drains, with every block exactly once."""
         import ds_factory
 
+        def run_once():
+            q = (
+                spark.readStream.format("substreams")
+                .option("transport_factory", "ds_factory:connect")
+                .option("factory_sys_path", "/root/repo/tests")
+                .option("batch_size", "16")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", f"{tmpdir}/out")
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmpdir}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return spark.read.parquet(f"{tmpdir}/out").count()
+
+        counts = [run_once()]
+        for _ in range(7):
+            counts.append(run_once())
+            if counts[-1] == counts[-2]:
+                break
+        assert counts[-1] == ds_factory.N  # full drain across restarts
         df = spark.read.parquet(f"{tmpdir}/out")
-        assert df.count() > 0 and df.count() <= ds_factory.N
         assert df.filter("msg_type != 'new'").count() == 0
+        # exactly-once: every block number present exactly once
+        assert df.select("block_num").distinct().count() == ds_factory.N
 
     def test_full_topology_over_datasource(self, spark, tmpdir):
         """The Data Source feeds the SAME downstream topology as the
