@@ -442,3 +442,60 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retained_d14"),
         )
     )
+
+
+@query(
+    "q_ohlc",
+    oracle="""
+WITH priced AS (
+  SELECT date_trunc('hour', ts) AS bar_start,
+         event_type,
+         ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT bar_start, event_type, cents,
+         row_number() OVER (PARTITION BY bar_start, event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY bar_start, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM priced
+)
+SELECT bar_start, event_type,
+       min(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+       max(cents) AS high_cents,
+       min(cents) AS low_cents,
+       min(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM w
+GROUP BY bar_start, event_type
+""",
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (the canonical financial/telemetry downsample): per
+    hourly bucket and event_type, the first (open) and last (close)
+    value by event time plus the high/low extremes.
+
+    Open/close via lexicographic min/max over (ts, event_id, cents)
+    structs — ONE hash aggregate with map-side partial combining, where
+    the textbook row_number-per-bucket formulation would sort every
+    partition. (event_id breaks same-timestamp ties identically on both
+    engines.) At 100 TB this is the shape that turns a tick table into
+    a bar table with a single shuffle keyed by (bucket, series)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("bar_start"),
+        "event_type",
+        F.struct(F.col("ts"), F.col("event_id"), _cents("value").alias("cents")).alias(
+            "tick"
+        ),
+        _cents("value").alias("cents"),
+    )
+    return tagged.groupBy("bar_start", "event_type").agg(
+        F.min("tick").getField("cents").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max("tick").getField("cents").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )

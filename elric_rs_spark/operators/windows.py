@@ -203,3 +203,32 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "q_window_dist",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (X8 extension): ntile quartiles,
+    percent_rank, cume_dist over per-priority price order — the
+    percentile-bucketing shape behind score normalization and outlier
+    capping. Ties broken on the unique key so every engine computes the
+    identical permutation; one window sort keyed by the partition
+    column, the same shuffle class as q_window_rank."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
