@@ -234,3 +234,106 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 12)
     )
+
+
+@query(
+    "q_split_train",
+    oracle=f"""
+WITH assigned AS (
+  SELECT *,
+         CASE WHEN {HASH_EXPR} < 980 THEN 'train'
+              WHEN {HASH_EXPR} < 990 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+FROM assigned
+GROUP BY split
+""",
+)
+def q_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1): the same hash
+    slot as q_sample_hash routes every document to exactly one split —
+    disjoint and exhaustive BY CONSTRUCTION (one CASE over one slot),
+    stable across engines, partitionings, and reruns, which is the
+    property a training pipeline cannot live without (a df.randomSplit
+    assignment changes under retry). Row-local: the split column costs
+    zero shuffles; the report is one groupBy on a 3-value key."""
+    d = load_table(spark, sf_dir, "documents")
+    slot = _sample_slot()
+    split = (
+        F.when(slot < 980, "train").when(slot < 990, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("doc_id").alias("n_distinct"),
+        )
+    )
+
+
+SHARD_TOKEN_BUDGET = 4_000
+
+
+@query(
+    "q_pack_shards",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens) // {SHARD_TOKEN_BUDGET}
+           AS shard_id
+  FROM toks
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM packed
+GROUP BY shard_id
+""",
+)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (the write-training-shards operator):
+    documents in doc_id order are packed greedily into ~4k-token shards —
+    shard id = exclusive running token total div budget, so a document
+    starts a new shard when the budget would overflow. Deterministic and
+    contiguous (each shard is a doc_id range, see first/last columns).
+
+    Scale note: the running sum here is a single global window (one
+    sort) — correct but serial at the margin. At 100 TB you pack
+    PER PARTITION instead: shard within (partition_id, local cumsum)
+    after a range-partition by doc_id; shard ids become (partition,
+    local) pairs and boundaries stay deterministic. The declared
+    contract (budget-bounded contiguous shards) is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)"
+            f" - n_tokens) div {SHARD_TOKEN_BUDGET}"
+        ).alias("shard_id"),
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
