@@ -499,3 +499,60 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tick").getField("cents").alias("close_cents"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+@query(
+    "q_anomaly",
+    oracle="""
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS q
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type,
+       round((CAST(c.cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                    / (n - 1)), 4) AS z
+FROM c JOIN stats ON c.event_type = stats.event_type
+WHERE abs((CAST(c.cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+          / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                 / (n - 1))) > 2.5
+""",
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection: per-event-type z-scores with
+    |z| > 2.5 flagged.
+
+    Cross-engine determinism is engineered, not hoped for: the group
+    stats are EXACT integer aggregates (cents sum + sum of squares as
+    BIGINT — order-independent), and mean/variance/z are then derived
+    with the IDENTICAL double expression on both engines, so the same
+    exact integers give bit-identical doubles and the |z| > 2.5 boundary
+    cannot flip. Using avg()/stddev() directly would compare two
+    different float summation orders at the threshold. Scale shape: one
+    map-side-combined aggregate over a 5-key group, broadcast back onto
+    the event scan."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_id", "event_type", _cents("value").alias("cents"))
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+    )
+    cd = F.col("cents").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    z = (cd - sd / F.col("n")) / F.sqrt(
+        (qd - sd * sd / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        c.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", F.round(z, 4).alias("z"))
+    )
