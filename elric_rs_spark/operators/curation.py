@@ -149,3 +149,67 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+3], ' ')
+                        FOR i IN range(1, len(toks) - 2)])) AS g
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        FROM documents)
+  WHERE len(toks) >= 4
+),
+bench AS (SELECT DISTINCT doc_id AS bench_id, g FROM grams WHERE doc_id % 97 = 0),
+cand AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 != 0)
+SELECT cand.doc_id,
+       count(DISTINCT cand.g) AS n_shared_grams,
+       count(DISTINCT bench.bench_id) AS n_benchmarks
+FROM cand JOIN bench ON cand.g = bench.g
+GROUP BY cand.doc_id
+ORDER BY doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word-4-gram with a held-out benchmark set (the GPT-3 appendix-C /
+    FineWeb decontamination shape, at 4-gram granularity because the
+    synthetic corpus tops out at ~100 tokens/doc).
+
+    The benchmark set is the deterministic pseudo-benchmark
+    ``doc_id % 97 == 0`` (~1% of the corpus); flagged docs report how
+    many distinct grams and how many distinct benchmark docs they hit.
+
+    Scale shape: benchmark suites are MBs against a 100 TB corpus, so
+    the distinct benchmark gram set is BROADCAST and the candidate side
+    needs no shuffle at all for the probe — one explode, one broadcast
+    hash join, then a single groupBy keyed by doc_id (uniform key). The
+    explode never materializes grams as corpus-wide state; only grams
+    that hit the benchmark survive the join. At 100 TB swap the string
+    grams for xxhash64 of the gram (functions/hashing.py) to shrink the
+    broadcast and the shuffle rows — semantics unchanged modulo hash
+    collisions, which a verify-on-match pass removes.
+    """
+    from elric_rs_spark.functions.hashing import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 4))).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "g")
+        .distinct()
+    )
+    cand = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        cand.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_benchmarks"),
+        )
+        .orderBy("doc_id")
+    )

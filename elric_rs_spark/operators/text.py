@@ -226,3 +226,74 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(numeric, 6).alias("numeric_ratio"),
         F.when(keep, 1).otherwise(0).alias("gopher_keep"),
     )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rk <= 3
+""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Cross-engine determinism: tf and df are exact integer aggregates, and
+    the score is the IDENTICAL double expression ``tf * ln(N/df)`` on
+    both engines, rounded to 6dp BEFORE ranking so a sub-ULP libm
+    difference cannot flip the row_number order; ties break on term.
+
+    Scale shape: explode -> (doc_id, term) groupBy (map-side combined;
+    key cardinality ~ corpus vocabulary x docs but each group is tiny),
+    then a term-keyed df aggregate whose output is vocabulary-sized --
+    small enough to BROADCAST back onto tf, so the scoring join adds no
+    shuffle. The corpus-size scalar joins as a broadcast literal. The
+    final per-doc ranking window repartitions by doc_id (uniform key).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
