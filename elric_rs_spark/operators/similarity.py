@@ -447,3 +447,49 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(100)
     )
+
+
+@query(
+    "q_embed_centroid",
+    oracle="""
+WITH comp AS (
+  SELECT label, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(micro) AS DOUBLE) / 1000000 / count(*), 6) AS centroid
+FROM comp GROUP BY label, dim
+""",
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the k-means update step / class
+    prototype computation), one row per (label, dimension).
+
+    Cross-engine determinism: each float component is scaled to an exact
+    integer (micro-units) BEFORE summing, so the sum is order-independent
+    — summing raw doubles would make the centroid depend on partition
+    order. The final division happens once, identically, on both engines.
+
+    Scale shape: posexplode fans each vector into 64 component rows, then
+    ONE map-side-combined groupBy on (label, dim) — 640 output groups
+    regardless of corpus size; no joins, no windows. This is the same
+    aggregate shape a distributed k-means iteration uses, so it stands in
+    for the q_sim_ivf_trained assignment step at full scale.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("val").cast("double") * 1000000).cast("long").alias("micro"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("micro").cast("double") / 1000000 / F.count(F.lit(1)), 6
+        ).alias("centroid"),
+    )

@@ -297,3 +297,87 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .drop("rk")
     )
+
+
+@query(
+    "q_quality_repetition",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+                         FOR i IN range(1, len(toks))]) AS g
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        FROM documents)
+  WHERE len(toks) >= 2
+),
+c AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(max(c) AS BIGINT) AS top_bigram_n,
+       CAST(sum(c) AS BIGINT) AS total_bigrams,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac,
+       CASE WHEN max(c) * 10 >= sum(c) THEN 1 ELSE 0 END AS repetitive
+FROM c GROUP BY doc_id
+""",
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter: fraction of a document's word
+    bigrams taken by its single most frequent bigram (the Gopher §A1.1
+    "top-2-gram fraction" rule; docs over 10% are flagged repetitive).
+
+    The 10% decision is evaluated as the exact integer comparison
+    ``max*10 >= total`` so the flag cannot flip on a float boundary; the
+    reported fraction is rounded display output only.
+
+    Scale shape: explode -> (doc_id, bigram) count (map-side combined)
+    -> per-doc max/sum. Both aggregates key on doc_id-led keys, so the
+    second is nearly shuffle-free after the first; no joins, no windows.
+    """
+    from elric_rs_spark.functions.hashing import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("g")
+    )
+    c = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return c.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_n"),
+        F.sum("c").alias("total_bigrams"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_bigram_frac"),
+        F.when(F.max("c") * 10 >= F.sum("c"), 1).otherwise(0).alias("repetitive"),
+    )
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+  FROM documents
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       list_sort(list(doc_id)) AS postings
+FROM toks GROUP BY term
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per term, the document frequency and
+    the sorted posting list of documents containing it — the core build
+    step of corpus search / contamination tooling.
+
+    Scale shape: explode -> distinct (doc_id, term) -> ONE term-keyed
+    groupBy building df and the posting array together. Posting lists
+    are sorted inside the aggregate output (sort_array), not by a global
+    sort. At 100 TB hot terms produce giant postings — cap them with a
+    slice after sort or pre-bucket by (term, doc_id range) so a single
+    stop-word key cannot blow an executor; the synthetic corpus's
+    31-term vocabulary needs no cap.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    ).distinct()
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
