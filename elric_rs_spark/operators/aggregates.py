@@ -324,3 +324,46 @@ def q_agg_topview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_cents")
     )
+
+
+@query(
+    "q_agg_concentration",
+    oracle="""
+WITH r AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total FROM r)
+SELECT l_partkey, rev_cents
+FROM r, t
+WHERE rev_cents * 4000 > total * 3
+""",
+)
+def q_agg_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration scan (the TPC-H Q11 shape without partsupp):
+    parts whose discounted revenue exceeds 1.5x the mean part share
+    (fraction > 3/4000 of total across the 2000-part catalog).
+
+    The share test is exact integer cross-multiplication
+    (``rev*4000 > total*3``) — no float division anywhere, so the
+    boundary cannot flip between engines.
+
+    Scale shape: one partkey groupBy with per-row integer cents (map-side
+    combined), then the grand total — a 1-row aggregate over the group
+    output, NOT a second scan of lineitem — broadcast back as the filter
+    threshold. Same plan at any corpus size; the only wide shuffle keys
+    on uniform l_partkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    r = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
+    t = r.agg(F.sum("rev_cents").alias("total"))
+    return (
+        r.crossJoin(F.broadcast(t))
+        .filter(F.col("rev_cents") * 4000 > F.col("total") * 3)
+        .select("l_partkey", "rev_cents")
+    )

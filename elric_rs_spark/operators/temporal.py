@@ -556,3 +556,117 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", F.round(z, 4).alias("z"))
     )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+x AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM x
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(us) AS start_us,
+       max(us) AS end_us,
+       max(us) - min(us) AS duration_us
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): split each user's event
+    stream into sessions wherever the gap exceeds 6 hours, then aggregate
+    per-session stats. The batch twin of q_session_window's streaming
+    session — this form is what a backfill over historical logs runs.
+
+    Ordering is total (us, event_id), so the lag/cumsum session labels
+    are fully deterministic even on duplicate timestamps.
+
+    Scale shape: ONE shuffle on user_id drives both window passes and the
+    final groupBy (same partitioning, reused exchange); gap math is exact
+    integer microseconds. Key cardinality = users, uniform.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", _us("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    x = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 21_600_000_000), 1).otherwise(0),
+    )
+    s = x.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+@query(
+    "q_outlier_iqr",
+    oracle="""
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+q AS (
+  SELECT event_type,
+         CAST(round(quantile_cont(cents, 0.25) * 4) AS BIGINT) AS q1_4,
+         CAST(round(quantile_cont(cents, 0.75) * 4) AS BIGINT) AS q3_4
+  FROM c GROUP BY event_type
+)
+SELECT event_id, c.event_type, cents,
+       CASE WHEN 8 * cents < 5 * q1_4 - 3 * q3_4 THEN 'low' ELSE 'high' END AS side
+FROM c JOIN q USING (event_type)
+WHERE 8 * cents < 5 * q1_4 - 3 * q3_4 OR 8 * cents > 5 * q3_4 - 3 * q1_4
+""",
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection: flag events outside
+    [Q1 - 1.5*IQR, Q3 + 1.5*IQR] of their event type's value distribution.
+
+    Cross-engine determinism: quartiles of integer cents land on exact
+    quarter-units, so ``round(quantile*4)`` recovers an exact integer on
+    both engines even if their interpolation differs in the last ulp, and
+    the fence tests are then pure integer comparisons (multiplied out by
+    8: ``8*cents < 5*Q1_4 - 3*Q3_4``) — no float boundary can flip a row.
+    Spark's exact `percentile` and DuckDB's `quantile_cont` use the same
+    (n-1)*p linear interpolation.
+
+    Scale shape: one exact-percentile aggregate per event type (5 groups)
+    broadcast back onto the scan — same topology as q_anomaly. Exact
+    percentiles hold full per-group value buffers; at 100 TB swap in
+    approx_percentile with a tightened accuracy, or the two-pass
+    histogram trick, keeping the integer fence math unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_id", "event_type", _cents("value").alias("cents"))
+    q = c.groupBy("event_type").agg(
+        F.round(F.percentile("cents", F.lit(0.25)) * 4).cast("long").alias("q1_4"),
+        F.round(F.percentile("cents", F.lit(0.75)) * 4).cast("long").alias("q3_4"),
+    )
+    lo = 8 * F.col("cents") < 5 * F.col("q1_4") - 3 * F.col("q3_4")
+    hi = 8 * F.col("cents") > 5 * F.col("q3_4") - 3 * F.col("q1_4")
+    return (
+        c.join(F.broadcast(q), "event_type")
+        .filter(lo | hi)
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            F.when(lo, "low").otherwise("high").alias("side"),
+        )
+    )
