@@ -244,8 +244,8 @@ SELECT
   n.n_name AS nation,
   p.p_brand AS brand,
   count(*) AS n_items,
-  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
-    AS revenue_cents
+  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+    AS BIGINT) AS revenue_cents
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey

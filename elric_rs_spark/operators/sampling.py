@@ -17,7 +17,7 @@ so it is ANSI-overflow-safe, and every op is a Catalyst built-in.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elric_rs_spark.registry import query
@@ -281,6 +281,9 @@ def q_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHARD_TOKEN_BUDGET = 4_000
 
 
+PACK_BUCKET_SPAN = 1_000  # doc_ids per pack bucket (the parallel unit)
+
+
 @query(
     "q_pack_shards",
     oracle=f"""
@@ -291,9 +294,9 @@ WITH toks AS (
 ),
 packed AS (
   SELECT doc_id, n_tokens,
-         (sum(n_tokens) OVER (ORDER BY doc_id
+         CAST((sum(n_tokens) OVER (ORDER BY doc_id
             ROWS UNBOUNDED PRECEDING) - n_tokens) // {SHARD_TOKEN_BUDGET}
-           AS shard_id
+           AS BIGINT) AS shard_id
   FROM toks
 )
 SELECT shard_id,
@@ -312,24 +315,42 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts a new shard when the budget would overflow. Deterministic and
     contiguous (each shard is a doc_id range, see first/last columns).
 
-    Scale note: the running sum here is a single global window (one
-    sort) — correct but serial at the margin. At 100 TB you pack
-    PER PARTITION instead: shard within (partition_id, local cumsum)
-    after a range-partition by doc_id; shard ids become (partition,
-    local) pairs and boundaries stay deterministic. The declared
-    contract (budget-bounded contiguous shards) is identical."""
+    Scale shape (the round-2 global-window bottleneck, fixed): a running
+    sum is associative, so it distributes as per-bucket local cumsum +
+    per-bucket offsets. Docs are bucketed by `doc_id div SPAN` (a
+    deterministic range partition — no sampling, reproducible across
+    runs); the doc-level cumsum window is PARTITIONED BY bucket (parallel,
+    no single-partition sort over the data); only the bucket-total offset
+    table — one row per bucket, |docs|/SPAN rows — pays a global window,
+    and it is broadcast back. shard_id = (bucket_offset + local_excl) div
+    budget, bit-identical to the serial global window the oracle runs."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET_SPAN}"))
+    # parallel per-bucket exclusive cumsum: window is keyed, not global
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = toks.select(
-        "doc_id",
-        "n_tokens",
-        F.expr(
-            f"(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)"
-            f" - n_tokens) div {SHARD_TOKEN_BUDGET}"
-        ).alias("shard_id"),
+    local = toks.withColumn(
+        "local_excl", F.sum("n_tokens").over(wloc) - F.col("n_tokens")
+    )
+    # tiny offset table: one row per bucket; global window over |buckets| rows
+    woff = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        toks.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn("offset", F.coalesce(F.sum("bucket_tokens").over(woff), F.lit(0)))
+        .select("bucket", "offset")
+    )
+    packed = local.join(F.broadcast(offsets), "bucket").withColumn(
+        "shard_id",
+        F.expr(f"(offset + local_excl) div {SHARD_TOKEN_BUDGET}").cast("long"),
     )
     return packed.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

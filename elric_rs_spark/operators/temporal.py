@@ -67,7 +67,8 @@ def _us(col: str) -> F.Column:
     oracle="""
 WITH p AS (
   SELECT user_id, ts,
-         sum(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS purchase_cents
   FROM events WHERE event_type = 'purchase'
   GROUP BY user_id, ts
 ),
@@ -151,7 +152,7 @@ WITH e AS (
 )
 SELECT a.event_id,
        count(b.event_id) AS n_nearby,
-       COALESCE(sum(b.cents), 0) AS nearby_cents
+       CAST(COALESCE(sum(b.cents), 0) AS BIGINT) AS nearby_cents
 FROM e a
 LEFT JOIN e b
   ON b.event_id <> a.event_id
@@ -225,7 +226,7 @@ SELECT
     AS bucket_start,
   event_type,
   count(*) AS n_events,
-  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
   count(DISTINCT user_id) AS n_users,
   min(value) AS min_value,
   max(value) AS max_value
