@@ -40,13 +40,19 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_simhash",
-    "q_dedup_embed_lsh",
     "q_sim_topk",
-    "q_sim_lsh",
     "q_sim_ivf",
     "q_text_stats",
     "q_agg_stats",
     "q_topk",
+    # ---- suite-order contract: new queries are APPENDED, never
+    # interleaved. The suite shares one JVM; inserting queries into the
+    # prefix shifts JIT/GC load onto the original queries' timings and
+    # fakes a regression (round 2 measured the common-17 at 29.98s with
+    # interleaved inserts; the identical code re-run in r1 prefix order
+    # measures 24.76s ≈ r1's 24.27s — see BASELINE.md).
+    "q_dedup_embed_lsh",
+    "q_sim_lsh",
     "q_join_asof",
     "q_join_range",
     "q_latest_per_key",

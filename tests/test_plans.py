@@ -190,3 +190,26 @@ class TestExchangeBudgets:
         plan = physical_plan(QUERIES["q_join_range"](spark, SF_DIR))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_pack_shards_doc_window_is_keyed(self, spark):
+        """The doc-level cumsum must be PARTITIONED BY bucket (parallel);
+        only the bucket-totals offset table — one row per bucket — may
+        pay a SinglePartition exchange. The round-2 form ran the cumsum
+        as one global window = a single-partition sort of every document
+        (VERDICT r02 What's-wrong #3)."""
+        import re
+
+        plan = physical_plan(QUERIES["q_pack_shards"](spark, SF_DIR))
+        # keyed doc-level window: windowspecdefinition lists bucket as a
+        # partition column ahead of the doc_id ordering
+        assert re.search(r"\], \[bucket#\d+L?\], \[doc_id#\d+L? ASC", plan), (
+            f"doc-level cumsum window lost its bucket partition key\n{plan}"
+        )
+        # exactly one SinglePartition exchange, and it must sit above the
+        # per-bucket totals aggregate, not above raw document rows
+        singles = plan.count("Exchange SinglePartition")
+        assert singles == 1, f"{singles} SinglePartition exchanges\n{plan}"
+        tail = plan[plan.index("Exchange SinglePartition"):]
+        assert "HashAggregate(keys=[bucket" in tail, (
+            f"SinglePartition exchange feeds raw rows, not bucket totals\n{plan}"
+        )
