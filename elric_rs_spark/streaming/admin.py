@@ -6,6 +6,8 @@ T11 (progress/metrics logging).
 
 from __future__ import annotations
 
+import json
+import os
 import signal
 from collections.abc import Callable
 from urllib.parse import parse_qsl, urlparse
@@ -117,30 +119,67 @@ class GracefulShutdown:
 # ---------------------------------------------------------------------------
 
 
-def attach_progress_logger(spark, log: Callable[[str], None] | None = None):
+def detect_log_format(env: dict | None = None) -> str:
+    """Prod-vs-dev backend selection, mirroring the reference
+    (logging.rs:22-28): Stackdriver-style structured JSON when running
+    under Cloud Run (`K_SERVICE`) or Kubernetes
+    (`KUBERNETES_SERVICE_HOST`), human-readable text otherwise."""
+    env = os.environ if env is None else env
+    if "K_SERVICE" in env or "KUBERNETES_SERVICE_HOST" in env:
+        return "prod"
+    return "dev"
+
+
+def format_log_line(message: str, severity: str = "INFO", fmt: str = "dev",
+                    **fields) -> str:
+    """Render one progress line. `prod` = Stackdriver structured-log JSON
+    (logging.rs:36-37 uses tracing_stackdriver; the public LogEntry
+    contract keys are `severity`, `message`, and payload fields); `dev` =
+    the plain text line (logging.rs:39-40 stdout layer)."""
+    if fmt == "prod":
+        entry = {"severity": severity, "message": message}
+        entry.update(fields)
+        return json.dumps(entry, sort_keys=True, separators=(",", ":"))
+    tail = " ".join(f"{k}={v}" for k, v in fields.items())
+    return f"{message} {tail}".rstrip()
+
+
+def attach_progress_logger(
+    spark,
+    log: Callable[[str], None] | None = None,
+    fmt: str | None = None,
+):
     """StreamingQueryListener emitting the reference's per-block progress
-    line shape (rows, batch id, duration) as structured logs. Returns the
-    listener (detach with `spark.streams.removeListener`)."""
+    line shape (rows, batch id, duration; loader.rs:164-172). `fmt` is
+    "dev" (plain text), "prod" (Stackdriver JSON), or None to auto-detect
+    from the environment like the reference (logging.rs:22-28). Returns
+    the listener (detach with `spark.streams.removeListener`)."""
     from pyspark.sql.streaming import StreamingQueryListener
 
     emit = log or (lambda s: print(s, flush=True))
+    use_fmt = fmt or detect_log_format()
 
     class _Listener(StreamingQueryListener):
         def onQueryStarted(self, event):
-            emit(f"stream started id={event.id}")
+            emit(format_log_line("stream started", fmt=use_fmt, id=str(event.id)))
 
         def onQueryProgress(self, event):
             p = event.progress
             emit(
-                f"stream progress batch={p.batchId} rows={p.numInputRows} "
-                f"duration_ms={p.batchDuration}"
+                format_log_line(
+                    "stream progress",
+                    fmt=use_fmt,
+                    batch=p.batchId,
+                    rows=p.numInputRows,
+                    duration_ms=p.batchDuration,
+                )
             )
 
         def onQueryIdle(self, event):
             pass
 
         def onQueryTerminated(self, event):
-            emit(f"stream terminated id={event.id}")
+            emit(format_log_line("stream terminated", fmt=use_fmt, id=str(event.id)))
 
     listener = _Listener()
     spark.streams.addListener(listener)
