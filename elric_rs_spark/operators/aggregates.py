@@ -367,3 +367,32 @@ def q_agg_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rev_cents") * 4000 > F.col("total") * 3)
         .select("l_partkey", "rev_cents")
     )
+
+
+@query(
+    "q_agg_strings",
+    oracle="""
+SELECT r.r_name AS region,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def q_agg_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg / groupArray shape): per
+    region, the comma-joined SORTED list of its nations. collect_list is
+    partition-order-dependent, so the sort happens explicitly inside the
+    aggregate projection (`array_sort` before `array_join`) — the only
+    way a distributed listagg is deterministic. Grouping key cardinality
+    bounds output size, so the aggregate state stays small at any scale."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )

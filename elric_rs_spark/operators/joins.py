@@ -288,3 +288,86 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "q_ship_priority",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS BIGINT) AS high_line_count,
+       CAST(count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= DATE '1995-01-01'
+GROUP BY l.l_returnflag
+""",
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join with conditional counts — lines
+    shipped since a date, split into high/low order-priority counts per
+    return flag. The date predicate pushes to the lineitem scan
+    (PushedFilters), the join keys on l_orderkey/o_orderkey (both sides
+    shuffle once on the same uniform key — at 100 TB both tables would be
+    BUCKETED on orderkey and the exchange disappears), and the
+    conditional counts are map-side-combined CASE aggregates, not two
+    passes."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_promo_share",
+    oracle="""
+SELECT
+  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+       THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+       ELSE 0 END) AS BIGINT) AS promo_cents,
+  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+       AS BIGINT) AS total_cents,
+  round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+        ELSE 0 END) AS DOUBLE)
+      / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)),
+      6) AS promo_share
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share. Revenue accumulates as
+    exact integer cents on both engines (order-independent), the single
+    float division happens once at the end and is rounded identically.
+    The part dimension broadcasts (no fact shuffle before the 1-row
+    aggregate); p_type could prune to a dictionary filter scan-side at
+    real scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    agg = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        F.round(
+            F.col("promo_cents").cast("double") / F.col("total_cents"), 6
+        ).alias("promo_share"),
+    )

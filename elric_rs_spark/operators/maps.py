@@ -87,3 +87,47 @@ def q_map_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.getItem("pk_event_id").alias("pk_event_id"),
         merged.getItem("pk_user_id").alias("pk_user_id"),
     )
+
+
+@query(
+    "q_map_explode",
+    oracle="""
+WITH entries AS (
+  SELECT 'event_type' AS key, event_type AS val FROM events
+  UNION ALL
+  SELECT 'value', CAST(value AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'user', CAST(user_id AS VARCHAR) FROM events
+)
+SELECT key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_values,
+       min(val) AS min_val,
+       max(val) AS max_val
+FROM entries
+GROUP BY key
+""",
+)
+def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-entry explosion (T2 surface widening): the all-strings field
+    map is fanned out into (key, value) entry rows — the inverse of
+    `fields_to_map` — then profiled per key. This is the schemaless-
+    ingest introspection query ("what fields arrive, with how many
+    distinct values?") a dynamic-schema loader runs before declaring
+    sink DDL (ref table_info.rs discovers the inverse direction).
+    explode(map) is a codegen generator — rows fan out 3× with no
+    shuffle until the per-key aggregate; key cardinality (= field
+    count) bounds the final state."""
+    ev = load_table(spark, sf_dir, "events")
+    m = fields_to_map(
+        ("event_type", F.col("event_type")),
+        ("value", F.col("value")),
+        ("user", F.col("user_id")),
+    )
+    entries = ev.select(F.explode(m).alias("key", "val"))
+    return entries.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("val").alias("n_values"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

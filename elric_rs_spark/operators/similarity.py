@@ -493,3 +493,100 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("micro").cast("double") / 1000000 / F.count(F.lit(1)), 6
         ).alias("centroid"),
     )
+
+
+@query(
+    "q_kmeans_assign",
+    oracle="""
+WITH comp AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+sums AS (
+  SELECT label AS c_label, dim,
+         CAST(sum(micro) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM comp GROUP BY label, dim
+),
+cent AS (
+  SELECT c_label, dim, (s - ((s % n + n) % n)) // n AS icent FROM sums
+),
+scores AS (
+  SELECT comp.vec_id, comp.label, cent.c_label,
+         CAST(sum(comp.micro * cent.icent) AS BIGINT) AS score
+  FROM comp JOIN cent ON comp.dim = cent.dim
+  GROUP BY comp.vec_id, comp.label, cent.c_label
+),
+best AS (
+  SELECT vec_id, label, c_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, c_label) AS rn
+  FROM scores
+)
+SELECT label AS true_label,
+       c_label AS assigned_label,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM best WHERE rn = 1
+GROUP BY label, c_label
+""",
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means ASSIGNMENT step (q_embed_centroid is the UPDATE step):
+    every embedding is assigned to its max-dot-product label centroid;
+    output is the (true label × assigned label) confusion matrix — the
+    one-Lloyd-iteration diagnostic of cluster coherence.
+
+    Cross-engine exactness: components quantize to micro-int, centroids
+    to floor-divided integer components (the explicit
+    `(s - pmod(s, n)) / n` floor form — Spark's `div` truncates toward
+    zero and DuckDB's `//` floors, so neither builtin is portable for
+    negative sums), and each dot product is an exact BIGINT sum
+    (|micro| < 2^21, 64 dims × 10 centroids < 2^48 — ANSI-safe).
+    Argmax breaks ties on the smaller label via one max(struct).
+
+    Scale shape: the centroid table is O(labels × dims) — broadcast; the
+    fan-out is rows × labels with NO shuffle until the per-vector argmax
+    aggregate (map-side combinable: one struct-max per vec per
+    partition), then a tiny confusion-matrix rollup. The same plan runs
+    a billion vectors: no windows, no self-joins."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("val").cast("double") * 1000000).cast("long").alias("micro"),
+    )
+    sums = comp.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.sum("micro").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = sums.select(
+        "c_label",
+        "dim",
+        ((F.col("s") - F.pmod(F.col("s"), F.col("n"))) / F.col("n"))
+        .cast("long")
+        .alias("icent"),
+    )
+    scores = (
+        comp.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(F.col("micro") * F.col("icent")).alias("score"))
+    )
+    best = scores.groupBy("vec_id", "label").agg(
+        F.max(F.struct(F.col("score"), (-F.col("c_label")).alias("neg_label"))).alias(
+            "top"
+        )
+    )
+    return (
+        best.select(
+            F.col("label").alias("true_label"),
+            (-F.col("top.neg_label")).cast("bigint").alias("assigned_label"),
+        )
+        .groupBy("true_label", "assigned_label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )

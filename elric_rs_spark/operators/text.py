@@ -9,7 +9,7 @@ parallel (no shuffle except the final aggregates).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elric_rs_spark.registry import query
@@ -380,4 +380,51 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
+@query(
+    "q_doclen_trim",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY n_chars, doc_id) AS pr
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM ranked
+WHERE pr <= 0.95
+GROUP BY lang
+""",
+)
+def q_doclen_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-percentile trim (the FineWeb/Gopher "drop the top-5%
+    longest documents per language" curation step): percent_rank over
+    (n_chars, doc_id) inside each language, keep pr <= 0.95.
+
+    percent_rank = (rank-1)/(n-1) has the identical definition on both
+    engines, and the unique doc_id tie-break makes the permutation — and
+    therefore the kept SET — deterministic. One window sort keyed by
+    lang; the report aggregate reuses the lang partitioning (no second
+    wide shuffle). At 100 TB the same trim is usually done against
+    PRE-AGGREGATED per-lang quantile sketches instead of an exact
+    window; the exact form here is the oracle-checkable ground truth the
+    sketch version must approximate."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang", "n_chars", F.percent_rank().over(w).alias("pr")
+    )
+    return (
+        ranked.filter(F.col("pr") <= 0.95)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
     )

@@ -232,3 +232,45 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "q_window_nth",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(round(first_value(o_totalprice) OVER w * 100) AS BIGINT)
+         AS first_cents,
+       CAST(round(nth_value(o_totalprice, 2) OVER w * 100) AS BIGINT)
+         AS second_cents,
+       CAST(round(last_value(o_totalprice) OVER w * 100) AS BIGINT)
+         AS last_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation value functions (X9 extension): first_value /
+    nth_value(2) / last_value over the customer's full order history —
+    the first-purchase / second-purchase / latest-purchase projection
+    behind LTV features. The frame is explicitly UNBOUNDED...FOLLOWING
+    (last_value under the default frame is the CURRENT row — a classic
+    silent-wrong-answer); ordering ties break on the unique key. Money
+    values compare as integer cents. One keyed window sort, same shuffle
+    class as q_window_rank."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    def over_cents(fn_col: F.Column) -> F.Column:
+        return F.round(fn_col * 100).cast("long")
+
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        over_cents(F.first("o_totalprice").over(w)).alias("first_cents"),
+        over_cents(F.nth_value("o_totalprice", 2).over(w)).alias("second_cents"),
+        over_cents(F.last("o_totalprice").over(w)).alias("last_cents"),
+    )

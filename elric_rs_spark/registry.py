@@ -80,7 +80,13 @@ GRADING_ORDER: list[str] = [
     "q_curation_full",
     "q_decontaminate",
     # (c) new round-3 queries — keep this block ahead of the regrades
-    # (names appended as they are implemented)
+    "q_agg_strings",
+    "q_window_nth",
+    "q_map_explode",
+    "q_ship_priority",
+    "q_promo_share",
+    "q_doclen_trim",
+    "q_kmeans_assign",
     # (d) oracle re-cast defensively this round
     "q_join_asof",
     # (e) round-1-only-graded, full-oracle first
