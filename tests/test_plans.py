@@ -191,6 +191,58 @@ class TestExchangeBudgets:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_bucketed_join_has_no_exchange(self, spark):
+        """Bucketed co-located join (plans/bucketing.py): with lineitem
+        and orders both bucketBy(8, orderkey), the repeated-run join must
+        plan as SortMergeJoin over two `Bucketed: true` scans with NO
+        Exchange below the join — the write-once shuffle replaces the
+        every-run shuffle, which is the layout decision that matters most
+        for repeated fact-fact joins at 100 TB. Only the final
+        per-priority rollup may shuffle."""
+        from elric_rs_spark.plans.bucketing import bucketed_tables, colocated_join
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            li_t, o_t = bucketed_tables(spark, SF_DIR, prefix="bkt_test")
+            df = colocated_join(spark, li_t, o_t)
+            plan = physical_plan(df)
+            assert "SortMergeJoin" in plan, plan
+            assert plan.count("Bucketed: true") == 2, plan
+            # exactly one exchange: the aggregate's; none feeds the join
+            assert plan.count("Exchange") == 1, plan
+            join_region = plan[plan.index("SortMergeJoin"):]
+            assert "Exchange" not in join_region, plan
+            # correctness: identical to the unbucketed join
+            from pyspark.sql import functions as F
+
+            from elric_rs_spark.tables import load_table
+
+            li = load_table(spark, SF_DIR, "lineitem")
+            o = load_table(spark, SF_DIR, "orders")
+            got = {
+                (r.o_orderpriority, r.n_lines, r.revenue_cents)
+                for r in df.collect()
+            }
+            cents = F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+            ref = {
+                (r.o_orderpriority, r.n_lines, r.revenue_cents)
+                for r in li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.count(F.lit(1)).alias("n_lines"),
+                    F.sum(cents).alias("revenue_cents"),
+                )
+                .collect()
+            }
+            assert got == ref
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS bkt_test_lineitem")
+            spark.sql("DROP TABLE IF EXISTS bkt_test_orders")
+
     def test_pack_shards_doc_window_is_keyed(self, spark):
         """The doc-level cumsum must be PARTITIONED BY bucket (parallel);
         only the bucket-totals offset table — one row per bucket — may
