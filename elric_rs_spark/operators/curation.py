@@ -213,3 +213,55 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+DOMAIN_CAP = 50
+
+
+@query(
+    "q_domain_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT lang, source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY {HASH_EXPR}, doc_id) AS rn
+  FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM ranked
+GROUP BY lang, source
+""",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the FineWeb/CCNet "no domain dominates"
+    curation step): within each (lang, source) stratum keep at most
+    DOMAIN_CAP documents, selected in deterministic hash order (the same
+    multiplicative hash as q_sample_hash, doc_id tie-break) so the kept
+    set is random-like yet reproducible across engines, partitionings,
+    and reruns — a row_number on arrival order would silently change
+    under retries.
+
+    Scale shape: one window sort keyed by (lang, source); the report
+    aggregate reuses that partitioning. At 100 TB with millions of
+    domains the stratum key is high-cardinality, so the window
+    parallelizes; a skewed mega-domain splits under AQE only for the
+    aggregate — the window sort of a hot domain is the known cost, and
+    the cap means only its first CAP rows survive to downstream stages."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "source").orderBy(F.expr(HASH_EXPR), "doc_id")
+    ranked = d.select(
+        "lang", "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    kept = F.col("rn") <= DOMAIN_CAP
+    return ranked.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+    )

@@ -428,3 +428,68 @@ def q_doclen_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+VOCAB_SIZE = 20
+
+
+@query(
+    "q_vocab_oov",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents
+),
+df AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM toks GROUP BY tok
+),
+vocab AS (
+  SELECT tok FROM df ORDER BY doc_freq DESC, tok LIMIT {VOCAB_SIZE}
+),
+flagged AS (
+  SELECT t.doc_id, t.lang,
+         CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+FROM flagged
+GROUP BY lang
+""",
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction + out-of-vocabulary rate (the tokenizer-
+    coverage diagnostic run before committing a vocab/BPE merge list to
+    a training run): build the top-K vocabulary by document frequency
+    (ties broken on the token string so the boundary is deterministic),
+    then measure per-language OOV token rates against it.
+
+    Scale shape: token DF is one uniform-key groupBy; the vocabulary is
+    O(K) rows — broadcast to the membership join (corpus never
+    re-shuffles); the per-lang rollup is map-side combined. The same
+    two-phase broadcast-probe shape holds for a 100k-term vocab over
+    100 TB of text. OOV rate divides two exact integers once, rounded
+    identically on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    vocab = df_.orderBy(F.col("doc_freq").desc(), "tok").limit(VOCAB_SIZE).select("tok")
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").alias("n_oov"),
+        F.round(F.sum("oov").cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )

@@ -274,3 +274,38 @@ def q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         over_cents(F.nth_value("o_totalprice", 2).over(w)).alias("second_cents"),
         over_cents(F.last("o_totalprice").over(w)).alias("last_cents"),
     )
+
+
+@query(
+    "q_window_range",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(count(*) OVER w AS BIGINT) AS n_30d,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS cents_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (X9 extension): per order, the customer's
+    trailing-30-day order count and revenue — the rolling-feature shape
+    behind churn/velocity features. RANGE frames bound by VALUE distance
+    (all orders within 30 days), not row count, and include peers (same
+    orderdate rows share a frame) — semantics identical on both engines.
+    Spark's rangeBetween needs a numeric ordering key, so the timestamp
+    becomes epoch-days (orderdates are midnight-aligned, making
+    INTERVAL 30 DAY and 30 epoch-days the same frame). One keyed window
+    sort on o_custkey; no self-join — the naive equivalent is an
+    interval self-join (q_join_range's shape) at 10x the cost."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(days).rangeBetween(-30, 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+        F.sum(cents).over(w).alias("cents_30d"),
+    )

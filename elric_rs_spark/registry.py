@@ -87,6 +87,9 @@ GRADING_ORDER: list[str] = [
     "q_promo_share",
     "q_doclen_trim",
     "q_kmeans_assign",
+    "q_window_range",
+    "q_vocab_oov",
+    "q_domain_cap",
     # (d) oracle re-cast defensively this round
     "q_join_asof",
     # (e) round-1-only-graded, full-oracle first
