@@ -145,6 +145,94 @@ class TestStreamingWindows:
         assert [r.n for r in closed] == [5, 3]
 
 
+class TestStreamingTimebucketRollup:
+    def test_timebucket_rollup_stream_matches_batch(self, spark, tmpdir):
+        """q_rollup_timebucket's docstring claims its `F.window` aggregate
+        runs unchanged under `readStream` + `withWatermark` as a streaming
+        continuous aggregate — prove it on the REAL events table: stream
+        the same rows file-by-file in event-time order, and every window
+        the watermark closes must carry exactly the batch query's values."""
+        from elric_rs_spark.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        # watermarks require TIMESTAMP (events.ts arrives TIMESTAMP_NTZ);
+        # one cast before landing keeps stream and batch reference aligned
+        ev = load_table(spark, sf, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        landing = f"{tmpdir}/events_stream"
+        # land 4 slices in event-time order with DISTINCT mtimes — the
+        # file source orders batches by modification time, and equal
+        # mtimes would let a late slice lead, pushing the watermark ahead
+        # and late-dropping earlier slices
+        import time as _time
+
+        from pyspark.sql import Window
+
+        slices = ev.withColumn("slice", F.ntile(4).over(Window.orderBy("ts")))
+        for i in range(1, 5):
+            slices.filter(F.col("slice") == i).drop("slice").write.mode(
+                "append"
+            ).parquet(landing)
+            _time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(cents).alias("sum_cents"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("tb_roll_stream")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt_tb")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.w.start, r.event_type): (r.n_events, r.sum_cents, r.min_value, r.max_value)
+            for r in spark.table("tb_roll_stream").collect()
+        }
+        batch = (
+            ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(cents).alias("sum_cents"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .collect()
+        )
+        import datetime as dt
+
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        wm = max_ts - dt.timedelta(minutes=10)
+        expected = {
+            (r.w.start, r.event_type): (r.n_events, r.sum_cents, r.min_value, r.max_value)
+            for r in batch
+            if r.w.end <= wm
+        }
+        # every watermark-closed window emitted exactly the batch values
+        assert expected, "watermark closed no windows — fixture too small"
+        for k, v in expected.items():
+            assert got.get(k) == v, (k, got.get(k), v)
+        # nothing emitted twice and nothing beyond the open horizon
+        open_windows = [k for k in got if k not in expected]
+        for w_start, _ in open_windows:
+            assert w_start + dt.timedelta(minutes=15) > wm
+
+
 class TestStreamStreamJoin:
     """Watermarked stream-stream interval join: the streaming result must
     equal the batch evaluation of the SAME expression over the same
