@@ -432,15 +432,30 @@ def connected_components(edges: DataFrame) -> DataFrame:
     recompute an exponentially deep DAG. Checkpointing pins each
     round's edge set and keeps every round O(|edges|).
     """
+    def _sig(df: DataFrame) -> tuple:
+        """Order-independent edge-set signature: (count, xor of row
+        hashes — overflow-free under ANSI, unlike a hash SUM). One
+        map-side-combined aggregate — far cheaper than the two exceptAll
+        shuffles a symmetric-difference check costs."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
     cur = edges.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    cur_sig = _sig(cur)
     stable = False
     for _ in range(12):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
-        # one symmetric-difference job per round (not two): either
-        # direction non-empty means not converged
-        diff = nxt.exceptAll(cur).union(cur.exceptAll(nxt))
-        stable = diff.limit(1).count() == 0
-        cur = nxt
+        nxt_sig = _sig(nxt)
+        if nxt_sig == cur_sig:
+            # signatures agree -> almost certainly converged; verify
+            # EXACTLY once with the symmetric difference (a hash-sum
+            # collision would otherwise silently mislabel components)
+            diff = nxt.exceptAll(cur).union(cur.exceptAll(nxt))
+            stable = diff.limit(1).count() == 0
+        cur, cur_sig = nxt, nxt_sig
         if stable:
             break
     if not stable:
