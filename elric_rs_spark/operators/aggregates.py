@@ -396,3 +396,95 @@ def q_agg_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+@query(
+    "q_agg_argminmax",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rmax,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id) AS rmin
+  FROM events
+)
+SELECT event_type,
+       CAST(max(CASE WHEN rmax = 1 THEN event_id END) AS BIGINT)
+         AS max_value_event,
+       CAST(max(CASE WHEN rmin = 1 THEN event_id END) AS BIGINT)
+         AS min_value_event,
+       CAST(count(*) AS BIGINT) AS n
+FROM ranked
+GROUP BY event_type
+""",
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/arg-max aggregates (X5 extension): WHICH event carried
+    the extreme value per group — the attribution question behind
+    "which session produced the peak". One max(struct(value, tiebreak,
+    payload)) per extreme: map-side combinable (each partition reduces
+    to one candidate before the shuffle), where the oracle's window form
+    must sort whole groups. Tie-break on event_id makes both engines
+    pick the identical row; value quantized to exact cents for the
+    comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    maxc = F.struct(
+        cents.alias("c"), (-F.col("event_id")).alias("neg"),
+        F.col("event_id").alias("eid"),
+    )
+    minc = F.struct(
+        (-cents).alias("c"), (-F.col("event_id")).alias("neg"),
+        F.col("event_id").alias("eid"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.max(maxc).getField("eid").alias("max_value_event"),
+        F.max(minc).getField("eid").alias("min_value_event"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_grouping_id",
+    oracle="""
+SELECT coalesce(c.c_mktsegment, 'ALL') AS segment,
+       coalesce(o.o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(c.c_mktsegment) * 2 + GROUPING(o.o_orderpriority)
+            AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((c.c_mktsegment, o.o_orderpriority),
+                        (c.c_mktsegment), (o.o_orderpriority), ())
+""",
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id over grouping sets (X6 extension): the bitmask that
+    tells subtotal levels apart — required the moment a rollup feeds a
+    report, since (NULL segment) from data is otherwise indistinguishable
+    from the ALL-segments subtotal. Spark's grouping_id() bit order
+    (first grouping column = most significant) matches the SQL-standard
+    GROUPING() composition the oracle builds explicitly. One expanded
+    aggregate (4 grouping sets in a single shuffle with map-side partial
+    aggregation), dimension side broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        j.groupingSets(
+            [["c_mktsegment", "o_orderpriority"], ["c_mktsegment"],
+             ["o_orderpriority"], []],
+            "c_mktsegment",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+        )
+    )

@@ -542,3 +542,55 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .orderBy("rep")
     )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         md5(text) AS text_hash,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM documents
+)
+SELECT text_hash, doc_id AS keep_doc_id, lang,
+       CAST(n_chars AS BIGINT) AS kept_chars,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM ranked WHERE rn = 1
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with QUALITY-BASED survivor selection: within each
+    content-hash group keep the longest document (doc_id tie-break) —
+    q_dedup_exact keeps min(doc_id); real curation keeps the best copy
+    (longest, or highest quality score).
+
+    Implemented as ONE max_by-style struct aggregate — max(struct(
+    n_chars, -doc_id, payload)) — instead of the window row_number the
+    oracle uses: the aggregate is map-side combinable (each partition
+    reduces to one candidate per hash before the shuffle), while a
+    window must sort every duplicate row. Deterministic by the same
+    (n_chars DESC, doc_id ASC) order on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    best = (
+        d.select(
+            F.md5("text").alias("text_hash"),
+            F.struct(
+                F.col("n_chars").alias("nc"),
+                (-F.col("doc_id")).alias("neg_id"),
+                F.col("doc_id").alias("doc_id"),
+                F.col("lang").alias("lang"),
+            ).alias("cand"),
+        )
+        .groupBy("text_hash")
+        .agg(F.max("cand").alias("best"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return best.select(
+        "text_hash",
+        F.col("best.doc_id").alias("keep_doc_id"),
+        F.col("best.lang").alias("lang"),
+        F.col("best.nc").cast("long").alias("kept_chars"),
+        "n_copies",
+    )

@@ -371,3 +371,107 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("promo_cents").cast("double") / F.col("total_cents"), 6
         ).alias("promo_share"),
     )
+
+
+@query(
+    "q_min_cost_supplier",
+    oracle="""
+WITH costs AS (
+  SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+         CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM part p
+  JOIN supplier s ON (p.p_partkey % 100) = (s.s_suppkey % 100)
+  WHERE p.p_size >= 30
+),
+best AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, bal_cents,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY bal_cents DESC, s_suppkey) AS rn
+  FROM costs
+)
+SELECT p_partkey, p_brand, s_suppkey AS best_suppkey,
+       s_name AS best_supplier, bal_cents
+FROM best WHERE rn = 1
+""",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part, the best supplier under a correlated
+    extremum (Q2's min(ps_supplycost); here max account balance over a
+    deterministic part-supplier affinity since the synthetic schema has
+    no partsupp table). The decorrelated plan is the point: compute the
+    per-part extremum ONCE as an aggregate and join back — not a
+    correlated subquery per row.
+
+    Implemented as one max(struct(bal, -suppkey, payload)) aggregate
+    (map-side combinable, one shuffle on p_partkey); the oracle uses the
+    equivalent window form. The supplier side is dimension-sized —
+    broadcast; at 100 TB with a real partsupp fact both sides bucket on
+    partkey."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 30).select(
+        "p_partkey", "p_brand", (F.col("p_partkey") % 100).alias("aff")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        (F.col("s_suppkey") % 100).alias("aff"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    costs = p.join(F.broadcast(s), "aff").select(
+        "p_partkey",
+        "p_brand",
+        F.struct(
+            F.col("bal_cents").alias("bal"),
+            (-F.col("s_suppkey")).alias("neg_key"),
+            F.col("s_suppkey").alias("s_suppkey"),
+            F.col("s_name").alias("s_name"),
+        ).alias("cand"),
+    )
+    best = costs.groupBy("p_partkey", "p_brand").agg(F.max("cand").alias("b"))
+    return best.select(
+        "p_partkey",
+        "p_brand",
+        F.col("b.s_suppkey").alias("best_suppkey"),
+        F.col("b.s_name").alias("best_supplier"),
+        F.col("b.bal").alias("bal_cents"),
+    )
+
+
+@query(
+    "q_supplier_cnt",
+    oracle="""
+SELECT p.p_brand, p.p_type,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type
+""",
+)
+def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type),
+    excluding an anti-joined supplier set (Q16's complaint suppliers;
+    here negative-balance ones). NOT IN over a nullable-free key plans
+    as a broadcast left-anti join — the excluded set is tiny and ships
+    to every executor; the fact table never shuffles for the exclusion.
+    count(DISTINCT) rides the (brand, type) aggregate with Spark's
+    two-phase distinct expansion."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_key")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.bad_key, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

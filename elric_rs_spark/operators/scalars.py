@@ -241,3 +241,31 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
         F.array_join(F.slice(F.reverse(toks), 1, 2), "|").alias("last2_rev"),
     )
+
+
+@query(
+    "q_scalar_bitwise",
+    oracle="""
+SELECT event_id,
+       CAST(event_id & 255 AS BIGINT) AS low_byte,
+       CAST(xor(event_id, 2863311530) AS BIGINT) AS xored,
+       CAST(event_id << 2 AS BIGINT) AS shifted,
+       CAST(bit_count(CAST(event_id AS BIGINT)) AS BIGINT) AS popcount
+FROM events
+WHERE event_id < 1000
+""",
+)
+def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (X12 extension): AND / XOR / shift /
+    popcount — the primitives under hash partitioning, bloom probes, and
+    bitmap indexes. All codegen'd JVM intrinsics; the pushed event_id
+    predicate reaches the scan. Operands stay far below 2^62 so shifts
+    cannot overflow under ANSI."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        F.col("event_id").bitwiseXOR(F.lit(2863311530)).cast("long").alias("xored"),
+        F.shiftleft(F.col("event_id"), 2).cast("long").alias("shifted"),
+        F.bit_count(F.col("event_id").cast("long")).cast("long").alias("popcount"),
+    )
