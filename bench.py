@@ -58,6 +58,12 @@ HEADLINE = [
     "q_latest_per_key",
     "q_funnel",
     "q_curation_pipeline",
+    # round-3 appends (same contract: never interleave into the prefix)
+    "q_pack_shards",
+    "q_kmeans_assign",
+    "q_vocab_oov",
+    "q_domain_cap",
+    "q_window_range",
 ]
 
 
