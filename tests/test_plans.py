@@ -191,6 +191,23 @@ class TestExchangeBudgets:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_disjunctive_predicate_factored_to_scan(self, spark):
+        """TPC-H Q19 shape: Catalyst must factor the single-side
+        conjuncts out of the three-branch OR so the lineitem scan
+        receives an l_quantity filter (PushedFilters) instead of
+        scanning every row and filtering after the join."""
+        plan = physical_plan(QUERIES["q_disjunctive_pred"](spark, SF_DIR))
+        scans = [
+            ln for ln in plan.splitlines()
+            if "FileScan" in ln and "lineitem.parquet" in ln
+        ]
+        assert scans, plan
+        assert any(
+            "PushedFilters: [" in s
+            and "l_quantity" in s.split("PushedFilters: [", 1)[1]
+            for s in scans
+        ), plan
+
     def test_bucketed_join_has_no_exchange(self, spark):
         """Bucketed co-located join (plans/bucketing.py): with lineitem
         and orders both bucketBy(8, orderkey), the repeated-run join must

@@ -225,3 +225,63 @@ class TestConnectedComponents:
         ]
         edges = [(u, v) for u, v in edges if u != v]
         self._check(spark, edges)
+
+
+class TestPackShardsDistributedEqualsSerial:
+    def test_random_token_lengths(self, spark):
+        """The distributed shard packing (per-bucket cumsum + broadcast
+        offsets, operators/sampling.py) must produce BIT-IDENTICAL shard
+        ids to the serial greedy definition (global exclusive running sum
+        div budget) on adversarial inputs: sparse doc_ids (empty
+        buckets), docs bigger than a whole shard, zero-token docs."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from elric_rs_spark.operators.sampling import (
+            PACK_BUCKET_SPAN,
+            SHARD_TOKEN_BUDGET,
+        )
+
+        rng = random.Random(42)
+        # sparse ids across many buckets; extreme token counts included
+        ids = sorted(rng.sample(range(0, PACK_BUCKET_SPAN * 7), 400))
+        toks = [
+            rng.choice([0, 1, 17, 399, SHARD_TOKEN_BUDGET + 5000, 2048])
+            for _ in ids
+        ]
+        # serial reference: greedy running sum
+        serial, running = {}, 0
+        for i, t in zip(ids, toks):
+            serial[i] = running // SHARD_TOKEN_BUDGET
+            running += t
+        df = spark.createDataFrame(
+            list(zip(ids, toks)), "doc_id long, n_tokens long"
+        ).withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET_SPAN}"))
+        from pyspark.sql import Window
+
+        wloc = (
+            Window.partitionBy("bucket")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = df.withColumn(
+            "local_excl", F.sum("n_tokens").over(wloc) - F.col("n_tokens")
+        )
+        woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = (
+            df.groupBy("bucket")
+            .agg(F.sum("n_tokens").alias("bt"))
+            .withColumn("off", F.coalesce(F.sum("bt").over(woff), F.lit(0)))
+            .select("bucket", "off")
+        )
+        got = {
+            r.doc_id: r.shard
+            for r in local.join(F.broadcast(offsets), "bucket")
+            .withColumn(
+                "shard",
+                F.expr(f"(off + local_excl) div {SHARD_TOKEN_BUDGET}").cast("long"),
+            )
+            .collect()
+        }
+        assert got == serial
