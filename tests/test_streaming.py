@@ -557,3 +557,85 @@ class TestMultiStreamState:
         # only block 0 final; 19 buffered > cap 12 -> 7 overflow-flushed.
         assert by_stream["sA"] == 15
         assert by_stream["sB"] == 8  # block 0 + 7 overflow
+
+
+class TestSummingMart:
+    """Incremental continuous-aggregate maintenance (streaming/mart.py):
+    append-only per-epoch partial sums, merge-on-read — the
+    SummingMergeTree delegation trick (ref README.md:9-11) applied to
+    aggregates."""
+
+    def _run(self, spark, landing, ckpt, mart):
+        stream = read_block_stream(spark, landing)
+        q = (
+            stream.filter(F.col("msg_type") == "new")
+            .writeStream.foreachBatch(mart.write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def _blocks(self, lo, hi):
+        import datetime
+
+        base = datetime.datetime(2024, 8, 7, 12, 0, 0)
+        return [
+            {
+                "stream_id": f"s{n % 3}",
+                "msg_type": "new",
+                "block_num": n,
+                "block_id": f"blk-{n}",
+                "block_ts": base + datetime.timedelta(minutes=n),
+                "cursor": str(n),
+                "final_block_height": n,
+                "last_valid_block": None,
+                "payload": None,
+            }
+            for n in range(lo, hi)
+        ]
+
+    def test_incremental_equals_batch(self, spark, tmpdir):
+        from elric_rs_spark.streaming.mart import SummingMart
+
+        landing = f"{tmpdir}/landing"
+        mart = SummingMart(tmpdir, ["stream_id"], "block_num")
+        # wave 1
+        land_blocks(spark, self._blocks(0, 40), landing)
+        self._run(spark, landing, f"{tmpdir}/ckpt", mart)
+        # wave 2 arrives later; SAME checkpoint continues incrementally
+        land_blocks(spark, self._blocks(40, 100), landing)
+        self._run(spark, landing, f"{tmpdir}/ckpt", mart)
+
+        got = {
+            r.stream_id: (r.sum_block_num, r.n_rows)
+            for r in mart.read(spark).collect()
+        }
+        expect = {}
+        for n in range(100):
+            k = f"s{n % 3}"
+            s, c = expect.get(k, (0, 0))
+            expect[k] = (s + n, c + 1)
+        assert got == expect
+
+        # replayed epoch: re-append epoch 0's partials verbatim (the
+        # crash-replay shape) — merge-on-read must collapse them
+        parts = spark.read.parquet(mart.path)
+        e0 = parts.filter(F.col("epoch_id") == parts.agg(F.min("epoch_id")).collect()[0][0])
+        e0.write.mode("append").parquet(mart.path)
+        got2 = {
+            r.stream_id: (r.sum_block_num, r.n_rows)
+            for r in mart.read(spark).collect()
+        }
+        assert got2 == expect
+
+        # compaction preserves the merged result and shrinks partials
+        n_before = spark.read.parquet(mart.path).count()
+        mart.compact(spark)
+        n_after = spark.read.parquet(mart.path).count()
+        assert n_after <= n_before and n_after == len(expect)
+        got3 = {
+            r.stream_id: (r.sum_block_num, r.n_rows)
+            for r in mart.read(spark).collect()
+        }
+        assert got3 == expect
