@@ -1,0 +1,106 @@
+"""Source-format breadth: CSV / JSON / ORC round-trips.
+
+The reference reads exactly one wire format; an analytics engine's users
+arrive with files. Each test writes a table out in the format, reads it
+back with an explicit schema (schema inference is banned at scale — one
+inference pass over 100 TB doubles the read), and asserts bit-exact row
+equality plus a representative aggregate, covering the classic traps:
+CSV timestamp formatting, JSON field reordering, null round-trips.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elric_rs_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, key):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+@pytest.fixture()
+def orders(spark):
+    return load_table(spark, SF, "orders")
+
+
+class TestFileFormats:
+    def test_csv_roundtrip(self, spark, orders, tmp_path):
+        p = str(tmp_path / "orders_csv")
+        (
+            orders.write.option("header", True)
+            .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .csv(p)
+        )
+        back = (
+            spark.read.schema(orders.schema)
+            .option("header", True)
+            .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .csv(p)
+        )
+        assert back.schema == orders.schema
+        assert _rows(back, "o_orderkey") == _rows(orders, "o_orderkey")
+
+    def test_json_roundtrip(self, spark, orders, tmp_path):
+        p = str(tmp_path / "orders_json")
+        orders.write.json(p)
+        back = spark.read.schema(orders.schema).json(p)
+        assert _rows(back, "o_orderkey") == _rows(orders, "o_orderkey")
+
+    def test_orc_roundtrip(self, spark, orders, tmp_path):
+        p = str(tmp_path / "orders_orc")
+        orders.write.orc(p)
+        back = spark.read.orc(p)
+        assert back.schema == orders.schema
+        assert _rows(back, "o_orderkey") == _rows(orders, "o_orderkey")
+
+    @pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+    def test_aggregate_identical_across_formats(self, spark, orders, tmp_path, fmt):
+        """The same query over any source format returns identical
+        results — formats change scan nodes, never semantics."""
+        p = str(tmp_path / f"orders_{fmt}")
+        w = orders.write
+        r = spark.read.schema(orders.schema)
+        if fmt == "csv":
+            w = w.option("header", True).option(
+                "timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            )
+            r = r.option("header", True).option(
+                "timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            )
+        getattr(w, fmt)(p)
+        back = getattr(r, fmt)(p)
+
+        def agg(df):
+            return sorted(
+                tuple(r)
+                for r in df.groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                        "cents"
+                    ),
+                )
+                .collect()
+            )
+
+        assert agg(back) == agg(orders)
+
+    def test_csv_null_roundtrip(self, spark, tmp_path):
+        """NULLs survive CSV only under an explicit nullValue token —
+        the silent-empty-string trap."""
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None)], "id long, name string"
+        )
+        p = str(tmp_path / "nulls_csv")
+        df.write.option("header", True).option("nullValue", "\\N").csv(p)
+        back = (
+            spark.read.schema(df.schema)
+            .option("header", True)
+            .option("nullValue", "\\N")
+            .csv(p)
+        )
+        assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, None)]
