@@ -488,3 +488,63 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS syy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS corr_qty_price,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * (n - 1)), 6) AS covar_qty_price
+FROM m
+""",
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance aggregates (X5 extension) computed the
+    CROSS-ENGINE-DETERMINISTIC way: the five moments accumulate as EXACT
+    integers (quantity is integral; price quantized to cents — products
+    stay < 2^63 at any tested SF), then one closed-form float expression
+    evaluates identically on both engines. Calling the builtin corr()
+    directly would float-accumulate in partition order — a value that
+    legitimately differs run to run; moments-then-formula is also how a
+    distributed engine SHOULD compute corr (map-side combinable integer
+    sums, one tiny final expression)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_num = nd * F.col("sxy") - sxd * F.col("sy")
+    var_x = nd * F.col("sxx") - sxd * F.col("sx")
+    var_y = nd * F.col("syy") - syd * F.col("sy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_num / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(cov_num / (nd * (F.col("n") - 1)), 6).alias("covar_qty_price"),
+    )

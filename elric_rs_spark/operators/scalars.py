@@ -269,3 +269,37 @@ def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(F.col("event_id"), 2).cast("long").alias("shifted"),
         F.bit_count(F.col("event_id").cast("long")).cast("long").alias("popcount"),
     )
+
+
+@query(
+    "q_scalar_null",
+    oracle="""
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+       CASE WHEN c_acctbal < 0 THEN NULL
+            ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS pos_cents,
+       coalesce(CASE WHEN c_acctbal < 0 THEN NULL
+                     ELSE CAST(round(c_acctbal * 100) AS BIGINT) END,
+                -1) AS pos_cents_filled,
+       CAST(c_acctbal IS NULL OR c_acctbal < 0 AS BOOLEAN) AS flagged
+FROM customer
+""",
+)
+def q_scalar_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar surface (X12 extension): nullif / coalesce /
+    CASE-to-NULL / boolean null-safe predicates — the semantics that
+    silently corrupt pipelines when an engine disagrees (SQL three-valued
+    logic). All codegen'd; NULL propagation is identical across engines
+    by the standard, which this query pins."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(cents)
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        pos.alias("pos_cents"),
+        F.coalesce(pos, F.lit(-1)).alias("pos_cents_filled"),
+        (F.col("c_acctbal").isNull() | (F.col("c_acctbal") < 0)).alias("flagged"),
+    )
