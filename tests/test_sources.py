@@ -104,3 +104,49 @@ class TestFileFormats:
             .csv(p)
         )
         assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, None)]
+
+
+class TestMalformedRecords:
+    """File-source malformed-record policy — the batch mirror of the
+    streaming decode policy (streaming/pipeline.py strict vs permissive+
+    quarantine; the reference PANICS, loader.rs:128-131). An engine
+    reading 100 TB of third-party JSON/CSV WILL hit bad records; the
+    policy must be explicit, not an exception at hour nine."""
+
+    def _land(self, tmp_path):
+        p = tmp_path / "mixed.json"
+        p.write_text(
+            '{"id": 1, "v": "ok"}\n'
+            "this is not json\n"
+            '{"id": 2, "v": "also ok"}\n'
+            '{"id": "NaN-ish", "v": 3}\n'
+        )
+        return str(p)
+
+    def test_permissive_quarantines_to_corrupt_column(self, spark, tmp_path):
+        path = self._land(tmp_path)
+        df = spark.read.schema("id long, v string, _corrupt_record string").json(path)
+        rows = df.collect()
+        good = [r for r in rows if r._corrupt_record is None]
+        bad = [r for r in rows if r._corrupt_record is not None]
+        assert {r.id for r in good} == {1, 2}
+        assert len(bad) == 2  # the non-JSON line and the type-mismatched id
+
+    def test_dropmalformed_keeps_only_parseable(self, spark, tmp_path):
+        path = self._land(tmp_path)
+        df = (
+            spark.read.schema("id long, v string")
+            .option("mode", "DROPMALFORMED")
+            .json(path)
+        )
+        assert sorted(r.id for r in df.collect()) == [1, 2]
+
+    def test_failfast_raises(self, spark, tmp_path):
+        path = self._land(tmp_path)
+        df = (
+            spark.read.schema("id long, v string")
+            .option("mode", "FAILFAST")
+            .json(path)
+        )
+        with pytest.raises(Exception):
+            df.collect()
