@@ -285,3 +285,58 @@ class TestPackShardsDistributedEqualsSerial:
             .collect()
         }
         assert got == serial
+
+
+class TestAQESkewJoin:
+    def test_aqe_splits_skewed_partition(self, spark, tmp_path):
+        """The zero-code skew answer: AQE's OptimizeSkewedJoin splits a
+        hot partition of a sort-merge join into parallel sub-splits at
+        RUNTIME (the final adaptive plan marks the join `skew=true`).
+        Salting (functions/skew.py) remains the fallback for aggregate
+        skew and engines without AQE, but a plain shuffle join on skewed
+        data should need no hand-tuning — this pins that behavior so a
+        session-conf regression (AQE accidentally off) is caught."""
+        import math
+
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            (F.col("id") * 2).alias("v"),
+        )
+        dim = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("d"), F.col("id")).alias("name"),
+        )
+        fp, dp = str(tmp_path / "fact"), str(tmp_path / "dim")
+        fact.write.parquet(fp)
+        dim.write.parquet(dp)
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+        }
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            f = spark.read.parquet(fp)
+            d = spark.read.parquet(dp)
+            # global aggregate downstream: a KEYED aggregate right after
+            # the join would require hashpartitioning(k) and AQE refuses
+            # to split skew when the split breaks a required downstream
+            # distribution (split partitions duplicate keys) — itself a
+            # design rule worth knowing: put skew-join outputs through a
+            # distribution-free consumer, or re-shuffle explicitly
+            joined = f.join(d, "k").agg(F.sum("v").alias("sv"))
+            joined.collect()  # materialize so AQE finalizes the plan
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in plan, plan
+        finally:
+            for k, v in prev.items():
+                if v is not None:
+                    spark.conf.set(k, v)
