@@ -732,3 +732,56 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_actual", F.lit(0)).cast("long").alias("n_events"),
         F.when(F.col("n_actual").isNull(), 1).otherwise(0).alias("is_gap"),
     )
+
+
+@query(
+    "q_rollup_multigrain",
+    oracle="""
+WITH g AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+            WHEN GROUPING(d) = 0 THEN 'day'
+            ELSE 'month' END AS grain,
+       coalesce(h, d, m) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM g
+GROUP BY GROUPING SETS ((h), (d), (m))
+""",
+)
+def q_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity continuous aggregate (the TimescaleDB
+    hierarchical-caggs / Druid multi-grain rollup shape): hourly, daily,
+    and monthly buckets computed in ONE grouping-sets pass — a single
+    Expand + hash aggregate with map-side partials, one shuffle — where
+    the naive form scans the fact table three times. grouping()
+    disambiguates the grain; coalesce folds the three bucket columns.
+    At 100 TB this is the backfill that populates a mart hierarchy in
+    one read of the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+        _cents("value").alias("cents"),
+    )
+    rolled = g.groupingSets([["h"], ["d"], ["m"]], "h", "d", "m").agg(
+        F.grouping("h").alias("gh"),
+        F.grouping("d").alias("gd"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    return rolled.select(
+        F.when(F.col("gh") == 0, "hour")
+        .when(F.col("gd") == 0, "day")
+        .otherwise("month")
+        .alias("grain"),
+        F.coalesce("h", "d", "m").alias("bucket_start"),
+        "n_events",
+        "sum_cents",
+    )
