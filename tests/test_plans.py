@@ -167,6 +167,13 @@ class TestExchangeBudgets:
             ("q_curation_pipeline", 2),  # dedup groupBy + report groupBy
             ("q_join_asof", 2),        # purchase pre-agg + one window shuffle
             ("q_sample_hash", 1),      # pushed filter + one report groupBy
+            # round-3 additions: window partitioning reused by the report
+            # aggregate (no second wide shuffle)
+            ("q_doclen_trim", 1),
+            ("q_domain_cap", 1),
+            ("q_agg_corr", 1),         # integer moments: one keyed aggregate
+            ("q_rollup_multigrain", 1),  # one Expand + one shuffle, 3 grains
+            ("q_min_cost_supplier", 2),  # broadcast affinity join + extremum agg
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
