@@ -125,3 +125,29 @@ def q_subquery_idlerich(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery execution anywhere in the plan."""
     register_views(spark, sf_dir)
     return spark.sql(_IDLE_RICH_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.cents
+FROM customer c,
+LATERAL (
+  SELECT o.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey < 300
+"""
+
+
+@query("q_subquery_lateral", oracle=_LATERAL_SQL)
+def q_subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with ORDER BY + LIMIT (the
+    top-N-per-row join SQL:99 shape). Catalyst decorrelates the
+    per-customer top-2 into a window/rank over ONE join — no per-row
+    inner-query execution — which is exactly the rewrite a user would
+    otherwise hand-write with row_number. Identical ANSI text runs on
+    DuckDB as the oracle, pinning dialect compatibility for LATERAL."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
