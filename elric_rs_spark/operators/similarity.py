@@ -590,3 +590,112 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", "assigned_label")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+PQ_M = 8       # subvectors per embedding (64 dims -> 8 dims each)
+PQ_K = 16      # codes per subspace
+# engine-portable bucket hash (pure BIGINT arithmetic, same constants as
+# operators/sampling.py): vec_id -> training bucket in [0, PQ_K)
+_PQ_BUCKET = f"((vec_id % 1000003) * 2654435761 + 12345) % 4294967296 % {PQ_K}"
+
+
+@query(
+    "q_pq_encode",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, label,
+         ((i - 1) // 8) AS m, i AS dim,
+         CAST({_PQ_BUCKET} AS BIGINT) AS bucket,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+book AS (
+  SELECT m, bucket AS code, dim,
+         (CAST(sum(micro) AS BIGINT)
+          - ((CAST(sum(micro) AS BIGINT) % count(*) + count(*)) % count(*)))
+         // count(*) AS icent
+  FROM comp GROUP BY m, bucket, dim
+),
+dists AS (
+  SELECT c.vec_id, c.m, b.code,
+         CAST(sum((c.micro - b.icent) * (c.micro - b.icent)) AS BIGINT) AS sse
+  FROM comp c JOIN book b ON c.m = b.m AND c.dim = b.dim
+  GROUP BY c.vec_id, c.m, b.code
+),
+best AS (
+  SELECT vec_id, m, code, sse,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY sse, code) AS rn
+  FROM dists
+)
+SELECT m, code,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(sse) AS BIGINT) AS total_sse
+FROM best WHERE rn = 1
+GROUP BY m, code
+""",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (the IVF-PQ memory-compression step:
+    Jégou et al. 2011, public): each 64-dim embedding splits into M=8
+    subvectors; each subvector is assigned its nearest of K=16 codebook
+    centroids, so a vector compresses to M codes (8 bytes). Output is
+    the per-(subspace, code) occupancy + total squared quantization
+    error — the codebook-balance/distortion diagnostic run before
+    committing a codebook.
+
+    Determinism: codebooks come from hash-bucket training (the same
+    portable multiplicative hash as deterministic sampling — NOT
+    engine-specific xxhash), centroid components are floor-div integers,
+    distances are exact BIGINT SSEs, argmin ties break on code. The
+    oracle replays the identical integer pipeline.
+
+    Scale shape: the codebook is M*K*8 = 1024 small rows — broadcast;
+    encode is explode + broadcast join + two keyed aggregates (the
+    argmin is a max(struct) — map-side combinable). No pairwise
+    vector-vector work anywhere; a billion vectors encode in one pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).select(
+        "vec_id",
+        F.expr("pos div 8").alias("m"),
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.expr(_PQ_BUCKET).cast("long").alias("bucket"),
+        F.round(F.col("val").cast("double") * 1000000).cast("long").alias("micro"),
+    )
+    book = (
+        comp.groupBy("m", F.col("bucket").alias("code"), "dim")
+        .agg(F.sum("micro").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "m",
+            "code",
+            "dim",
+            ((F.col("s") - F.pmod(F.col("s"), F.col("n"))) / F.col("n"))
+            .cast("long")
+            .alias("icent"),
+        )
+    )
+    diff = F.col("micro") - F.col("icent")
+    dists = (
+        comp.join(F.broadcast(book), ["m", "dim"])
+        .groupBy("vec_id", "m", "code")
+        .agg(F.sum(diff * diff).alias("sse"))
+    )
+    best = dists.groupBy("vec_id", "m").agg(
+        F.min(F.struct(F.col("sse"), F.col("code"))).alias("top")
+    )
+    return (
+        best.select(
+            "m",
+            F.col("top.code").alias("code"),
+            F.col("top.sse").alias("sse"),
+        )
+        .groupBy("m", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("sse").alias("total_sse"),
+        )
+    )

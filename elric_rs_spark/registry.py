@@ -55,7 +55,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # q_agg_argminmax, q_grouping_id. Next round, move them (plus anything
 # the r3 run failed) to the front and retire r3-green rows to the back.
 # Also behind the window: q_gap_fill, q_disjunctive_pred,
-# q_agg_corr, q_scalar_null, q_rollup_multigrain, q_subquery_lateral.
+# q_agg_corr, q_scalar_null, q_rollup_multigrain, q_subquery_lateral,
+# q_pq_encode.
 GRADING_ORDER: list[str] = [
     # (a) round-2 hash-fails, root-caused to DuckDB HUGEINT widening, fixed
     "q_join_star",
