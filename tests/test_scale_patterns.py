@@ -340,3 +340,57 @@ class TestAQESkewJoin:
             for k, v in prev.items():
                 if v is not None:
                     spark.conf.set(k, v)
+
+
+class TestBloomDecontamination:
+    def test_bloom_probe_is_superset_of_exact(self, spark):
+        """q_decontaminate broadcasts the benchmark gram SET — right
+        while it fits. At a few billion grams the at-scale form is a
+        BLOOM filter (bloom_filter_agg / might_contain): probe cost
+        stays O(1) per gram with a fixed memory budget. Correctness
+        contract: bloom hits are a SUPERSET of exact hits (no false
+        negatives — a contaminated doc can never slip through), and the
+        false-positive overshoot stays within the configured fpp."""
+        from pyspark.sql import functions as F
+
+        docs = spark.range(0, 20_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("g"), (F.col("id") % 5_000)).alias("gram"),
+        )
+        bench = spark.range(0, 500).select(
+            F.concat(F.lit("g"), F.col("id")).alias("gram")
+        )
+        # exact: broadcast semi join
+        exact = docs.join(
+            F.broadcast(bench), "gram", "left_semi"
+        ).select("doc_id")
+        n_exact = exact.count()
+        # bloom built from DataFrame primitives (bloom_filter_agg is not
+        # SQL-registered in this build, and this form is engine-portable
+        # anyway): m=8000 bits, k=2 hash functions; the filter is the
+        # sorted distinct bit-position array, broadcast as one row
+        M = 8000
+
+        def positions(col):
+            return [
+                F.pmod(F.xxhash64(col), F.lit(M)),
+                F.pmod(F.xxhash64(col, F.lit(1)), F.lit(M)),
+            ]
+
+        bits = (
+            bench.select(F.explode(F.array(*positions(F.col("gram")))).alias("p"))
+            .agg(F.sort_array(F.collect_set("p")).alias("bits"))
+        )
+        h1, h2 = positions(F.col("gram"))
+        probed = docs.crossJoin(F.broadcast(bits)).filter(
+            F.array_contains("bits", h1) & F.array_contains("bits", h2)
+        )
+        n_bloom = probed.count()
+        assert n_bloom >= n_exact  # no false negatives, ever
+        # exact hits: gram ids 0..499 over 4 cycles = 2000 rows; fpp
+        # bound keeps the overshoot modest
+        assert n_exact == 2_000
+        assert n_bloom <= n_exact * 1.25
+        # and every exact hit is inside the bloom hit set
+        missing = exact.join(probed.select("doc_id"), "doc_id", "left_anti")
+        assert missing.count() == 0
