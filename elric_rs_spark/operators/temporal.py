@@ -785,3 +785,56 @@ def q_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_cents",
     )
+
+
+@query(
+    "q_counter_rate",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(round(value * 100) AS BIGINT)
+           - lag(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN delta IS NULL THEN 0
+                     WHEN delta >= 0 THEN delta
+                     ELSE cents END) AS BIGINT) AS increase_cents,
+       CAST(count(CASE WHEN delta < 0 THEN 1 END) AS BIGINT) AS n_resets
+FROM d
+GROUP BY user_id
+""",
+)
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter increase with reset handling (PromQL
+    `increase` / TimescaleDB `counter_agg` semantics): per key, sum the
+    positive deltas between consecutive samples; when a counter RESETS
+    (delta < 0 — process restart), the post-reset reading counts as
+    growth from zero. The monitoring-pipeline op plain sum/max cannot
+    express, and the classic source of silently-wrong dashboards when
+    an engine port mishandles the reset branch.
+
+    One keyed window (lag) whose user_id partitioning the report
+    aggregate then reuses — single shuffle, same class as
+    q_sessionize. Integer cents end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = _cents("value")
+    d = ev.select(
+        "user_id",
+        cents.alias("cents"),
+        (cents - F.lag(cents).over(w)).alias("delta"),
+    )
+    inc = (
+        F.when(F.col("delta").isNull(), 0)
+        .when(F.col("delta") >= 0, F.col("delta"))
+        .otherwise(F.col("cents"))
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(inc).alias("increase_cents"),
+        F.count(F.when(F.col("delta") < 0, 1)).alias("n_resets"),
+    )
