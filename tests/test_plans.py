@@ -174,6 +174,7 @@ class TestExchangeBudgets:
             ("q_agg_corr", 1),         # integer moments: one keyed aggregate
             ("q_rollup_multigrain", 1),  # one Expand + one shuffle, 3 grains
             ("q_min_cost_supplier", 2),  # broadcast affinity join + extremum agg
+            ("q_counter_rate", 1),     # lag window partitioning reused by report
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
