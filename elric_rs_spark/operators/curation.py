@@ -265,3 +265,86 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(kept, 1)).alias("n_kept"),
         F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
     )
+
+
+# target corpus composition for the rebalance operator (share per lang,
+# thousandths — sums to 1000)
+MIX_TARGET_SQL = "(VALUES ('en', 400), ('de', 150), ('es', 150), ('fr', 150), ('zh', 150)) AS mix(lang, share_thousandths)"
+MIX_TARGET = {"en": 400, "de": 150, "es": 150, "fr": 150, "zh": 150}
+
+
+@query(
+    "q_mix_rebalance",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+rates AS (
+  SELECT c.lang, c.n,
+         -- keep-rate in thousandths: min(1000, target_share * total / n)
+         -- `//` not `/`: DuckDB `/` is float division and CAST rounds,
+         -- while Spark `div` floors — `//` floors on both
+         CAST(least(1000, (mix.share_thousandths * t.t) // c.n) AS BIGINT)
+           AS keep_permille
+  FROM counts c
+  JOIN {MIX_TARGET_SQL} ON c.lang = mix.lang
+  CROSS JOIN total t
+),
+kept AS (
+  SELECT d.lang,
+         CASE WHEN ((d.doc_id % 1000003) * 2654435761 + 12345)
+                   % 4294967296 % 1000 < r.keep_permille
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN rates r ON d.lang = r.lang
+)
+SELECT k.lang, r.n AS n_before, r.keep_permille,
+       CAST(sum(k.keep) AS BIGINT) AS n_kept
+FROM kept k JOIN rates r ON k.lang = r.lang
+GROUP BY k.lang, r.n, r.keep_permille
+""",
+)
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mix rebalancing (the data-mixing step that hits a target
+    language/domain composition before training): measure the actual
+    per-language counts, derive each language's keep-rate as
+    min(1, target_share x total / actual), then down-sample
+    DETERMINISTICALLY with the same hash-slot rule as q_sample_hash —
+    so the kept set is reproducible and the rate math is exact integer
+    arithmetic (permille, floor division) on both engines.
+
+    Scale shape: the counts aggregate is tiny (one row per language)
+    and broadcast back; the keep decision is row-local (no second
+    shuffle over the corpus); the report groupBy keys on lang. The
+    identical plan rebalances a 100 TB corpus: its only wide operation
+    is the one count aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    mix = spark.createDataFrame(
+        list(MIX_TARGET.items()), "lang string, share_thousandths long"
+    )
+    rates = (
+        counts.join(F.broadcast(mix), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n",
+            F.least(
+                F.lit(1000),
+                F.expr("(share_thousandths * t) div n"),
+            ).cast("long").alias("keep_permille"),
+        )
+    )
+    slot = F.expr(
+        "((doc_id % 1000003) * 2654435761 + 12345) % 4294967296 % 1000"
+    )
+    kept = d.join(F.broadcast(rates), "lang").select(
+        "lang",
+        "n",
+        "keep_permille",
+        F.when(slot < F.col("keep_permille"), 1).otherwise(0).alias("keep"),
+    )
+    return kept.groupBy("lang", F.col("n").alias("n_before"), "keep_permille").agg(
+        F.sum("keep").alias("n_kept")
+    )

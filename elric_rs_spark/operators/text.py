@@ -493,3 +493,52 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("oov").alias("n_oov"),
         F.round(F.sum("oov").cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
     )
+
+
+TEMPLATE_PREFIX_TOKENS = 8
+
+
+@query(
+    "q_template_detect",
+    oracle=f"""
+WITH pfx AS (
+  SELECT doc_id, lang,
+         array_to_string(string_split(lower(trim(text)), ' ')[1:{TEMPLATE_PREFIX_TOKENS}], ' ')
+           AS prefix
+  FROM documents
+)
+SELECT md5(prefix) AS template_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       min(doc_id) AS example_doc
+FROM pfx
+GROUP BY md5(prefix)
+HAVING count(*) >= 5
+""",
+)
+def q_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection (the "same page skeleton repeated
+    thousands of times" curation problem): documents sharing an
+    identical {TEMPLATE_PREFIX_TOKENS}-token normalized prefix group
+    into a template cluster; clusters of >= 5 docs are flagged. Prefix
+    grouping catches header/nav boilerplate that full-document hashing
+    (q_dedup_exact) misses because the bodies differ.
+
+    One groupBy on the md5 of the prefix — uniform key, map-side
+    combined, embarrassingly parallel prefix extraction in codegen; the
+    HAVING prunes before any driver materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, TEMPLATE_PREFIX_TOKENS),
+        " ",
+    )
+    return (
+        d.select("doc_id", "lang", F.md5(prefix).alias("template_id"))
+        .groupBy("template_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 5)
+    )
