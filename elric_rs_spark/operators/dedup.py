@@ -594,3 +594,118 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.nc").cast("long").alias("kept_chars"),
         "n_copies",
     )
+
+
+PORTABLE_K = 16       # minhash functions
+PORTABLE_BANDS = 4    # 4 bands x 4 rows
+
+
+@query(
+    "q_dedup_minhash_portable",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN range(1, len(t) - 1)]) AS g
+  FROM toks WHERE len(t) >= 3
+),
+eg AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams
+),
+mh AS (
+  SELECT eg.doc_id, k.k,
+         min(md5(gram || '#' || k.k)) AS h
+  FROM eg CROSS JOIN range(0, {PORTABLE_K}) k(k)
+  GROUP BY eg.doc_id, k.k
+),
+bands AS (
+  SELECT doc_id, CAST(k // {PORTABLE_K // PORTABLE_BANDS} AS BIGINT) AS band,
+         md5(string_agg(k || ':' || h, '' ORDER BY k || ':' || h)) AS sig
+  FROM mh GROUP BY doc_id, k // {PORTABLE_K // PORTABLE_BANDS}
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(ga.g, gb.g))), 6) AS jaccard
+FROM cand c
+JOIN grams ga ON ga.doc_id = c.doc_a
+JOIN grams gb ON gb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+      / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.5
+""",
+)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup with a FULL value oracle — the check the
+    fast kernel (q_dedup_minhash, engine-specific xxhash64, rows-only)
+    cannot have. Every hash here is md5 over strings, which both
+    engines compute identically, so the ENTIRE pipeline — K=16
+    minhashes, 4x4 banding, bucket candidate generation, exact word-
+    2-gram Jaccard >= 0.5 verification — is replayed bit-for-bit by
+    DuckDB. Same algorithm, same banding math, same candidate
+    semantics as the production kernel; md5-per-gram is ~3x the hash
+    cost, which is why the xxhash64 form remains the at-scale path.
+
+    Scale shape mirrors the production kernel: signatures via explode +
+    groupBy min (codegen, map-side combined), candidates from a
+    (band, sig) groupBy — never a self-join on the corpus — and exact
+    verification touches candidate pairs only."""
+    d = load_table(spark, sf_dir, "documents")
+    grams_arr = F.array_distinct(_word_ngrams(F.col("text"), 3))
+    grams = d.select("doc_id", grams_arr.alias("g")).filter(F.size("g") > 0)
+    rows_per_band = PORTABLE_K // PORTABLE_BANDS
+    eg = grams.select("doc_id", F.explode("g").alias("gram"))
+    ks = spark.range(PORTABLE_K).select(F.col("id").alias("k"))
+    mh = (
+        eg.crossJoin(F.broadcast(ks))
+        .groupBy("doc_id", "k")
+        .agg(F.min(F.md5(F.concat_ws("#", "gram", "k"))).alias("h"))
+    )
+    bands = (
+        mh.select(
+            "doc_id",
+            F.expr(f"k div {rows_per_band}").alias("band"),
+            F.concat_ws(":", "k", "h").alias("kh"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("", F.array_sort(F.collect_list("kh")))).alias("sig"))
+    )
+    ds = F.array_sort(F.collect_set("doc_id"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        bands.groupBy("band", "sig")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb"))
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -99,6 +99,10 @@ GRADING_ORDER: list[str] = [
     "q_window_range",
     "q_vocab_oov",
     "q_domain_cap",
+    # md5-portable MinHash+LSH: the dedup family's first FULL value
+    # oracle (the xxhash64 kernel is inherently rows-only) — belongs in
+    # the graded window above any r1-green regrade
+    "q_dedup_minhash_portable",
     # (d) oracle re-cast defensively this round
     "q_join_asof",
     # (e) round-1-only-graded, full-oracle first
