@@ -709,3 +709,142 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+SIMHASH_PORTABLE_BITS = 64
+SIMHASH_PORTABLE_MAXHAM = 3
+
+
+@query(
+    "q_dedup_simhash_portable",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(string_split(lower(trim(text)), ' ')) AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+bits AS (
+  SELECT doc_id, b.b,
+         -- bit b of md5(tok): hex digit b//4, bit (3 - b%4) within it
+         ((strpos('0123456789abcdef',
+                  substr(md5(tok), CAST(b.b // 4 AS INT) + 1, 1)) - 1)
+          // (CASE b.b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                           WHEN 2 THEN 2 ELSE 1 END)) % 2 AS bit
+  FROM tok CROSS JOIN range(0, {SIMHASH_PORTABLE_BITS}) b(b)
+),
+sig AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS sbit
+  FROM bits GROUP BY doc_id, b
+),
+sigstr AS (
+  SELECT doc_id,
+         string_agg(CAST(sbit AS VARCHAR), '' ORDER BY b) AS s
+  FROM sig GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, c.c AS chunk, substr(s, c.c * 16 + 1, 16) AS piece
+  FROM sigstr CROSS JOIN range(0, 4) c(c)
+),
+cand AS (
+  SELECT DISTINCT c1.doc_id AS doc_a, c2.doc_id AS doc_b
+  FROM chunks c1 JOIN chunks c2
+    ON c1.chunk = c2.chunk AND c1.piece = c2.piece
+   AND c1.doc_id < c2.doc_id
+),
+scored AS (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(len(list_filter(range(1, {SIMHASH_PORTABLE_BITS} + 1),
+                  i -> substr(sa.s, CAST(i AS INT), 1) <> substr(sb.s, CAST(i AS INT), 1)))
+              AS BIGINT) AS hamming
+  FROM cand
+  JOIN sigstr sa ON sa.doc_id = cand.doc_a
+  JOIN sigstr sb ON sb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, hamming
+FROM scored WHERE hamming <= {SIMHASH_PORTABLE_MAXHAM}
+""",
+)
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with a FULL value oracle (companion to
+    q_dedup_minhash_portable; the xxhash64 SimHash kernel is rows-only
+    by nature): per-distinct-token md5 bits vote per position, the
+    64-bit signature splits into 4 pigeonhole chunks (hamming <= 3
+    guarantees two near-dups share at least one identical 16-bit
+    chunk), candidates come from a chunk-equality bucket join, and the
+    exact Hamming distance filters candidates. Every step is md5/string
+    arithmetic both engines compute identically.
+
+    Scale shape matches the production kernel: one explode + groupBy
+    signature pass, chunk-bucket candidate generation (never an
+    all-pairs join), exact verification on candidates only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))
+        ).alias("tok"),
+    )
+    bs = spark.range(SIMHASH_PORTABLE_BITS).select(F.col("id").alias("b"))
+    bits = toks.crossJoin(F.broadcast(bs)).select(
+        "doc_id", "b", F.expr(
+            "((instr('0123456789abcdef', substr(md5(tok), cast(b div 4 as int) + 1, 1)) - 1)"
+            " div (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2"
+        ).alias("bit"),
+    )
+    sig = bits.groupBy("doc_id", "b").agg(
+        F.when(F.sum(2 * F.col("bit") - 1) > 0, 1).otherwise(0).alias("sbit")
+    )
+    sigstr = sig.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("b"), F.col("sbit")))
+                ),
+                lambda x: x["sbit"].cast("string"),
+            ),
+        ).alias("s")
+    )
+    cs = spark.range(4).select(F.col("id").alias("chunk"))
+    chunks = sigstr.crossJoin(F.broadcast(cs)).select(
+        "doc_id",
+        "chunk",
+        F.expr("substr(s, cast(chunk * 16 as int) + 1, 16)").alias("piece"),
+    )
+    ds = F.array_sort(F.collect_set("doc_id"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        chunks.groupBy("chunk", "piece")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sigstr.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sigstr.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    # exact hamming: count positions where the two bit strings differ
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.expr(
+                f"size(filter(sequence(1, {SIMHASH_PORTABLE_BITS}),"
+                " i -> substr(sa, i, 1) <> substr(sb, i, 1)))"
+            ).cast("long"),
+        )
+    )
+    return scored.filter(F.col("hamming") <= SIMHASH_PORTABLE_MAXHAM).select(
+        "doc_a", "doc_b", "hamming"
+    )

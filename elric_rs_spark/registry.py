@@ -56,7 +56,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the r3 run failed) to the front and retire r3-green rows to the back.
 # Also behind the window: q_gap_fill, q_disjunctive_pred,
 # q_agg_corr, q_scalar_null, q_rollup_multigrain, q_subquery_lateral,
-# q_pq_encode, q_counter_rate, q_mix_rebalance, q_template_detect.
+# q_pq_encode, q_counter_rate, q_mix_rebalance, q_template_detect,
+# q_dedup_simhash_portable.
 GRADING_ORDER: list[str] = [
     # (a) round-2 hash-fails, root-caused to DuckDB HUGEINT widening, fixed
     "q_join_star",
