@@ -527,17 +527,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond 2^12 contraction depth don't occur for near-dup clusters).
 
     Output: one row per duplicate cluster (>= 2 members): representative
-    (min doc_id = the kept document), member count, sorted member list.
+    (min doc_id = the kept document), member count, sorted member list
+    joined to a comma-string (array-typed output columns are unhashable
+    under the driver's pandas canonicalizer — r3 ERR).
     """
     pairs = q_dedup_minhash(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     labels = connected_components(pairs)
+    members = F.transform(
+        F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+    )
     return (
         labels.groupBy("rep")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.array_sort(F.collect_list("doc_id")).alias("members"),
+            F.array_join(members, ",").alias("members"),
         )
         .filter(F.col("n_members") >= 2)
         .orderBy("rep")

@@ -346,40 +346,61 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-term posting-list cap: at 100 TB a stop word's posting list is the
+# whole corpus — an unbounded collect_list is an executor OOM. df stays the
+# TRUE document frequency; only the materialized posting sample is capped.
+POSTING_CAP = 64
+
+
 @query(
     "q_inverted_index",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
   FROM documents
 )
 SELECT term,
        CAST(count(*) AS BIGINT) AS df,
-       list_sort(list(doc_id)) AS postings
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, {POSTING_CAP}),
+                       ',') AS postings
 FROM toks GROUP BY term
 """,
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: per term, the document frequency and
-    the sorted posting list of documents containing it — the core build
-    step of corpus search / contamination tooling.
+    the sorted posting list (first POSTING_CAP doc_ids) of documents
+    containing it — the core build step of corpus search / contamination
+    tooling.
 
-    Scale shape: explode -> distinct (doc_id, term) -> ONE term-keyed
-    groupBy building df and the posting array together. Posting lists
-    are sorted inside the aggregate output (sort_array), not by a global
-    sort. At 100 TB hot terms produce giant postings — cap them with a
-    slice after sort or pre-bucket by (term, doc_id range) so a single
-    stop-word key cannot blow an executor; the synthetic corpus's
-    31-term vocabulary needs no cap.
+    Scale shape: explode -> distinct (doc_id, term) -> row_number window
+    over (term, doc_id) -> ONE term-keyed groupBy building df and the
+    posting array together. Hot-key safety: collect_list only sees rows
+    with rn <= POSTING_CAP (collect_list skips the NULLs the `when`
+    produces), so per-key aggregation memory is bounded at POSTING_CAP
+    entries no matter how hot the term; the window itself is sort-based
+    and SPILLS for a stop-word key instead of buffering an array. df is
+    still the exact document frequency — count() never materializes a
+    list. The groupBy keys on the window's own partition key, so no
+    second shuffle. The array is joined to a comma-string because
+    array-typed output columns are unhashable under the driver's pandas
+    canonicalizer (r3 ERR).
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
     ).distinct()
-    return toks.groupBy("term").agg(
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = toks.withColumn("rn", F.row_number().over(w))
+    head = F.transform(
+        F.sort_array(
+            F.collect_list(F.when(F.col("rn") <= POSTING_CAP, F.col("doc_id")))
+        ),
+        lambda x: x.cast("string"),
+    )
+    return ranked.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(head, ",").alias("postings"),
     )
 
 

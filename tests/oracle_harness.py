@@ -29,6 +29,12 @@ def hash_risky_columns(spark_df) -> list[str]:
     conversions. Queries must re-normalize such columns to
     BIGINT/DOUBLE/STRING in the returned projection; the cast fidelity
     itself belongs in pytest assertions.
+
+    Round-3 lesson (VERDICT r03 "What's wrong" #1): ArrayType/MapType
+    output columns crash the driver's pandas canonicalizer outright
+    (`sort_values` on a list column raises `TypeError: unhashable type`).
+    q_inverted_index and q_dedup_clusters both ERR'd on this. Queries
+    must array_join such columns to a delimiter-string.
     """
     from pyspark.sql import types as T
 
@@ -36,6 +42,8 @@ def hash_risky_columns(spark_df) -> list[str]:
     for f in spark_df.schema.fields:
         if isinstance(f.dataType, (T.DecimalType, T.FloatType)):
             risky.append(f"{f.name}:{f.dataType.simpleString()}")
+        elif isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            risky.append(f"{f.name}:{f.dataType.simpleString()} (unhashable)")
     return risky
 
 

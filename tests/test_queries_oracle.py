@@ -17,7 +17,7 @@ registry.load_all()
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
-from tests.oracle_harness import compare  # noqa: E402
+from tests.oracle_harness import compare, hash_risky_columns  # noqa: E402
 
 ALL_QUERIES = sorted(registry.QUERIES)
 ORACLE_QUERIES = sorted(registry.ORACLES)
@@ -33,7 +33,19 @@ def test_query_matches_oracle(spark, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_query_runs(spark, name):
+    """The driver canonicalizes rows-only output too (pandas sort_values
+    over every column), so even without an oracle the schema must be
+    hash-friendly — r3's q_dedup_clusters ERR'd on an array column
+    despite being rows-only."""
     df = registry.QUERIES[name](spark, SF_DIR)
+    risky = [
+        r
+        for r in hash_risky_columns(df)
+        # binary payload columns are the multimodal queries' whole point;
+        # the driver hex-encodes bytes fine — only container types crash
+        if "unhashable" in r
+    ]
+    assert not risky, f"{name}: driver-canonicalizer-unsafe columns {risky}"
     rows = df.collect()
     assert rows is not None
     assert len(df.columns) > 0
