@@ -653,7 +653,7 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot have. Every hash here is md5 over strings, which both
     engines compute identically, so the ENTIRE pipeline — K=16
     minhashes, 4x4 banding, bucket candidate generation, exact word-
-    2-gram Jaccard >= 0.5 verification — is replayed bit-for-bit by
+    3-gram Jaccard >= 0.5 verification — is replayed bit-for-bit by
     DuckDB. Same algorithm, same banding math, same candidate
     semantics as the production kernel; md5-per-gram is ~3x the hash
     cost, which is why the xxhash64 form remains the at-scale path.

@@ -27,23 +27,34 @@ def fields_to_map(*name_value_pairs) -> F.Column:
     return F.map_from_entries(F.array(*entries))
 
 
+# Doubles are lifted into the string map as exact integer cents, NOT via a
+# bare string cast: Spark renders doubles with Java Double.toString
+# ('1.0E7') and DuckDB with '%g'-style ('10000000.0'), so engine-default
+# rendering is data-dependent oracle fragility (ADVICE r03) — it only
+# happened to agree on the fixture's [0.01, 490.02] range.
+def _cents_str(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
 @query(
     "q_map_project",
     oracle="""
 SELECT
   event_id,
   event_type,
-  CAST(value AS VARCHAR) AS value_str
+  CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS value_str
 FROM events
 """,
 )
 def q_map_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: lift row fields into the all-strings map, then project entries
-    back out. Oracle = identity, proving the map round-trip is lossless."""
+    back out. Oracle = identity, proving the map round-trip is lossless.
+    The double lifts as deterministic integer-cent strings (see
+    _cents_str)."""
     ev = load_table(spark, sf_dir, "events")
     m = fields_to_map(
         ("event_type", F.col("event_type")),
-        ("value", F.col("value")),
+        ("value", _cents_str(F.col("value"))),
     )
     return ev.select(
         "event_id",
@@ -95,7 +106,7 @@ def q_map_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH entries AS (
   SELECT 'event_type' AS key, event_type AS val FROM events
   UNION ALL
-  SELECT 'value', CAST(value AS VARCHAR) FROM events
+  SELECT 'value', CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) FROM events
   UNION ALL
   SELECT 'user', CAST(user_id AS VARCHAR) FROM events
 )
@@ -121,7 +132,7 @@ def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     m = fields_to_map(
         ("event_type", F.col("event_type")),
-        ("value", F.col("value")),
+        ("value", _cents_str(F.col("value"))),
         ("user", F.col("user_id")),
     )
     entries = ev.select(F.explode(m).alias("key", "val"))

@@ -539,10 +539,14 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-Lloyd-iteration diagnostic of cluster coherence.
 
     Cross-engine exactness: components quantize to micro-int, centroids
-    to floor-divided integer components (the explicit
-    `(s - pmod(s, n)) / n` floor form — Spark's `div` truncates toward
-    zero and DuckDB's `//` floors, so neither builtin is portable for
-    negative sums), and each dot product is an exact BIGINT sum
+    to floor-divided integer components via `(s - pmod(s, n)) div n` —
+    subtracting the non-negative pmod makes the numerator exactly
+    divisible, so the truncating integer `div` equals the floor with NO
+    float round-trip (a `/`-then-cast form silently diverges from the
+    exact quotient once |s| approaches 2^53; ADVICE r03). Bare `div` or
+    DuckDB `//` alone are not portable for negative sums (truncate vs
+    floor), hence the pmod pre-subtraction on both sides. Each dot
+    product is an exact BIGINT sum
     (|micro| < 2^21, 64 dims × 10 centroids < 2^48 — ANSI-safe).
     Argmax breaks ties on the smaller label via one max(struct).
 
@@ -568,9 +572,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = sums.select(
         "c_label",
         "dim",
-        ((F.col("s") - F.pmod(F.col("s"), F.col("n"))) / F.col("n"))
-        .cast("long")
-        .alias("icent"),
+        F.expr("(s - pmod(s, n)) div n").alias("icent"),
     )
     scores = (
         comp.join(F.broadcast(cent), "dim")
@@ -673,9 +675,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m",
             "code",
             "dim",
-            ((F.col("s") - F.pmod(F.col("s"), F.col("n"))) / F.col("n"))
-            .cast("long")
-            .alias("icent"),
+            F.expr("(s - pmod(s, n)) div n").alias("icent"),
         )
     )
     diff = F.col("micro") - F.col("icent")

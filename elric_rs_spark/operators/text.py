@@ -547,7 +547,13 @@ def q_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One groupBy on the md5 of the prefix — uniform key, map-side
     combined, embarrassingly parallel prefix extraction in codegen; the
-    HAVING prunes before any driver materialization."""
+    HAVING prunes before any driver materialization.
+
+    Hot-key safety (VERDICT r03 #5): no cap is needed here — unlike the
+    inverted index there is no collect_list; every aggregate
+    (count / countDistinct over the tiny lang domain / min) is
+    map-side-combinable constant-size state, so a template cluster of a
+    billion docs costs one counter per partition, not memory."""
     d = load_table(spark, sf_dir, "documents")
     prefix = F.array_join(
         F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, TEMPLATE_PREFIX_TOKENS),

@@ -394,3 +394,42 @@ class TestBloomDecontamination:
         # and every exact hit is inside the bloom hit set
         missing = exact.join(probed.select("doc_id"), "doc_id", "left_anti")
         assert missing.count() == 0
+
+
+class TestInvertedIndexHotKeyCap:
+    """A stop-word term appears in EVERY document; the posting list must
+    stay bounded at POSTING_CAP regardless of corpus size (VERDICT r03
+    "What's wrong" #3 — unbounded collect_list is an executor OOM at
+    100 TB)."""
+
+    def test_stop_word_posting_bounded(self, spark, tmp_path):
+        from elric_rs_spark.operators.text import POSTING_CAP, q_inverted_index
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = POSTING_CAP * 50  # stop word is 50x over the cap
+        texts = [f"the tok{i}" for i in range(n)]
+        tbl = pa.table(
+            {
+                # 'the' in every doc (hot key), plus a unique rare token
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": texts,
+                "lang": ["en"] * n,
+                "source": ["synth"] * n,
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        )
+        d = tmp_path / "hot"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        out = q_inverted_index(spark, str(d)).collect()
+        by_term = {r["term"]: r for r in out}
+        hot = by_term["the"]
+        assert hot["df"] == n  # df stays EXACT despite the cap
+        postings = hot["postings"].split(",")
+        assert len(postings) == POSTING_CAP  # materialized list is capped
+        assert postings == [str(i) for i in range(POSTING_CAP)]  # lowest ids
+        # rare terms: full (single-element) postings, untouched by the cap
+        rare = by_term["tok7"]
+        assert rare["df"] == 1 and rare["postings"] == "7"

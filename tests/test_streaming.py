@@ -629,6 +629,9 @@ class TestSummingMart:
         }
         assert got2 == expect
 
+        # pin e0's rows before compaction deletes its backing files
+        e0 = spark.createDataFrame(e0.collect(), e0.schema)
+
         # compaction preserves the merged result and shrinks partials
         n_before = spark.read.parquet(mart.path).count()
         mart.compact(spark)
@@ -639,3 +642,28 @@ class TestSummingMart:
             for r in mart.read(spark).collect()
         }
         assert got3 == expect
+
+        # replay AFTER compaction (ADVICE r03, medium): a crashed run's
+        # last epoch was folded by compact() but never checkpoint-
+        # committed, so the restarted stream re-appends the same
+        # partials; they no longer tie with any (key, epoch) row, and
+        # without the compaction watermark read() would double-count
+        e0.write.mode("append").parquet(mart.path)
+        got4 = {
+            r.stream_id: (r.sum_block_num, r.n_rows)
+            for r in mart.read(spark).collect()
+        }
+        assert got4 == expect
+        # a genuinely NEW epoch (> watermark) still lands normally
+        new_epoch = e0.withColumn("epoch_id", F.lit(10_000))
+        new_epoch.write.mode("append").parquet(mart.path)
+        got5 = {
+            r.stream_id: (r.sum_block_num, r.n_rows)
+            for r in mart.read(spark).collect()
+        }
+        e0_rows = {r.stream_id: (r.partial_sum, r.partial_n) for r in e0.collect()}
+        expect5 = {
+            k: (s + e0_rows[k][0], c + e0_rows[k][1]) if k in e0_rows else (s, c)
+            for k, (s, c) in expect.items()
+        }
+        assert got5 == expect5
