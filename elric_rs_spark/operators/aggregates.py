@@ -8,7 +8,7 @@ pipeline stays inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elric_rs_spark.registry import query
@@ -129,6 +129,93 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+
+
+# --- KMV (bottom-k) distinct sketch with a FULL value oracle (X7) -------
+#
+# q_agg_approx's HLL sketch is engine-internal, so three rounds of grading
+# could only ever check row counts. This twin gives X7 a hard correctness
+# signal the same way q_dedup_minhash_portable did for MinHash: every
+# hashed quantity is md5-over-string, which Spark and DuckDB compute
+# identically, and the estimator is exact BIGINT arithmetic, so the WHOLE
+# sketch — membership, kth value, estimate — replays bit-for-bit in SQL.
+#
+# Estimator: with the K smallest distinct hash values mapped into [0,1),
+# est = (K-1)/u_K. Portably: u_K is the first 13 hex chars of the kth
+# hash read as an integer v < 2^52, and est = ((K-1)*2^52) div v — the
+# numerator is 58 bits, everything stays in BIGINT, and Spark's
+# truncating `div` equals DuckDB's floor `//` because both operands are
+# positive. Fewer than K distincts => the sketch IS the exact count.
+KMV_K = 64
+_KMV_NUM = (KMV_K - 1) * (1 << 52)
+# substring(kth_hash, i, 1) as a hex digit, times its positional weight —
+# all INTEGER LITERALS so DuckDB never leaves BIGINT (16^j as a double is
+# exact only to 2^53; the sum here reaches 2^52 by design, too close)
+_KMV_HEX_V = " + ".join(
+    f"(strpos('0123456789abcdef', substring(kth_hash, {i}, 1)) - 1)"
+    f" * {16 ** (13 - i)}"
+    for i in range(1, 14)
+)
+
+
+@query(
+    "q_agg_approx_portable",
+    oracle=f"""
+WITH hashes AS (
+  SELECT DISTINCT l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS h
+  FROM lineitem
+),
+bottom AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM hashes
+),
+agg AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash
+  FROM bottom WHERE rn <= {KMV_K} GROUP BY l_returnflag
+)
+SELECT l_returnflag, k_used, kth_hash,
+       CAST(CASE WHEN k_used < {KMV_K} THEN k_used
+            ELSE {_KMV_NUM} // ({_KMV_HEX_V})
+            END AS BIGINT) AS est_distinct
+FROM agg
+""",
+)
+def q_agg_approx_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable bottom-k (KMV) distinct-count sketch per l_returnflag —
+    the value-checkable twin of q_agg_approx (X7). approx_count_distinct
+    remains the at-scale kernel (HLL: fixed 1.5 KB mergeable state, no
+    distinct shuffle); this twin costs one md5-distinct shuffle and
+    exists so the sketch family has a driver-gradable full oracle.
+
+    Scale shape: the only shuffle keys on the md5 hash — perfectly
+    uniform even when the NATURAL key is skewed, which is already safer
+    than exact countDistinct on a hot key. The per-group bottom-K runs
+    as a sort-based window that spills; K rows per group leave the
+    stage. Estimator arithmetic is driver-free and exact (see module
+    comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hashes = li.select(
+        "l_returnflag", F.md5(F.col("l_orderkey").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    bottom = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    agg = bottom.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    )
+    v = F.conv(F.substring(F.col("kth_hash"), 1, 13), 16, 10).cast("long")
+    est = F.when(F.col("k_used") < KMV_K, F.col("k_used").cast("long")).otherwise(
+        F.expr(f"{_KMV_NUM} div v")
+    )
+    return agg.withColumn("v", v).select(
+        "l_returnflag",
+        "k_used",
+        "kth_hash",
+        est.alias("est_distinct"),
     )
 
 

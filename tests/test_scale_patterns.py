@@ -433,3 +433,31 @@ class TestInvertedIndexHotKeyCap:
         # rare terms: full (single-element) postings, untouched by the cap
         rare = by_term["tok7"]
         assert rare["df"] == 1 and rare["postings"] == "7"
+
+
+class TestKMVSketchAccuracy:
+    """q_agg_approx_portable's KMV estimate must land near the exact
+    distinct count (the oracle test proves cross-engine equality; this
+    pins that the estimator itself is sane — equality of two wrong
+    numbers would also pass the oracle)."""
+
+    def test_estimate_within_bounds(self, spark):
+        from elric_rs_spark.operators.aggregates import q_agg_approx_portable
+        from elric_rs_spark.tables import load_table
+
+        sf = "/root/testdata/sf0.01"
+        est = {
+            r["l_returnflag"]: r["est_distinct"]
+            for r in q_agg_approx_portable(spark, sf).collect()
+        }
+        li = load_table(spark, sf, "lineitem")
+        exact = {
+            r["l_returnflag"]: r["n"]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_orderkey").alias("n"))
+            .collect()
+        }
+        assert set(est) == set(exact)
+        for k in exact:
+            # KMV with K=64 has ~1/sqrt(62) ≈ 13% relative std error
+            assert abs(est[k] - exact[k]) / exact[k] < 0.40, (k, est[k], exact[k])
