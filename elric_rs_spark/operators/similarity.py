@@ -699,3 +699,322 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sse").alias("total_sse"),
         )
     )
+
+
+# --- md5-portable twins for the LSH / IVF family (VERDICT r03 #6) -------
+#
+# q_sim_lsh and q_sim_ivf are rows-only: their hyperplanes/anchors derive
+# from xxhash64/splitmix64 scrambles DuckDB cannot replay. These twins
+# re-derive every random quantity from md5-over-strings (identical in both
+# engines) and keep every dot product in exact BIGINT micro-units, so the
+# FULL pipeline — signatures, buckets, candidates, probe selection, cosine
+# values — replays bit-for-bit in SQL. Same algorithm, same banding /
+# probe math, same candidate semantics as the production kernels; md5 is
+# ~3x the hash cost, which is why the xxhash64 forms stay the at-scale
+# path (the exact trade q_dedup_minhash_portable documents).
+
+PLSH_PLANES = 16   # 2 tables x 8-bit sign chunks
+PLSH_TABLES = 2
+PLSH_BITS = 8
+PLSH_THRESHOLD = 0.35  # same verify threshold as q_sim_lsh
+
+
+def _hex13_sql(expr: str) -> str:
+    """DuckDB: first 13 hex chars of md5-expression `expr` as a BIGINT
+    (< 2^52) — all INTEGER-LITERAL weights so the arithmetic never
+    leaves BIGINT (the q_agg_approx_portable construction)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({expr}, {i}, 1)) - 1)"
+        f" * {16 ** (13 - i)}"
+        for i in range(1, 14)
+    )
+
+
+def _micro_comp(e: DataFrame) -> DataFrame:
+    """(vec_id, d, micro): 1-based dimension index, component scaled to
+    exact integer micro-units — BIGINT from here on, so every downstream
+    sum is order-independent and engine-exact."""
+    return e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("d"),
+        F.round(F.col("val").cast("double") * 1000000).cast("long").alias("micro"),
+    )
+
+
+@query(
+    "q_sim_lsh_portable",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, i AS d,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+w AS (
+  SELECT p, i AS d,
+         CASE WHEN strpos('01234567', substring(md5(p || '#' || i), 1, 1)) > 0
+              THEN 1 ELSE -1 END AS w
+  FROM range(0, {PLSH_PLANES}) pp(p), range(1, 65) t(i)
+),
+dots AS (
+  SELECT c.vec_id, w.p, SUM(c.micro * w.w) AS dot
+  FROM comp c JOIN w ON w.d = c.d
+  GROUP BY c.vec_id, w.p
+),
+sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+  FROM dots GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, t, (sig >> ({PLSH_BITS} * t)) & {(1 << PLSH_BITS) - 1} AS key
+  FROM sig, range(0, {PLSH_TABLES}) tt(t)
+),
+cand AS (
+  SELECT DISTINCT b1.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM bands b1
+  JOIN bands b2 ON b1.t = b2.t AND b1.key = b2.key AND b1.vec_id < b2.vec_id
+),
+prods AS (
+  SELECT c.vec_a, c.vec_b,
+         SUM(ca.micro * cb.micro) AS sab,
+         SUM(ca.micro * ca.micro) AS saa,
+         SUM(cb.micro * cb.micro) AS sbb
+  FROM cand c
+  JOIN comp ca ON ca.vec_id = c.vec_a
+  JOIN comp cb ON cb.vec_id = c.vec_b AND cb.d = ca.d
+  GROUP BY c.vec_a, c.vec_b
+)
+SELECT vec_a, vec_b,
+       round(CAST(sab AS DOUBLE)
+             / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 6)
+         AS cosine
+FROM prods
+WHERE round(CAST(sab AS DOUBLE)
+            / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 6)
+      >= {PLSH_THRESHOLD}
+""",
+)
+def q_sim_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-hyperplane LSH with a FULL value oracle — the value-checkable
+    twin of q_sim_lsh. Hyperplane component (p, d) is a ±1 sign drawn
+    from one md5 hex digit; the signed dot runs over exact BIGINT
+    micro-components, so bucket membership is bit-identical across
+    engines; candidate verification is exact-integer cosine. ±1-component
+    hyperplanes are themselves a standard random-projection family, so
+    this is a real LSH, not a mock.
+
+    Scale shape mirrors the production kernel: signature via broadcast
+    weight join + one (vec, plane) groupBy (map-side combined),
+    candidates from a (table, key) bucket groupBy — never a corpus
+    self-join — and the exact cosine touches candidate pairs only."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comp = _micro_comp(e)
+    dims = spark.range(1, EMB_DIM + 1).select(F.col("id").alias("d"))
+    planes = spark.range(PLSH_PLANES).select(F.col("id").cast("int").alias("p"))
+    sign_src = F.md5(
+        F.concat(F.col("p").cast("string"), F.lit("#"), F.col("d").cast("string"))
+    )
+    w = planes.crossJoin(dims).select(
+        "p",
+        "d",
+        F.when(
+            F.substring(sign_src, 1, 1).isin(*"01234567"), F.lit(1)
+        ).otherwise(F.lit(-1)).cast("long").alias("w"),
+    )
+    dots = (
+        comp.join(F.broadcast(w), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("micro") * F.col("w")).alias("dot"))
+    )
+    sig = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("sig")
+    )
+    mask = (1 << PLSH_BITS) - 1
+    chunks = [
+        F.struct(
+            F.lit(t).alias("t"),
+            F.shiftrightunsigned("sig", PLSH_BITS * t)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        for t in range(PLSH_TABLES)
+    ]
+    banded = sig.select(
+        "vec_id", F.explode(F.array(*chunks)).alias("b")
+    ).select("vec_id", "b.t", "b.key")
+    ds = F.array_sort(F.collect_set("vec_id"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
+        )
+    )
+    cand = (
+        banded.groupBy("t", "key")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(pair_expr).alias("pr"))
+        .select("pr.vec_a", "pr.vec_b")
+        .distinct()
+    )
+    ca = comp.select(F.col("vec_id").alias("vec_a"), "d", F.col("micro").alias("ma"))
+    cb = comp.select(F.col("vec_id").alias("vec_b"), "d", F.col("micro").alias("mb"))
+    prods = (
+        cand.join(ca, "vec_a")
+        .join(cb, ["vec_b", "d"])
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("sab"),
+            F.sum(F.col("ma") * F.col("ma")).alias("saa"),
+            F.sum(F.col("mb") * F.col("mb")).alias("sbb"),
+        )
+    )
+    cosine = F.round(
+        F.col("sab").cast("double")
+        / (F.sqrt(F.col("saa").cast("double")) * F.sqrt(F.col("sbb").cast("double"))),
+        6,
+    )
+    return (
+        prods.withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= PLSH_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+PIVF_CELLS = 16
+PIVF_NPROBE = 4
+PIVF_MOD = 2_000_001  # anchor components uniform in [-1e6, 1e6]
+
+
+@query(
+    "q_sim_ivf_portable",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, i AS d,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+h AS (
+  SELECT c, i AS d, md5('a' || c || '#' || i) AS hx
+  FROM range(0, {PIVF_CELLS}) cc(c), range(1, 65) t(i)
+),
+anchors AS (
+  SELECT c, d, ({_hex13_sql('hx')}) % {PIVF_MOD} - 1000000 AS a FROM h
+),
+celldots AS (
+  SELECT comp.vec_id, a.c, SUM(comp.micro * a.a) AS dot
+  FROM comp JOIN anchors a ON a.d = comp.d
+  GROUP BY comp.vec_id, a.c
+),
+ranked AS (
+  SELECT vec_id, c, dot,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+  FROM celldots
+),
+vcell AS (SELECT vec_id, CAST(c AS BIGINT) AS cell FROM ranked WHERE rn = 1),
+probe AS (SELECT CAST(c AS BIGINT) AS cell FROM ranked
+          WHERE vec_id = 0 AND rn <= {PIVF_NPROBE}),
+qc AS (SELECT d, micro FROM comp WHERE vec_id = 0),
+prods AS (
+  SELECT comp.vec_id,
+         SUM(comp.micro * qc.micro) AS svq,
+         SUM(comp.micro * comp.micro) AS svv,
+         SUM(qc.micro * qc.micro) AS sqq
+  FROM comp JOIN qc ON qc.d = comp.d
+  WHERE comp.vec_id != 0
+  GROUP BY comp.vec_id
+)
+SELECT p.vec_id, e.label, v.cell,
+       round(CAST(svq AS DOUBLE)
+             / (sqrt(CAST(svv AS DOUBLE)) * sqrt(CAST(sqq AS DOUBLE))), 6)
+         AS cosine
+FROM prods p
+JOIN vcell v ON v.vec_id = p.vec_id
+JOIN probe ON probe.cell = v.cell
+JOIN embeddings e ON e.vec_id = p.vec_id
+ORDER BY cosine DESC, p.vec_id
+LIMIT 10
+""",
+)
+def q_sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a FULL value oracle — the value-checkable twin of
+    q_sim_ivf. Anchor component (c, d) is an md5-derived integer uniform
+    in [-1e6, 1e6]; cell assignment is an exact-BIGINT argmax (tie to
+    the smaller cell id); the probe list is the query's PIVF_NPROBE best
+    cells by the same exact dot, and the verified cosine runs on integer
+    micro-components — every stage replays bit-for-bit in DuckDB.
+
+    Scale shape mirrors q_sim_ivf: anchors are an O(cells x dims)
+    broadcast; assignment is one map-side-combinable (vec, cell)
+    aggregate; probing is a broadcast semi-join (partition pruning when
+    the corpus is written partitionBy(cell)); exact cosine touches
+    probed cells only; the final top-10 is a TakeOrdered, not a global
+    sort."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    comp = _micro_comp(e)
+    cs = spark.range(PIVF_CELLS).select(F.col("id").cast("int").alias("c"))
+    dims = spark.range(1, EMB_DIM + 1).select(F.col("id").alias("d"))
+    hx = F.md5(
+        F.concat(
+            F.lit("a"), F.col("c").cast("string"), F.lit("#"), F.col("d").cast("string")
+        )
+    )
+    anchors = cs.crossJoin(dims).select(
+        "c",
+        "d",
+        (
+            F.conv(F.substring(hx, 1, 13), 16, 10).cast("long") % PIVF_MOD - 1000000
+        ).alias("a"),
+    )
+    celldots = (
+        comp.join(F.broadcast(anchors), "d")
+        .groupBy("vec_id", "c")
+        .agg(F.sum(F.col("micro") * F.col("a")).alias("dot"))
+    )
+    best = celldots.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("dot"), (-F.col("c")).alias("nc"))).alias("top")
+    )
+    vcell = best.select("vec_id", (-F.col("top.nc")).cast("long").alias("cell"))
+    probe = (
+        celldots.filter(F.col("vec_id") == 0)
+        .orderBy(F.col("dot").desc(), "c")
+        .limit(PIVF_NPROBE)
+        .select(F.col("c").cast("long").alias("cell"))
+    )
+    qc = comp.filter(F.col("vec_id") == 0).select("d", F.col("micro").alias("qmicro"))
+    prods = (
+        comp.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qc), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("micro") * F.col("qmicro")).alias("svq"),
+            F.sum(F.col("micro") * F.col("micro")).alias("svv"),
+            F.sum(F.col("qmicro") * F.col("qmicro")).alias("sqq"),
+        )
+    )
+    cosine = F.round(
+        F.col("svq").cast("double")
+        / (F.sqrt(F.col("svv").cast("double")) * F.sqrt(F.col("sqq").cast("double"))),
+        6,
+    )
+    return (
+        prods.join(vcell, "vec_id")
+        .join(F.broadcast(probe), "cell", "left_semi")
+        .join(e.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "cell", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
