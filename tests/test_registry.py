@@ -32,22 +32,26 @@ def test_registry_iteration_leads_with_grading_order():
 
 
 def test_first_50_covers_fixed_and_never_graded():
-    """The round-3 grading window must contain every query that round 2
-    left without a green row: the 3 hash-fixed queries and the 25
-    never-graded ones (VERDICT r02 next-round #1)."""
+    """The round-4 grading window must contain every query without a
+    green driver row in ANY round (VERDICT r03 next-round #1 — "finish
+    the union"): the 2 round-3 harness ERRs (fixed), the 17 never-graded
+    keys, the 3 new portable twins, and the queries whose output
+    semantics changed this round."""
     front = set(list(registry.QUERIES)[:50])
     must_grade = {
-        # round-2 hash-fails, fixed in round 3
-        "q_join_star", "q_join_range", "q_rollup_timebucket",
-        # never graded in rounds 1-2
-        "q_split_train", "q_pack_shards", "q_subquery_exists",
-        "q_subquery_not_exists", "q_subquery_scalar", "q_subquery_bigorders",
-        "q_subquery_idlerich", "q_explode_pos", "q_scalar_regex",
-        "q_scalar_array", "q_profile", "q_tfidf", "q_quality_repetition",
-        "q_inverted_index", "q_dedup_embed_lsh", "q_dedup_clusters",
-        "q_sim_ivf_trained", "q_embed_quantize", "q_embed_centroid",
-        "q_multimodal_audio", "q_multimodal_image", "q_multimodal_resize",
-        "q_curation_pipeline", "q_curation_full", "q_decontaminate",
+        # round-3 harness ERRs, fixed (array -> comma-string)
+        "q_inverted_index", "q_dedup_clusters",
+        # never graded in rounds 1-3
+        "q_dedup_keep_best", "q_min_cost_supplier", "q_supplier_cnt",
+        "q_scalar_bitwise", "q_agg_argminmax", "q_grouping_id",
+        "q_gap_fill", "q_disjunctive_pred", "q_agg_corr", "q_scalar_null",
+        "q_rollup_multigrain", "q_subquery_lateral", "q_pq_encode",
+        "q_counter_rate", "q_mix_rebalance", "q_template_detect",
+        "q_dedup_simhash_portable",
+        # new in round 4
+        "q_agg_approx_portable", "q_sim_lsh_portable", "q_sim_ivf_portable",
+        # semantics changed in round 4 (cents lift / integer div)
+        "q_map_project", "q_map_concat", "q_map_explode", "q_kmeans_assign",
     }
     evicted = must_grade - front
     assert not evicted, f"evicted from the 50-query grading window: {evicted}"
