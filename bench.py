@@ -72,8 +72,44 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("elric_rs_spark_bench")
 
-    # warmup: JVM + parquet footer reads out of the timings
+    # Warmup (VERDICT r03 #3): a trivial count is NOT enough — the first
+    # queries to exercise each heavy operator family (shuffle hash agg,
+    # sort-merge join, window sort, HOF evaluation) pay its C2 JIT
+    # compilation and that cost lands on whichever suite slot runs first,
+    # faking per-query regressions when the suite composition changes.
+    # Run one throwaway query per family so JIT lands on none of the
+    # timed slots. Timed queries still pay their own cold plan+execute.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ord_ = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # shuffle agg + sort-merge join + broadcast join
+    (
+        li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(_F.sum("l_quantity"), _F.avg("o_totalprice"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    # window sort + rank
+    (
+        ord_.withColumn(
+            "rn",
+            _F.row_number().over(
+                _W.partitionBy("o_orderstatus").orderBy(_F.col("o_totalprice").desc())
+            ),
+        )
+        .filter(_F.col("rn") <= 3)
+        .write.format("noop").mode("overwrite").save()
+    )
+    # HOF / string-expression paths over documents
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(_F.explode(_F.split(_F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok").count()
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()

@@ -606,10 +606,10 @@ PORTABLE_K = 16       # minhash functions
 PORTABLE_BANDS = 4    # 4 bands x 4 rows
 
 
-@query(
-    "q_dedup_minhash_portable",
-    oracle=f"""
-WITH toks AS (
+# The full portable-minhash pair pipeline as a reusable CTE chain: the
+# minhash twin selects from `pairs` directly; the clusters twin appends a
+# recursive-CTE connected-components stage on top of the SAME pair graph.
+_PORTABLE_PAIR_CTES = f"""toks AS (
   SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
   FROM documents
 ),
@@ -637,15 +637,24 @@ cand AS (
   SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
   FROM bands b1 JOIN bands b2
     ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
-)
-SELECT c.doc_a, c.doc_b,
-       round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
-             / len(list_distinct(list_concat(ga.g, gb.g))), 6) AS jaccard
-FROM cand c
-JOIN grams ga ON ga.doc_id = c.doc_a
-JOIN grams gb ON gb.doc_id = c.doc_b
-WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
-      / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.5
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+               / len(list_distinct(list_concat(ga.g, gb.g))), 6) AS jaccard
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+        / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.5
+)"""
+
+
+@query(
+    "q_dedup_minhash_portable",
+    oracle=f"""
+WITH {_PORTABLE_PAIR_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """,
 )
 def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,6 +723,59 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query(
+    "q_dedup_clusters_portable",
+    oracle=f"""
+WITH RECURSIVE {_PORTABLE_PAIR_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+labels AS (
+  SELECT u AS doc_id, least(u, min(v)) AS rep FROM reach GROUP BY u
+)
+SELECT rep,
+       CAST(count(*) AS BIGINT) AS n_members,
+       array_to_string(list_sort(list(doc_id)), ',') AS members
+FROM labels
+GROUP BY rep
+HAVING count(*) >= 2
+""",
+)
+def q_dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction with a FULL value oracle: connected
+    components over the md5-portable MinHash pair graph. The Spark side
+    runs the same large-star/small-star contraction as q_dedup_clusters
+    (O(log n) rounds, edge-set-sized work); the oracle replays the
+    ENTIRE stack — grams, signatures, banding, candidates, Jaccard
+    verify, then components via a recursive-CTE transitive closure
+    (min reachable vertex = representative). The closure is O(sum of
+    squared component sizes) — fine for an oracle at gate scale; the
+    star contraction is what runs at 100 TB.
+    """
+    pairs = q_dedup_minhash_portable(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels = connected_components(pairs)
+    members = F.transform(
+        F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+    )
+    return (
+        labels.groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(members, ",").alias("members"),
+        )
+        .filter(F.col("n_members") >= 2)
     )
 
 
