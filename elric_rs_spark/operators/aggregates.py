@@ -635,3 +635,63 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov_num / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
         F.round(cov_num / (nd * (F.col("n") - 1)), 6).alias("covar_qty_price"),
     )
+
+
+# Pivot values are DECLARED, not discovered: at 100 TB the
+# values-discovery pass of an open pivot is a full extra scan + a
+# driver-side distinct collect; a declared list keeps the plan one
+# aggregate with a static schema (and is what makes the oracle's CASE
+# form line up column-for-column).
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot",
+    oracle="""
+SELECT user_id % 10 AS cohort,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'click'
+                     THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS click_cents,
+       CAST(sum(CASE WHEN event_type = 'error'
+                     THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS error_cents,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS purchase_cents,
+       CAST(sum(CASE WHEN event_type = 'signup'
+                     THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS signup_cents,
+       CAST(sum(CASE WHEN event_type = 'view'
+                     THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS view_cents
+FROM events
+GROUP BY user_id % 10
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (X5 surface widening): long->wide per-cohort sums, one
+    column per declared event type — the feature-matrix build step of a
+    per-entity metrics table.
+
+    Scale shape: Spark compiles a declared-values pivot into ONE hash
+    aggregate whose state is |values| cells per group — a single
+    shuffle on the cohort key, no per-value scans, no driver distinct.
+    Sums are exact integer cents (see registry header)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    wide = (
+        ev.select((F.col("user_id") % 10).alias("cohort"), "event_type",
+                  cents.alias("cents"))
+        .groupBy("cohort")
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.sum("cents"))
+    )
+    n = (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    renamed = wide.select(
+        "cohort", *[F.col(t).alias(f"{t}_cents") for t in PIVOT_TYPES]
+    )
+    return n.join(renamed, "cohort")

@@ -1018,3 +1018,59 @@ def q_sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+OUTLIER_MAD_K = 2  # flag |normsq - median| > K * MAD
+
+
+@query(
+    "q_embed_outlier",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, i AS d,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+norms AS (SELECT vec_id, CAST(SUM(micro * micro) AS BIGINT) AS normsq
+          FROM comp GROUP BY vec_id),
+m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY normsq) AS med FROM norms),
+d AS (SELECT vec_id, normsq, abs(normsq - med) AS dev FROM norms, m),
+mm AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY dev) AS mad FROM d)
+SELECT vec_id, normsq, round(dev / mad, 6) AS mad_ratio
+FROM d, mm
+WHERE mad > 0 AND dev > {OUTLIER_MAD_K} * mad
+""",
+)
+def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm outlier filter (the "broken encoder output" gate a
+    training pipeline runs before indexing): robust median/MAD flagging
+    on the exact-integer squared norm. Mean/stddev are NOT used — the
+    squared-norm second moment overflows BIGINT (normsq^2 ~ 2^88) and a
+    float variance would be partition-order-dependent; the median of
+    exact BIGINTs interpolates identically in both engines.
+
+    Scale shape: norms are one map-side-combined aggregate; the two
+    medians here are EXACT single-group percentiles (fine at gate
+    scale, and what the oracle can replay) — the 100 TB kernel swaps
+    them for approx_percentile, which changes two scalars, not the
+    plan. Flagging is a broadcast of two one-row tables."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comp = _micro_comp(e)
+    norms = comp.groupBy("vec_id").agg(
+        F.sum(F.col("micro") * F.col("micro")).alias("normsq")
+    )
+    med = norms.agg(F.percentile("normsq", F.lit(0.5)).alias("med"))
+    d = norms.crossJoin(F.broadcast(med)).withColumn(
+        "dev", F.abs(F.col("normsq") - F.col("med"))
+    )
+    mad = d.agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    return (
+        d.crossJoin(F.broadcast(mad))
+        .filter((F.col("mad") > 0) & (F.col("dev") > OUTLIER_MAD_K * F.col("mad")))
+        .select(
+            "vec_id",
+            "normsq",
+            F.round(F.col("dev") / F.col("mad"), 6).alias("mad_ratio"),
+        )
+    )

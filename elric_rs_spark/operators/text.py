@@ -569,3 +569,125 @@ def q_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 5)
     )
+
+
+CHUNK_TOKENS = 32   # context-window chunk length, in tokens
+CHUNK_STRIDE = 24   # 8-token overlap between consecutive chunks
+
+
+@query(
+    "q_chunk_split",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, t, len(t) AS n_tok,
+         CASE WHEN len(t) <= {CHUNK_TOKENS} THEN 1
+              ELSE 1 + CAST(ceil(CAST(len(t) - {CHUNK_TOKENS} AS DOUBLE)
+                                 / {CHUNK_STRIDE}) AS BIGINT)
+         END AS n_chunks
+  FROM toks
+),
+expanded AS (
+  -- scalar range() returns a LIST, so it can take a column argument
+  -- (the table-function form rejects lateral column parameters)
+  SELECT doc_id, t, n_tok, unnest(range(0, n_chunks)) AS i FROM sized
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(least(i * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n_tok)
+            - i * {CHUNK_STRIDE} AS BIGINT) AS chunk_len,
+       t[CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT)] AS first_tok
+FROM expanded
+""",
+)
+def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (the tokenize-and-window step every LLM
+    training pipeline runs before packing): each document becomes
+    ceil-strided chunks of CHUNK_TOKENS tokens with CHUNK_TOKENS -
+    CHUNK_STRIDE overlap; the final partial chunk is kept.
+
+    Scale shape: per-row sequence() + explode — a codegen generator with
+    NO shuffle at all; chunk count derives arithmetically from the token
+    count, so the fan-out is bounded and data-independent per token. At
+    100 TB this is the embarrassingly-parallel step before q_pack_shards'
+    bucket packing."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("t")
+    )
+    n_tok = F.size("t")
+    n_chunks = F.when(n_tok <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        (
+            F.lit(1)
+            + F.ceil((n_tok - CHUNK_TOKENS).cast("double") / CHUNK_STRIDE)
+        ).cast("long")
+    )
+    sized = toks.select(
+        "doc_id", "t", n_tok.alias("n_tok"), n_chunks.alias("n_chunks")
+    )
+    chunks = sized.select(
+        "doc_id",
+        "t",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        (F.least(start + CHUNK_TOKENS, F.col("n_tok")) - start)
+        .cast("long")
+        .alias("chunk_len"),
+        F.element_at("t", (start + 1).cast("int")).alias("first_tok"),
+    )
+
+
+ZIPF_TOP = 30
+
+
+@query(
+    "q_token_zipf",
+    oracle=f"""
+WITH tf AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+  FROM tf GROUP BY tok
+)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank,
+       tok, freq
+FROM counts
+ORDER BY rank
+LIMIT {ZIPF_TOP}
+""",
+)
+def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency head (Zipf profile): the top-ZIPF_TOP tokens by
+    corpus frequency with their rank — the sanity plot every corpus
+    build starts with (a missing Zipf head = broken tokenization; a
+    too-flat head = template spam).
+
+    Scale shape: explode -> ONE uniform-key groupBy (map-side combined)
+    -> TakeOrdered top-K (per-partition heads merged on the driver,
+    never a global sort). Rank ties break on the token string so the
+    output is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "tok")
+    return (
+        counts.orderBy(F.col("freq").desc(), "tok")
+        .limit(ZIPF_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "tok", "freq")
+    )
