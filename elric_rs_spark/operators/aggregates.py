@@ -695,3 +695,45 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort", *[F.col(t).alias(f"{t}_cents") for t in PIVOT_TYPES]
     )
     return n.join(renamed, "cohort")
+
+
+@query(
+    "q_revenue_forecast",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS discount_rev_cents,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the canonical
+    predicate-pushdown benchmark — three range filters, zero joins,
+    one global sum. All three predicates reach the parquet scan as
+    PushedFilters (gated in tests/test_plans.py) so row groups outside
+    the shipdate year never leave disk; ReadSchema carries only the 4
+    referenced columns. The aggregate is a partial sum per partition
+    and a 1-row final merge — at 100 TB this query is pure scan
+    bandwidth, which is the point. Revenue accumulates as exact
+    integer cents (order-independent), matching the oracle bit-for-bit;
+    the discount band compares the same parsed-double literals on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents).alias("discount_rev_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

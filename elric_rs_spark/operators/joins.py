@@ -531,3 +531,202 @@ def q_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(cents).alias("revenue_cents"),
     )
+
+
+@query(
+    "q_volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS volume_cents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_18')
+    OR (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_3'))
+GROUP BY supp_nation, cust_nation, o_year
+""",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade volume between
+    two nations by year. The nation pair predicate is applied to each
+    SIDE before the fact-fact join — the supplier broadcast prunes
+    lineitem to two nations' suppliers and the customer broadcast
+    prunes orders likewise, so the one orderkey shuffle joins two
+    pre-filtered facts; the disjunctive pair condition then runs
+    row-local. supplier/nation broadcast (dimension-sized); customer
+    is broadcast here but shuffles against orders at 100 TB — the
+    filter-before-join structure is what survives the scale-up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ("NATION_3", "NATION_18")
+    sn = (
+        s.join(broadcast(n.filter(F.col("n_name").isin(*pair))),
+               s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        c.join(broadcast(n.filter(F.col("n_name").isin(*pair))),
+               c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(
+            o.join(broadcast(cn), o.o_custkey == cn.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(cents).alias("volume_cents"))
+    )
+
+
+@query(
+    "q_market_share",
+    oracle="""
+WITH rev AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS cents,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey AND r.r_name = 'EUROPE'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+            AS BIGINT) AS nation_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+                  AS DOUBLE) / sum(cents), 6) AS mkt_share
+FROM rev GROUP BY o_year
+""",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of
+    STANDARD-part revenue sold into EUROPE customers, by order year.
+    Every dimension (part-type filter, supplier→nation, customer→
+    nation→region) broadcasts; the only shuffle is lineitem⋈orders on
+    orderkey plus the 7-group final aggregate. The share division
+    happens once per group over exact integer cents, rounded to 6dp
+    identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = s.join(
+        broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    ceur = (
+        c.join(
+            broadcast(
+                n.select("n_nationkey", "n_regionkey").join(
+                    broadcast(r.select("r_regionkey")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            c.c_nationkey == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    rev = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o.join(broadcast(ceur), o.o_custkey == ceur.c_custkey),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("cents"),
+            "supp_nation",
+        )
+    )
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(F.lit(0))
+    )
+    agg = rev.groupBy("o_year").agg(
+        nation_cents.alias("nation_cents"),
+        F.sum("cents").alias("total_cents"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_cents",
+        "total_cents",
+        F.round(
+            F.col("nation_cents").cast("double") / F.col("total_cents"), 6
+        ).alias("mkt_share"),
+    )
+
+
+@query(
+    "q_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in a half-year window. Return-flag and
+    date filters prune BOTH fact scans before the orderkey shuffle
+    join; customer/nation broadcast onto the aggregate output (one row
+    per customer), not onto the fact. The top-20 is TakeOrdered
+    (per-partition heads → driver merge, no global sort) and
+    tie-breaks on c_custkey for deterministic membership."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+    return (
+        per_cust.join(broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue_cents")
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -151,3 +151,139 @@ def q_subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB as the oracle, pinning dialect compatibility for LATERAL."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+_PRIORITY_WAIT_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_priority_waiting", oracle=_PRIORITY_WAIT_SQL)
+def q_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): correlated EXISTS whose
+    inner predicate is NON-EQUI on the correlation row (shipped more
+    than 60 days after this order's own orderdate — the fixture has no
+    commitdate/receiptdate, so lateness is ship-vs-order lag). Catalyst
+    decorrelates to a left-semi sort-merge join on l_orderkey with the
+    lag predicate as an extra join condition, then a tiny 5-group
+    count. At 100 TB both sides shard on orderkey; the date filter
+    prunes the orders scan before the join (PushedFilters)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PRIORITY_WAIT_SQL)
+
+
+_SMALL_QTY_SQL = """
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         count(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE 2 * CAST(l.l_quantity AS BIGINT) * pa.n < pa.sum_qty
+"""
+
+
+@query("q_small_qty_revenue", oracle=_SMALL_QTY_SQL)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the classic
+    correlated per-part average (l_quantity < 0.5 * avg over the same
+    part) written in its decorrelated form — aggregate once per
+    partkey, join back. The threshold is cross-multiplied
+    (2*qty*n < sum_qty) so the comparison is exact BIGINT arithmetic
+    instead of an order-dependent float average; quantities are
+    integral in the fixture (asserted in tests). Plan: one partial-agg
+    shuffle on l_partkey for `pa`, one partkey-shuffle join back
+    (bucketing co-locates both at scale), brand dimension broadcast,
+    single-row final aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SMALL_QTY_SQL)
+
+
+_EXCESS_SUPPLIER_SQL = """
+WITH sq AS (
+  SELECT l.l_suppkey,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS widget_qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%widget%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, sq.widget_qty
+FROM supplier s JOIN sq ON sq.l_suppkey = s.s_suppkey
+WHERE sq.widget_qty > 50
+"""
+
+
+@query("q_excess_supplier", oracle=_EXCESS_SUPPLIER_SQL)
+def q_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers whose
+    shipped volume of a part-name family over a year exceeds a
+    threshold (the fixture has no partsupp, so availqty is replaced by
+    a fixed floor). The nested-IN original decorrelates to exactly
+    this: filter facts, aggregate per supplier, semi-join the supplier
+    dimension. The LIKE filter and date range prune the fact scan; the
+    per-supplier aggregate is map-side combined; the supplier join is
+    broadcast-sized (dimension)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXCESS_SUPPLIER_SQL)
+
+
+_WAITING_SUPPLIER_SQL = """
+WITH per_os AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS is_late,
+         sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS n_late_lines
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late_supp
+  FROM per_os GROUP BY l_orderkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(sum(p.n_late_lines) AS BIGINT) AS numwait
+FROM per_os p
+JOIN per_o po ON po.l_orderkey = p.l_orderkey
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.is_late = 1 AND po.n_supp >= 2 AND po.n_late_supp = 1
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""
+
+
+@query("q_waiting_suppliers", oracle=_WAITING_SUPPLIER_SQL)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    hardest correlated query in the suite — EXISTS (another supplier
+    contributed to the same order) AND NOT EXISTS (any OTHER supplier
+    was also late) — written directly in its scalable decorrelated
+    form: one (orderkey, suppkey) aggregate, one orderkey rollup, then
+    the waiting condition is a pure row-local filter (n_supp >= 2,
+    n_late_supp = 1, self late). Two orderkey shuffles total — the
+    same partitioning, so AQE/bucketing reuses the exchange — versus
+    the naive double self-join of lineitem the correlated original
+    implies. Lateness is ship-vs-order lag (no commitdate/receiptdate
+    in the fixture); top-10 is tie-broken on s_suppkey so membership
+    is deterministic."""
+    register_views(spark, sf_dir)
+    return spark.sql(_WAITING_SUPPLIER_SQL)

@@ -96,15 +96,21 @@ GRADING_ORDER: list[str] = [
     "q_text_ngram_jaccard",
     "q_dedup_embed",
     "q_sim_topk",
-    # (e2) round-1 rows-only kernels (portable twins carry the value
-    # contract; these rows prove the at-scale kernels still run)
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_sim_lsh",
-    "q_sim_ivf",
+    # (e2) round-4 additions, all full-oracle. These take the slots the
+    # draft rotation gave to rows-only regrades of r1-graded kernels
+    # (q_dedup_minhash/simhash, q_sim_lsh/ivf, q_multimodal_frames):
+    # those kernels keep their r1 rows and their value contracts are
+    # carried by the portable twins in (c), so a second rows-only row
+    # adds no signal, while each slot below adds a full-oracle green —
+    # and with them every query registered through round 4 has a driver
+    # row in some round (the union closes at 100%).
+    "q_pivot",
+    "q_chunk_split",
+    "q_token_zipf",
+    "q_dedup_clusters_portable",
+    "q_embed_outlier",
     "q_multimodal",
     "q_udf_pandas",
-    "q_multimodal_frames",
     # (e3) round-2-only-graded streaming/cast keys
     "q_typed_cast",
     "q_cast_quarantine",

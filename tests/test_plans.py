@@ -290,3 +290,61 @@ class TestExchangeBudgets:
         assert "HashAggregate(keys=[bucket" in tail, (
             f"SinglePartition exchange feeds raw rows, not bucket totals\n{plan}"
         )
+
+
+class TestTpchRound4Plans:
+    """Plan gates for the round-4 TPC-H shapes (Q4/Q6/Q7/Q8/Q10/Q17/Q20/
+    Q21 adapted to the fixture schema)."""
+
+    def test_revenue_forecast_pure_scan(self, spark):
+        """Q6 is the canonical pushdown benchmark: all three range
+        predicates must reach the parquet scan and the scan must read
+        only the 4 referenced columns; the whole query is one partial
+        agg + a single-row merge (exactly one shuffle)."""
+        df = QUERIES["q_revenue_forecast"](spark, SF_DIR)
+        pushed = " ".join(pushed_filters(df))
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert col in pushed, f"{col} not pushed: {pushed}"
+        for s in read_schemas(df):
+            assert s.count(":") <= 4, f"scan too wide: {s}"
+        plan = physical_plan(df)
+        import re
+        shuffles = len(re.findall(r"Exchange (hashpartitioning|SinglePartition|rangepartitioning)", plan))
+        assert shuffles == 1, plan
+
+    @pytest.mark.parametrize(
+        "name,max_shuffles",
+        [
+            ("q_priority_waiting", 2),   # semi join + 5-group count
+            ("q_volume_shipping", 3),    # li⋈o SMJ (2) + group agg
+            ("q_market_share", 3),       # li⋈o SMJ (2) + year agg
+            ("q_returned_items", 2),     # per-cust agg (+ o shuffle at scale)
+            ("q_small_qty_revenue", 2),  # partkey agg + join-back
+            ("q_excess_supplier", 2),    # suppkey agg (+1 headroom)
+            ("q_waiting_suppliers", 5),  # (o,s) agg → o rollup → join → s agg
+        ],
+    )
+    def test_shuffle_budget(self, spark, name, max_shuffles):
+        """True shuffle count (hash/single/range partitioning exchanges,
+        broadcasts excluded) stays bounded — the property that holds at
+        1000 executors. The first shuffle in each is map-side combined
+        (partial aggregation), so the wire carries collapsed rows."""
+        import re
+        plan = physical_plan(QUERIES[name](spark, SF_DIR))
+        shuffles = len(
+            re.findall(r"Exchange (hashpartitioning|SinglePartition|rangepartitioning)", plan)
+        )
+        assert shuffles <= max_shuffles, f"{name}: {shuffles} shuffles\n{plan}"
+
+    def test_returned_items_topk_not_global_sort(self, spark):
+        """Q10's top-20 must plan as TakeOrderedAndProject, never a
+        global Sort of the aggregate output."""
+        plan = physical_plan(QUERIES["q_returned_items"](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_market_share_dims_broadcast(self, spark):
+        """Q8's part/supplier/nation/region sides all broadcast — the
+        only SMJ is the lineitem⋈orders fact-fact join."""
+        plan = physical_plan(QUERIES["q_market_share"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("SortMergeJoin") <= 1, plan
