@@ -348,3 +348,110 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang", F.col("n").alias("n_before"), "keep_permille").agg(
         F.sum("keep").alias("n_kept")
     )
+
+
+# PII pattern subset shared verbatim by Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded quantifiers, \b word boundaries —
+# no lookaround, no backreferences (RE2 has neither).
+PII_EMAIL = r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail-' || source || '.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g'),
+             '{PII_IP}', '<IP>', 'g')) AS scrubbed_md5
+FROM aug
+WHERE len(regexp_extract_all(text, '{PII_EMAIL}'))
+      + len(regexp_extract_all(text, '{PII_PHONE}'))
+      + len(regexp_extract_all(text, '{PII_IP}')) > 0
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the pre-training scrub every corpus
+    pipeline runs before anything else): emails, phone numbers, and
+    IPv4 addresses are counted and replaced with typed placeholder
+    tokens. The fixture corpus carries no PII, so each engine first
+    plants it DETERMINISTICALLY (doc_id-derived emails/phones/IPs on
+    residue-class subsets, leaving true negatives) and the oracle then
+    verifies both the detection counts and the exact redacted output
+    (md5 of the scrubbed text) bit-for-bit.
+
+    The patterns stay inside the Java-regex ∩ RE2 common subset (no
+    lookaround/backrefs) so the same strings drive both engines; on a
+    real corpus only the augmentation CTE disappears. Plan: pure
+    row-local projection — no shuffle, no UDF, whole-stage codegen;
+    regexp_replace/regexp_count run JVM-side. At 100 TB this is
+    scan-bandwidth work that pipelines with ingest."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail-"),
+                F.col("source"),
+                F.lit(".com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", aug.alias("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    counted = t.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(PII_IP)).cast("long").alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+    return counted.filter(
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
+    )

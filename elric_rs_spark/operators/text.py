@@ -691,3 +691,74 @@ def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "tok", "freq")
     )
+
+
+@query(
+    "q_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+),
+c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+n AS (SELECT count(*) AS n FROM toks),
+s AS (
+  SELECT tok,
+         CAST(round(1000 * ln(CAST(n.n AS DOUBLE) / cnt)) AS BIGINT) AS mnat
+  FROM c, n
+)
+SELECT t.doc_id, count(*) AS n_tok,
+       CAST(sum(s.mnat) AS BIGINT) AS sum_mnat,
+       round(CAST(sum(s.mnat) AS DOUBLE) / count(*), 6) AS avg_mnat
+FROM toks t JOIN s ON s.tok = t.tok
+GROUP BY t.doc_id
+""",
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the KenLM-style perplexity-proxy
+    quality filter from CCNet/FineWeb, reduced to its distributed
+    skeleton): train a unigram LM on the corpus itself, score every
+    document by total and mean token surprisal. Documents full of rare
+    tokens score high (gibberish/OCR noise); boilerplate scores low.
+
+    Float discipline: per-token surprisal is rounded ONCE, at the
+    vocabulary level, into integer millinats (round(1000*ln(N/cnt)));
+    per-document totals are then exact BIGINT sums — order-independent,
+    so the oracle matches bit-for-bit. The nearest value sits ~0.007
+    millinats from a rounding boundary (asserted in tests), ten orders
+    of magnitude beyond the <=1-ulp ln() divergence between the JVM and
+    C math libraries. Plan: one token shuffle builds the vocabulary
+    (map-side combined), the 31-row surprisal table broadcasts back
+    onto the exploded stream, and the per-doc rollup shuffles on
+    doc_id. At 100 TB the vocabulary table is Zipf-bounded: broadcast
+    the top-K exactly as q_vocab_oov does and give the tail a default
+    surprisal."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    )
+    c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    s = c.crossJoin(F.broadcast(n)).select(
+        "tok",
+        F.round(1000 * F.log(F.col("n").cast("double") / F.col("cnt")))
+        .cast("long")
+        .alias("mnat"),
+    )
+    return (
+        toks.join(F.broadcast(s), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("mnat").alias("sum_mnat"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "sum_mnat",
+            F.round(F.col("sum_mnat").cast("double") / F.col("n_tok"), 6).alias(
+                "avg_mnat"
+            ),
+        )
+    )

@@ -348,3 +348,28 @@ class TestTpchRound4Plans:
         plan = physical_plan(QUERIES["q_market_share"](spark, SF_DIR))
         assert "BroadcastHashJoin" in plan
         assert plan.count("SortMergeJoin") <= 1, plan
+
+
+class TestCurationRound4Plans:
+    def test_pii_scrub_zero_shuffle(self, spark):
+        """PII scrub is pure row-local regex projection — zero shuffles,
+        no Python eval; at 100 TB it pipelines with the scan."""
+        import re
+        plan = physical_plan(QUERIES["q_pii_scrub"](spark, SF_DIR))
+        shuffles = len(
+            re.findall(r"Exchange (hashpartitioning|SinglePartition|rangepartitioning)", plan)
+        )
+        assert shuffles == 0, plan
+        assert "BatchEvalPython" not in plan
+
+    def test_lm_score_shuffle_budget(self, spark):
+        """Unigram LM scoring: vocab build (token shuffle) + total count
+        + per-doc rollup; the surprisal table comes back as a broadcast,
+        never a corpus re-shuffle."""
+        import re
+        plan = physical_plan(QUERIES["q_lm_score"](spark, SF_DIR))
+        shuffles = len(
+            re.findall(r"Exchange (hashpartitioning|SinglePartition|rangepartitioning)", plan)
+        )
+        assert shuffles <= 3, plan
+        assert plan.count("BroadcastExchange") >= 1, plan

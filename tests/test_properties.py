@@ -240,3 +240,52 @@ class TestEmitCountEquivalence:
             buf_nums, [num for num, _ in rows], [wm for _, wm in rows], cap
         )
         assert got == emitted
+
+
+def test_lm_score_rounding_boundary_margin():
+    """q_lm_score rounds per-token surprisal once at the vocabulary
+    level; the contract holds only while no vocabulary value sits close
+    enough to a .5 rounding boundary for a <=1-ulp ln() divergence
+    between JVM and C math libraries to flip it. Assert a wide margin
+    at both test scales."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01"):
+        rows = con.sql(
+            f"""
+            WITH toks AS (
+              SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+              FROM '/root/testdata/sf{sf}/documents.parquet'),
+            c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM toks)
+            SELECT c.cnt, n.n FROM c, n
+            """
+        ).fetchall()
+        dists = [
+            abs(1000 * math.log(n / cnt) - math.floor(1000 * math.log(n / cnt)) - 0.5)
+            for cnt, n in rows
+        ]
+        assert min(dists) > 1e-3, f"sf{sf}: boundary margin {min(dists)}"
+
+
+def test_pii_scrub_detects_planted_positives(spark):
+    """Every doc_id % 3 == 0 document gets exactly one planted email and
+    it must be found; clean residue classes must not appear."""
+    from elric_rs_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["q_pii_scrub"](spark, "/root/testdata/sf0.001").collect()
+    by_id = {r.doc_id: r for r in df}
+    for doc_id, r in by_id.items():
+        assert doc_id % 3 == 0 or doc_id % 5 == 0 or doc_id % 7 == 0
+        if doc_id % 3 == 0:
+            assert r.n_emails == 1, r
+        if doc_id % 5 == 0:
+            assert r.n_phones == 1, r
+        if doc_id % 7 == 0:
+            assert r.n_ips == 1, r
+    # a doc divisible by 3 exists and one by none of 3/5/7 is absent
+    assert 3 in by_id and 1 not in by_id
