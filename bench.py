@@ -64,6 +64,12 @@ HEADLINE = [
     "q_vocab_oov",
     "q_domain_cap",
     "q_window_range",
+    # round-4 appends (same contract: never interleave into the prefix)
+    "q_revenue_forecast",
+    "q_market_share",
+    "q_waiting_suppliers",
+    "q_pii_scrub",
+    "q_lm_score",
 ]
 
 

@@ -17,7 +17,7 @@ so results are reproducible with no RNG state anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elric_rs_spark.registry import query
@@ -743,6 +743,59 @@ def _micro_comp(e: DataFrame) -> DataFrame:
     )
 
 
+def _plsh_bands(
+    spark: SparkSession,
+    comp: DataFrame,
+    tables: int = PLSH_TABLES,
+    bits: int = PLSH_BITS,
+) -> DataFrame:
+    """(vec_id, t, key) band rows of the md5-portable sign-hyperplane
+    signature — the shared blocking stage of q_sim_lsh_portable and
+    q_sim_recall. Hyperplane component (p, d) is a ±1 sign from one md5
+    hex digit; dots run over exact BIGINT micro-components, so band
+    membership is bit-identical across engines. The SAME 16-plane
+    signature can be re-banded: (tables, bits) chooses the
+    precision/recall point — q_sim_lsh_portable uses 2x8-bit (high
+    precision), q_sim_recall measures the 4x4-bit layout."""
+    dims = spark.range(1, EMB_DIM + 1).select(F.col("id").alias("d"))
+    planes = spark.range(PLSH_PLANES).select(F.col("id").cast("int").alias("p"))
+    sign_src = F.md5(
+        F.concat(F.col("p").cast("string"), F.lit("#"), F.col("d").cast("string"))
+    )
+    w = planes.crossJoin(dims).select(
+        "p",
+        "d",
+        F.when(
+            F.substring(sign_src, 1, 1).isin(*"01234567"), F.lit(1)
+        ).otherwise(F.lit(-1)).cast("long").alias("w"),
+    )
+    dots = (
+        comp.join(F.broadcast(w), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("micro") * F.col("w")).alias("dot"))
+    )
+    sig = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("sig")
+    )
+    mask = (1 << bits) - 1
+    chunks = [
+        F.struct(
+            F.lit(t).alias("t"),
+            F.shiftrightunsigned("sig", bits * t)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        for t in range(tables)
+    ]
+    return sig.select(
+        "vec_id", F.explode(F.array(*chunks)).alias("b")
+    ).select("vec_id", "b.t", "b.key")
+
+
 @query(
     "q_sim_lsh_portable",
     oracle=f"""
@@ -812,43 +865,7 @@ def q_sim_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — and the exact cosine touches candidate pairs only."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     comp = _micro_comp(e)
-    dims = spark.range(1, EMB_DIM + 1).select(F.col("id").alias("d"))
-    planes = spark.range(PLSH_PLANES).select(F.col("id").cast("int").alias("p"))
-    sign_src = F.md5(
-        F.concat(F.col("p").cast("string"), F.lit("#"), F.col("d").cast("string"))
-    )
-    w = planes.crossJoin(dims).select(
-        "p",
-        "d",
-        F.when(
-            F.substring(sign_src, 1, 1).isin(*"01234567"), F.lit(1)
-        ).otherwise(F.lit(-1)).cast("long").alias("w"),
-    )
-    dots = (
-        comp.join(F.broadcast(w), "d")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("micro") * F.col("w")).alias("dot"))
-    )
-    sig = dots.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("sig")
-    )
-    mask = (1 << PLSH_BITS) - 1
-    chunks = [
-        F.struct(
-            F.lit(t).alias("t"),
-            F.shiftrightunsigned("sig", PLSH_BITS * t)
-            .bitwiseAND(F.lit(mask))
-            .alias("key"),
-        )
-        for t in range(PLSH_TABLES)
-    ]
-    banded = sig.select(
-        "vec_id", F.explode(F.array(*chunks)).alias("b")
-    ).select("vec_id", "b.t", "b.key")
+    banded = _plsh_bands(spark, comp)
     ds = F.array_sort(F.collect_set("vec_id"))
     pair_expr = F.flatten(
         F.transform(
@@ -1072,5 +1089,182 @@ def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "normsq",
             F.round(F.col("dev") / F.col("mad"), 6).alias("mad_ratio"),
+        )
+    )
+
+
+RECALL_QUERIES = 10  # vec_id < 10 are the evaluation query set
+RECALL_K = 10
+# Re-band the 16-plane signature into 4 tables x 4-bit keys for the
+# measurement: the 2x8-bit production layout admits almost no
+# candidates on near-orthogonal synthetic vectors, which would make
+# recall degenerate-zero instead of a meaningful operating point.
+RECALL_TABLES = 4
+RECALL_BITS = 4
+
+
+@query(
+    "q_sim_recall",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, i AS d,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+w AS (
+  SELECT p, i AS d,
+         CASE WHEN strpos('01234567', substring(md5(p || '#' || i), 1, 1)) > 0
+              THEN 1 ELSE -1 END AS w
+  FROM range(0, {PLSH_PLANES}) pp(p), range(1, 65) t(i)
+),
+dots AS (
+  SELECT c.vec_id, w.p, SUM(c.micro * w.w) AS dot
+  FROM comp c JOIN w ON w.d = c.d
+  GROUP BY c.vec_id, w.p
+),
+sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+  FROM dots GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, t, (sig >> ({RECALL_BITS} * t)) & {(1 << RECALL_BITS) - 1} AS key
+  FROM sig, range(0, {RECALL_TABLES}) tt(t)
+),
+norms AS (SELECT vec_id, SUM(micro * micro) AS nn FROM comp GROUP BY vec_id),
+scores AS (
+  SELECT qc.vec_id AS q_id, c.vec_id AS vec_id, SUM(qc.micro * c.micro) AS sab
+  FROM comp qc JOIN comp c ON c.d = qc.d AND c.vec_id <> qc.vec_id
+  WHERE qc.vec_id < {RECALL_QUERIES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.q_id, s.vec_id,
+         round(CAST(s.sab AS DOUBLE)
+               / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))), 6)
+           AS cosine
+  FROM scores s
+  JOIN norms nq ON nq.vec_id = s.q_id
+  JOIN norms nv ON nv.vec_id = s.vec_id
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {RECALL_K}
+),
+qcand AS (
+  SELECT DISTINCT bq.vec_id AS q_id, bv.vec_id AS vec_id
+  FROM bands bq
+  JOIN bands bv ON bv.t = bq.t AND bv.key = bq.key AND bv.vec_id <> bq.vec_id
+  WHERE bq.vec_id < {RECALL_QUERIES}
+),
+approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT sc.q_id, sc.vec_id,
+           row_number() OVER (PARTITION BY sc.q_id
+                              ORDER BY sc.cosine DESC, sc.vec_id) AS rn
+    FROM scored sc JOIN qcand qc ON qc.q_id = sc.q_id AND qc.vec_id = sc.vec_id
+  ) WHERE rn <= {RECALL_K}
+),
+ncand AS (SELECT q_id, count(*) AS n_cand FROM qcand GROUP BY q_id),
+hits AS (
+  SELECT e.q_id, count(*) AS n_hits
+  FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY e.q_id
+)
+SELECT q.q_id,
+       CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {RECALL_K}.0, 6) AS recall_at_{RECALL_K}
+FROM (SELECT DISTINCT vec_id AS q_id FROM comp WHERE vec_id < {RECALL_QUERIES}) q
+LEFT JOIN ncand nc ON nc.q_id = q.q_id
+LEFT JOIN hits h ON h.q_id = q.q_id
+""",
+)
+def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@{K} of the portable sign-hyperplane
+    LSH against exact brute-force cosine, for a fixed 10-query probe set
+    — the measurement every ANN deployment runs before trusting its
+    index (Faiss-style recall evaluation, expressed relationally).
+
+    Both sides are deterministic: exact integer micro-dot products,
+    cosine rounded once to 6dp, ranks tie-broken on vec_id — so the
+    oracle replays ground truth, candidates, and the recall numbers
+    bit-for-bit. Scale shape: ground truth is O(Q·N) with a FIXED
+    sampled query set (the standard evaluation harness — Q is a
+    constant, not a corpus fraction), candidates come from the band
+    join (bucket-bounded, never a corpus self-join), and every stage is
+    map-side-combinable aggregates + broadcast of the Q-sized side."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comp = _micro_comp(e)
+    banded = _plsh_bands(spark, comp, RECALL_TABLES, RECALL_BITS)
+    norms = comp.groupBy("vec_id").agg(
+        F.sum(F.col("micro") * F.col("micro")).alias("nn")
+    )
+    qcomp = comp.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "d", F.col("micro").alias("qmicro")
+    )
+    scores = (
+        comp.join(F.broadcast(qcomp), "d")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("qmicro") * F.col("micro")).alias("sab"))
+    )
+    qnorms = norms.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("nn").alias("qnn")
+    )
+    scored = (
+        scores.join(F.broadcast(qnorms), "q_id")
+        .join(norms, "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                F.col("sab").cast("double")
+                / (F.sqrt(F.col("qnn").cast("double")) * F.sqrt(F.col("nn").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wnd = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    exact = (
+        scored.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("q_id", "vec_id")
+    )
+    qbands = banded.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "t", "key"
+    )
+    qcand = (
+        banded.join(F.broadcast(qbands), ["t", "key"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    approx = (
+        scored.join(qcand, ["q_id", "vec_id"])
+        .withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("q_id", "vec_id")
+    )
+    ncand = qcand.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    hits = exact.join(approx, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    qset = comp.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("q_id")
+    ).distinct()
+    return (
+        qset.join(ncand, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / float(RECALL_K), 6
+            ).alias(f"recall_at_{RECALL_K}"),
         )
     )

@@ -373,3 +373,11 @@ class TestCurationRound4Plans:
         )
         assert shuffles <= 3, plan
         assert plan.count("BroadcastExchange") >= 1, plan
+
+    def test_sim_recall_no_corpus_self_join(self, spark):
+        """q_sim_recall's ground truth is a broadcast of the FIXED query
+        set against the corpus — never a corpus-x-corpus join; candidates
+        come from the band join against the Q-sized broadcast side."""
+        plan = physical_plan(QUERIES["q_sim_recall"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastExchange") >= 2, plan
