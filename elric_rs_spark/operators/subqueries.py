@@ -9,14 +9,19 @@ join queries (no per-row re-execution of the inner query anywhere).
 
 The SAME SQL text is the DuckDB oracle: both engines run the identical
 ANSI statement, so these queries also pin dialect compatibility.
+(One exception: q_waiting_suppliers keeps the SQL as its oracle but runs
+the DataFrame window form on Spark — Catalyst inlines a twice-referenced
+CTE into two full lineitem joins, so the shared-SQL form would double the
+fact scan; see its docstring.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from elric_rs_spark.registry import query
-from elric_rs_spark.tables import register_views
+from elric_rs_spark.tables import load_table, register_views
 
 _EXISTS_SQL = """
 SELECT c_custkey, c_name
@@ -276,14 +281,49 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting): the
     hardest correlated query in the suite — EXISTS (another supplier
     contributed to the same order) AND NOT EXISTS (any OTHER supplier
-    was also late) — written directly in its scalable decorrelated
-    form: one (orderkey, suppkey) aggregate, one orderkey rollup, then
-    the waiting condition is a pure row-local filter (n_supp >= 2,
-    n_late_supp = 1, self late). Two orderkey shuffles total — the
-    same partitioning, so AQE/bucketing reuses the exchange — versus
-    the naive double self-join of lineitem the correlated original
-    implies. Lateness is ship-vs-order lag (no commitdate/receiptdate
-    in the fixture); top-10 is tie-broken on s_suppkey so membership
-    is deterministic."""
-    register_views(spark, sf_dir)
-    return spark.sql(_WAITING_SUPPLIER_SQL)
+    was also late) — in its scalable decorrelated form. The Spark side
+    is the DataFrame window form rather than the oracle's twice-
+    referenced CTE: Spark inlines CTEs, so the SQL text would scan and
+    join lineitem TWICE (measured: 9 scans, one ReusedExchange); here
+    the per-(order, supplier) aggregate is computed once and the
+    per-order rollup (n_supp, n_late_supp) comes from window aggregates
+    over it — one lineitem pass, one orderkey-window shuffle, then a
+    row-local waiting filter (self late, n_supp >= 2, n_late_supp = 1).
+    Lateness is ship-vs-order lag (no commitdate/receiptdate in the
+    fixture); top-10 is TakeOrdered, tie-broken on s_suppkey."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.when(
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"), 1
+    ).otherwise(0)
+    per_os = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"), F.sum(late).alias("n_late_lines"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    per = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        "n_late_lines",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late_supp"),
+    )
+    waiting = per.filter(
+        (F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(10)
+    )
