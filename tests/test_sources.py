@@ -150,3 +150,71 @@ class TestMalformedRecords:
         )
         with pytest.raises(Exception):
             df.collect()
+
+
+class TestBinaryFileSource:
+    """`binaryFile` is the multimodal ingest path: raw image/audio blobs
+    land as files, Spark reads (path, modificationTime, length, content)
+    with content as an opaque binary column — exactly the schema
+    operators/multimodal.py processes. At 100 TB this is how a media
+    corpus enters the engine before any decode."""
+
+    def _land(self, tmp_path) -> str:
+        d = tmp_path / "blobs"
+        d.mkdir()
+        for i in range(4):
+            # deterministic fake media payloads, distinct sizes
+            (d / f"clip_{i}.bin").write_bytes(bytes([i]) * (100 + i))
+        (d / "notes.txt").write_text("not media")
+        return str(d)
+
+    def test_reads_content_and_metadata(self, spark, tmp_path):
+        path = self._land(tmp_path)
+        df = spark.read.format("binaryFile").load(path)
+        assert {f.name for f in df.schema.fields} == {
+            "path", "modificationTime", "length", "content"
+        }
+        rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+        assert len(rows) == 5
+        assert rows["clip_2.bin"].length == 102
+        assert bytes(rows["clip_2.bin"].content) == bytes([2]) * 102
+
+    def test_path_glob_filter_prunes_non_media(self, spark, tmp_path):
+        """pathGlobFilter prunes at FILE-LISTING time — the non-matching
+        files' bytes are never opened (the partition-pruning analogue
+        for blob stores)."""
+        path = self._land(tmp_path)
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(path)
+        )
+        names = sorted(r.path.rsplit("/", 1)[-1] for r in df.select("path").collect())
+        assert names == [f"clip_{i}.bin" for i in range(4)]
+
+    def test_feeds_multimodal_decode_schema(self, spark, tmp_path):
+        """The binaryFile output plugs directly into the multimodal
+        mapInPandas surface: select content as the blob column and the
+        Arrow batches carry bytes end-to-end."""
+        path = self._land(tmp_path)
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(path)
+            .select(
+                F.regexp_extract("path", r"clip_(\d+)", 1).cast("long").alias("blob_id"),
+                F.col("content").alias("blob"),
+            )
+        )
+        import pandas as pd
+
+        def sizes(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"blob_id": pdf["blob_id"], "n_bytes": pdf["blob"].map(len)}
+                )
+
+        out = df.mapInPandas(sizes, "blob_id long, n_bytes long").collect()
+        assert {(r.blob_id, r.n_bytes) for r in out} == {
+            (i, 100 + i) for i in range(4)
+        }
