@@ -52,6 +52,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (e) stalest regrades: round-1-only-graded keys, full-oracle first,
 # then r1 rows-only kernels, then round-2-only-graded streaming/cast
 # keys. Everything past 50 stays green on its prior-round row.
+# Round-5 rotation plan (write it down now so the next round executes
+# it the way round 4 executed round 3's): front-load (a) the round-4
+# additions registered past this window — q_revenue_forecast,
+# q_priority_waiting, q_volume_shipping, q_market_share,
+# q_returned_items, q_small_qty_revenue, q_excess_supplier,
+# q_waiting_suppliers, q_pii_scrub, q_lm_score, q_sim_recall — all
+# full-oracle, zero ever driver-graded; then (b) stalest regrades by
+# last-graded round. That keeps the union at 100% with one round of lag
+# for new registrations.
 GRADING_ORDER: list[str] = [
     # (a) round-3 harness ERRs, fixed (array -> comma-string output)
     "q_inverted_index",

@@ -289,3 +289,41 @@ def test_pii_scrub_detects_planted_positives(spark):
             assert r.n_ips == 1, r
     # a doc divisible by 3 exists and one by none of 3/5/7 is absent
     assert 3 in by_id and 1 not in by_id
+
+
+def test_pii_redaction_idempotent(spark):
+    """Scrubbing already-scrubbed text is a no-op: the placeholder tokens
+    must not themselves match any PII pattern (a classic redaction bug —
+    '<EMAIL>@<EMAIL>' style re-matches). Run the regex chain twice over
+    the augmented corpus and require identical md5s."""
+    from pyspark.sql import functions as F
+
+    from elric_rs_spark.operators.curation import PII_EMAIL, PII_IP, PII_PHONE
+    from elric_rs_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    planted = d.select(
+        F.concat(
+            F.col("text"),
+            F.lit(" user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.com call +1-555-0199 host 10.1.2.3"),
+        ).alias("t")
+    )
+
+    def scrub(col):
+        col = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+        col = F.regexp_replace(col, PII_PHONE, "<PHONE>")
+        return F.regexp_replace(col, PII_IP, "<IP>")
+
+    once = planted.select(F.md5(scrub(F.col("t"))).alias("h1"))
+    twice = planted.select(F.md5(scrub(scrub(F.col("t")))).alias("h2"))
+    n = (
+        once.withColumn("rn", F.monotonically_increasing_id())
+        .join(
+            twice.withColumn("rn", F.monotonically_increasing_id()), "rn"
+        )
+        .filter(F.col("h1") != F.col("h2"))
+        .count()
+    )
+    assert n == 0
