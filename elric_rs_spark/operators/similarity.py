@@ -913,6 +913,32 @@ PIVF_NPROBE = 4
 PIVF_MOD = 2_000_001  # anchor components uniform in [-1e6, 1e6]
 
 
+def _pivf_celldots(spark: SparkSession, comp: DataFrame) -> DataFrame:
+    """(vec_id, c, dot): exact BIGINT dot of every vector against every
+    md5-derived coarse anchor — the shared assignment stage of
+    q_sim_ivf_portable and q_sim_ivf_curve. Anchors broadcast
+    (O(cells x dims)); the aggregate is map-side combined."""
+    cs = spark.range(PIVF_CELLS).select(F.col("id").cast("int").alias("c"))
+    dims = spark.range(1, EMB_DIM + 1).select(F.col("id").alias("d"))
+    hx = F.md5(
+        F.concat(
+            F.lit("a"), F.col("c").cast("string"), F.lit("#"), F.col("d").cast("string")
+        )
+    )
+    anchors = cs.crossJoin(dims).select(
+        "c",
+        "d",
+        (
+            F.conv(F.substring(hx, 1, 13), 16, 10).cast("long") % PIVF_MOD - 1000000
+        ).alias("a"),
+    )
+    return (
+        comp.join(F.broadcast(anchors), "d")
+        .groupBy("vec_id", "c")
+        .agg(F.sum(F.col("micro") * F.col("a")).alias("dot"))
+    )
+
+
 @query(
     "q_sim_ivf_portable",
     oracle=f"""
@@ -982,25 +1008,7 @@ def q_sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding"
     )
     comp = _micro_comp(e)
-    cs = spark.range(PIVF_CELLS).select(F.col("id").cast("int").alias("c"))
-    dims = spark.range(1, EMB_DIM + 1).select(F.col("id").alias("d"))
-    hx = F.md5(
-        F.concat(
-            F.lit("a"), F.col("c").cast("string"), F.lit("#"), F.col("d").cast("string")
-        )
-    )
-    anchors = cs.crossJoin(dims).select(
-        "c",
-        "d",
-        (
-            F.conv(F.substring(hx, 1, 13), 16, 10).cast("long") % PIVF_MOD - 1000000
-        ).alias("a"),
-    )
-    celldots = (
-        comp.join(F.broadcast(anchors), "d")
-        .groupBy("vec_id", "c")
-        .agg(F.sum(F.col("micro") * F.col("a")).alias("dot"))
-    )
+    celldots = _pivf_celldots(spark, comp)
     best = celldots.groupBy("vec_id").agg(
         F.max(F.struct(F.col("dot"), (-F.col("c")).alias("nc"))).alias("top")
     )
@@ -1266,5 +1274,195 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.coalesce("n_hits", F.lit(0)) / float(RECALL_K), 6
             ).alias(f"recall_at_{RECALL_K}"),
+        )
+    )
+
+
+CURVE_LEVELS = (1, 2, 4, 8)  # nprobe operating points swept by the curve
+
+
+@query(
+    "q_sim_ivf_curve",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, i AS d,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+h AS (
+  SELECT c, i AS d, md5('a' || c || '#' || i) AS hx
+  FROM range(0, {PIVF_CELLS}) cc(c), range(1, 65) t(i)
+),
+anchors AS (
+  SELECT c, d, ({_hex13_sql('hx')}) % {PIVF_MOD} - 1000000 AS a FROM h
+),
+celldots AS (
+  SELECT comp.vec_id, a.c, SUM(comp.micro * a.a) AS dot
+  FROM comp JOIN anchors a ON a.d = comp.d
+  GROUP BY comp.vec_id, a.c
+),
+ranked AS (
+  SELECT vec_id, c, dot,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+  FROM celldots
+),
+vcell AS (SELECT vec_id, c AS cell FROM ranked WHERE rn = 1),
+qrank AS (SELECT vec_id AS q_id, c AS cell, rn AS probe_rank
+          FROM ranked WHERE vec_id < {RECALL_QUERIES}),
+norms AS (SELECT vec_id, SUM(micro * micro) AS nn FROM comp GROUP BY vec_id),
+scores AS (
+  SELECT qc.vec_id AS q_id, c.vec_id AS vec_id, SUM(qc.micro * c.micro) AS sab
+  FROM comp qc JOIN comp c ON c.d = qc.d AND c.vec_id <> qc.vec_id
+  WHERE qc.vec_id < {RECALL_QUERIES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.q_id, s.vec_id,
+         round(CAST(s.sab AS DOUBLE)
+               / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))), 6)
+           AS cosine
+  FROM scores s
+  JOIN norms nq ON nq.vec_id = s.q_id
+  JOIN norms nv ON nv.vec_id = s.vec_id
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {RECALL_K}
+),
+cand AS (
+  SELECT s.q_id, s.vec_id, s.cosine, qr.probe_rank
+  FROM scored s
+  JOIN vcell v ON v.vec_id = s.vec_id
+  JOIN qrank qr ON qr.q_id = s.q_id AND qr.cell = v.cell
+),
+lv AS (SELECT CAST(unnest([{", ".join(str(x) for x in CURVE_LEVELS)}]) AS BIGINT) AS nprobe),
+cl AS (
+  SELECT l.nprobe, c.q_id, c.vec_id, c.cosine
+  FROM cand c JOIN lv l ON c.probe_rank <= l.nprobe
+),
+approx AS (
+  SELECT nprobe, q_id, vec_id FROM (
+    SELECT nprobe, q_id, vec_id,
+           row_number() OVER (PARTITION BY nprobe, q_id
+                              ORDER BY cosine DESC, vec_id) AS rn
+    FROM cl) WHERE rn <= {RECALL_K}
+),
+hits AS (
+  SELECT a.nprobe, count(*) AS total_hits
+  FROM approx a JOIN exact e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+  GROUP BY a.nprobe
+),
+ncand AS (SELECT nprobe, count(*) AS n_cand_total FROM cl GROUP BY nprobe)
+SELECT l.nprobe,
+       CAST(coalesce(h.total_hits, 0) AS BIGINT) AS total_hits,
+       CAST(coalesce(nc.n_cand_total, 0) AS BIGINT) AS n_cand_total,
+       round(coalesce(h.total_hits, 0)
+             / ({RECALL_QUERIES} * {RECALL_K}.0), 6) AS mean_recall
+FROM lv l
+LEFT JOIN hits h ON h.nprobe = l.nprobe
+LEFT JOIN ncand nc ON nc.nprobe = l.nprobe
+""",
+)
+def q_sim_ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: recall@10 and candidate volume at nprobe in
+    (1, 2, 4, 8), averaged over the fixed 10-query probe set — the
+    recall/cost trade-off sweep every IVF deployment runs to choose its
+    probe count (Faiss nprobe tuning, expressed relationally). Recall
+    must be non-decreasing in nprobe (asserted as a property test).
+
+    One pass computes everything: each candidate (query, vector) pair
+    carries the PROBE RANK of the vector's cell in the query's cell
+    ordering; level membership is then `probe_rank <= nprobe`, so the 4
+    operating points share the assignment, ground-truth, and scoring
+    stages instead of re-running the index 4 times. Every quantity is
+    exact-integer or once-rounded, so DuckDB replays the full curve
+    bit-for-bit. Scale shape: constant-Q evaluation harness — broadcast
+    query set, map-side-combinable aggregates, no corpus self-join."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comp = _micro_comp(e)
+    celldots = _pivf_celldots(spark, comp)
+    cw = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), "c")
+    ranked = celldots.withColumn("rn", F.row_number().over(cw))
+    vcell = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("c").alias("cell"))
+    qrank = ranked.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("c").alias("cell"),
+        F.col("rn").alias("probe_rank"),
+    )
+    norms = comp.groupBy("vec_id").agg(
+        F.sum(F.col("micro") * F.col("micro")).alias("nn")
+    )
+    qcomp = comp.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "d", F.col("micro").alias("qmicro")
+    )
+    scores = (
+        comp.join(F.broadcast(qcomp), "d")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("qmicro") * F.col("micro")).alias("sab"))
+    )
+    qnorms = norms.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("nn").alias("qnn")
+    )
+    scored = (
+        scores.join(F.broadcast(qnorms), "q_id")
+        .join(norms, "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                F.col("sab").cast("double")
+                / (
+                    F.sqrt(F.col("qnn").cast("double"))
+                    * F.sqrt(F.col("nn").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    qw = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    exact = (
+        scored.withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("q_id", "vec_id")
+    )
+    cand = (
+        scored.join(vcell, "vec_id")
+        .join(F.broadcast(qrank), ["q_id", "cell"])
+        .select("q_id", "vec_id", "cosine", "probe_rank")
+    )
+    lv = spark.createDataFrame(
+        [(int(x),) for x in CURVE_LEVELS], "nprobe long"
+    )
+    cl = cand.join(
+        F.broadcast(lv), F.col("probe_rank") <= F.col("nprobe")
+    ).select("nprobe", "q_id", "vec_id", "cosine")
+    aw = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    approx = (
+        cl.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("nprobe", "q_id", "vec_id")
+    )
+    hits = approx.join(exact, ["q_id", "vec_id"]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("total_hits")
+    )
+    ncand = cl.groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_cand_total"))
+    return (
+        lv.join(hits, "nprobe", "left")
+        .join(ncand, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("total_hits", F.lit(0)).cast("long").alias("total_hits"),
+            F.coalesce("n_cand_total", F.lit(0)).cast("long").alias("n_cand_total"),
+            F.round(
+                F.coalesce("total_hits", F.lit(0))
+                / float(RECALL_QUERIES * RECALL_K),
+                6,
+            ).alias("mean_recall"),
         )
     )

@@ -327,3 +327,22 @@ def test_pii_redaction_idempotent(spark):
         .count()
     )
     assert n == 0
+
+
+def test_ivf_curve_recall_monotone(spark):
+    """More probes can only add candidates, so recall@10 must be
+    non-decreasing in nprobe (and candidate volume strictly increasing
+    on this corpus)."""
+    from elric_rs_spark import registry
+
+    registry.load_all()
+    rows = (
+        registry.QUERIES["q_sim_ivf_curve"](spark, "/root/testdata/sf0.001")
+        .orderBy("nprobe")
+        .collect()
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    recalls = [r.total_hits for r in rows]
+    cands = [r.n_cand_total for r in rows]
+    assert recalls == sorted(recalls)
+    assert cands == sorted(cands) and len(set(cands)) == len(cands)
