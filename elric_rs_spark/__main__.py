@@ -38,7 +38,8 @@ from elric_rs_spark.streaming.admin import (
 )
 
 _CREATE_RE = re.compile(
-    r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:`)?([\w.]+)(?:`)?\s*\(",
+    r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:`?\w+`?\.)?`?(\w+)`?\s*\(",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -125,24 +126,40 @@ def cmd_run(args: argparse.Namespace) -> int:
         return 2
     with open(cat_path, encoding="utf-8") as fh:
         catalog = json.load(fh)["tables"]
+    sink_module = args.module
     if os.path.exists(args.package):
         pkg = read_package(args.package)
-        sink = pkg.get("sink_module") or args.module
+        sink_module = sink_module or pkg.get("sink_module")
         print(
             format_log_line(
                 "package loaded",
                 modules=len(pkg.get("modules", [])),
-                sink_module=sink or "<unset>",
+                sink_module=sink_module or "<unset>",
             )
         )
 
     from elric_rs_spark.session import get_spark
     from elric_rs_spark.streaming.admin import GracefulShutdown, attach_progress_logger
-    from elric_rs_spark.streaming.pipeline import TypedPerTableSink, run_pipeline
+    from elric_rs_spark.streaming.pipeline import (
+        TypedPerTableSink,
+        decode_changes,
+        decode_changes_protobuf,
+        run_pipeline,
+    )
 
     spark = get_spark("elric_rs_spark_run")
     listener = attach_progress_logger(spark)
-    sink = TypedPerTableSink(args.out, catalog, mode=args.mode)
+    # the sink module's declared output decides the decode path: the
+    # reference consumes `DatabaseChanges` protobuf from `db_out`-style
+    # modules (ref substreams.rs:26-78); JSON change-sets are this
+    # engine's test/replay payload format
+    decode = (
+        decode_changes_protobuf
+        if args.decode == "protobuf"
+        or (args.decode == "auto" and sink_module and "db_out" in sink_module)
+        else decode_changes
+    )
+    sink = TypedPerTableSink(args.out, catalog, mode=args.mode, decode=decode)
     query = run_pipeline(
         spark,
         args.landing,
@@ -176,7 +193,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--landing", required=True, help="block landing directory")
     r.add_argument("--out", required=True, help="sink/catalog directory")
     r.add_argument("--checkpoint", default=None)
-    r.add_argument("--module", default=None)
+    r.add_argument("--module", default=None, help="override the package's sink module")
+    r.add_argument(
+        "--decode",
+        choices=("auto", "json", "protobuf"),
+        default="auto",
+        help="payload decode path; auto = protobuf for db_out-style sink modules",
+    )
     r.add_argument("--mode", choices=("strict", "permissive"), default="strict")
     r.add_argument("--state-partitions", type=int, default=4)
     r.add_argument(

@@ -1111,6 +1111,52 @@ RECALL_TABLES = 4
 RECALL_BITS = 4
 
 
+def _recall_ground_truth(comp: DataFrame):
+    """(scored, exact): exact integer-cosine scores of every corpus
+    vector against the fixed RECALL_QUERIES probe set, and the exact
+    top-RECALL_K per query — the shared ground-truth stage of
+    q_sim_recall and q_sim_ivf_curve. Broadcast of the constant-Q query
+    side; cosine rounded once to 6dp, ranks tie-broken on vec_id."""
+    norms = comp.groupBy("vec_id").agg(
+        F.sum(F.col("micro") * F.col("micro")).alias("nn")
+    )
+    qcomp = comp.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "d", F.col("micro").alias("qmicro")
+    )
+    scores = (
+        comp.join(F.broadcast(qcomp), "d")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("qmicro") * F.col("micro")).alias("sab"))
+    )
+    qnorms = norms.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("nn").alias("qnn")
+    )
+    scored = (
+        scores.join(F.broadcast(qnorms), "q_id")
+        .join(norms, "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                F.col("sab").cast("double")
+                / (
+                    F.sqrt(F.col("qnn").cast("double"))
+                    * F.sqrt(F.col("nn").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wnd = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    exact = (
+        scored.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("q_id", "vec_id")
+    )
+    return scored, exact
+
+
 @query(
     "q_sim_recall",
     oracle=f"""
@@ -1208,40 +1254,8 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     comp = _micro_comp(e)
     banded = _plsh_bands(spark, comp, RECALL_TABLES, RECALL_BITS)
-    norms = comp.groupBy("vec_id").agg(
-        F.sum(F.col("micro") * F.col("micro")).alias("nn")
-    )
-    qcomp = comp.filter(F.col("vec_id") < RECALL_QUERIES).select(
-        F.col("vec_id").alias("q_id"), "d", F.col("micro").alias("qmicro")
-    )
-    scores = (
-        comp.join(F.broadcast(qcomp), "d")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum(F.col("qmicro") * F.col("micro")).alias("sab"))
-    )
-    qnorms = norms.filter(F.col("vec_id") < RECALL_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("nn").alias("qnn")
-    )
-    scored = (
-        scores.join(F.broadcast(qnorms), "q_id")
-        .join(norms, "vec_id")
-        .select(
-            "q_id",
-            "vec_id",
-            F.round(
-                F.col("sab").cast("double")
-                / (F.sqrt(F.col("qnn").cast("double")) * F.sqrt(F.col("nn").cast("double"))),
-                6,
-            ).alias("cosine"),
-        )
-    )
+    scored, exact = _recall_ground_truth(comp)
     wnd = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
-    exact = (
-        scored.withColumn("rn", F.row_number().over(wnd))
-        .filter(F.col("rn") <= RECALL_K)
-        .select("q_id", "vec_id")
-    )
     qbands = banded.filter(F.col("vec_id") < RECALL_QUERIES).select(
         F.col("vec_id").alias("q_id"), "t", "key"
     )
@@ -1392,43 +1406,7 @@ def q_sim_ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("cell"),
         F.col("rn").alias("probe_rank"),
     )
-    norms = comp.groupBy("vec_id").agg(
-        F.sum(F.col("micro") * F.col("micro")).alias("nn")
-    )
-    qcomp = comp.filter(F.col("vec_id") < RECALL_QUERIES).select(
-        F.col("vec_id").alias("q_id"), "d", F.col("micro").alias("qmicro")
-    )
-    scores = (
-        comp.join(F.broadcast(qcomp), "d")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum(F.col("qmicro") * F.col("micro")).alias("sab"))
-    )
-    qnorms = norms.filter(F.col("vec_id") < RECALL_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("nn").alias("qnn")
-    )
-    scored = (
-        scores.join(F.broadcast(qnorms), "q_id")
-        .join(norms, "vec_id")
-        .select(
-            "q_id",
-            "vec_id",
-            F.round(
-                F.col("sab").cast("double")
-                / (
-                    F.sqrt(F.col("qnn").cast("double"))
-                    * F.sqrt(F.col("nn").cast("double"))
-                ),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    qw = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
-    exact = (
-        scored.withColumn("rn", F.row_number().over(qw))
-        .filter(F.col("rn") <= RECALL_K)
-        .select("q_id", "vec_id")
-    )
+    scored, exact = _recall_ground_truth(comp)
     cand = (
         scored.join(vcell, "vec_id")
         .join(F.broadcast(qrank), ["q_id", "cell"])

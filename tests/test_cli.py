@@ -121,3 +121,62 @@ class TestRun:
             ]
         )
         assert rc == 2
+
+
+class TestRunProtobufDecode:
+    def test_decode_protobuf_path(self, spark, tmpdir):
+        """--decode protobuf routes the pipeline through the wire
+        decoder: DatabaseChanges bytes (base64 payloads) land, the CLI
+        drains them into typed tables — proving the flag reaches
+        TypedPerTableSink (the review found the first cut dropped it)."""
+        import base64
+
+        from tests.test_protowire import enc_database_changes, enc_table_change
+        from elric_rs_spark.streaming.source import land_blocks
+
+        schema = f"{tmpdir}/schema.sql"
+        with open(schema, "w") as fh:
+            fh.write("CREATE TABLE approvals (owner String, amount UInt64);")
+        out = f"{tmpdir}/out"
+        assert main(["setup", "clickhouse://ch:8123/db", schema, "--out", out]) == 0
+
+        def payload(n: int) -> str:
+            raw = enc_database_changes(
+                enc_table_change("approvals", {"owner": f"o{n}", "amount": str(n)})
+            )
+            return base64.b64encode(raw).decode()
+
+        msgs = [
+            {
+                "stream_id": "s1",
+                "msg_type": "new",
+                "block_num": n,
+                "block_id": f"blk-{n:08d}",
+                "block_ts": None,
+                "cursor": str(n),
+                "final_block_height": n,  # all final: every block lands
+                "last_valid_block": None,
+                "payload": payload(n),
+            }
+            for n in range(5)
+        ]
+        landing = f"{tmpdir}/landing"
+        land_blocks(spark, msgs, landing)
+        rc = main(
+            [
+                "run",
+                "clickhouse://ch:8123/db",
+                "db_out.spkg",
+                "--landing",
+                landing,
+                "--out",
+                out,
+                "--decode",
+                "protobuf",
+            ]
+        )
+        assert rc == 0
+        rows = spark.read.parquet(f"{out}/data/approvals").collect()
+        assert sorted((r.owner, r.amount) for r in rows) == [
+            (f"o{n}", n) for n in range(5)
+        ]

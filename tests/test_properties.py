@@ -316,17 +316,11 @@ def test_pii_redaction_idempotent(spark):
         col = F.regexp_replace(col, PII_PHONE, "<PHONE>")
         return F.regexp_replace(col, PII_IP, "<IP>")
 
-    once = planted.select(F.md5(scrub(F.col("t"))).alias("h1"))
-    twice = planted.select(F.md5(scrub(scrub(F.col("t")))).alias("h2"))
-    n = (
-        once.withColumn("rn", F.monotonically_increasing_id())
-        .join(
-            twice.withColumn("rn", F.monotonically_increasing_id()), "rn"
-        )
-        .filter(F.col("h1") != F.col("h2"))
-        .count()
+    both = planted.select(
+        F.md5(scrub(F.col("t"))).alias("h1"),
+        F.md5(scrub(scrub(F.col("t")))).alias("h2"),
     )
-    assert n == 0
+    assert both.filter(F.col("h1") != F.col("h2")).count() == 0
 
 
 def test_ivf_curve_recall_monotone(spark):
@@ -346,3 +340,20 @@ def test_ivf_curve_recall_monotone(spark):
     cands = [r.n_cand_total for r in rows]
     assert recalls == sorted(recalls)
     assert cands == sorted(cands) and len(set(cands)) == len(cands)
+
+
+def test_lineitem_quantity_integral():
+    """q_small_qty_revenue and q_excess_supplier cast l_quantity to
+    BIGINT for exact cross-multiplied/summed arithmetic; that contract
+    holds only while fixture quantities are integral (Spark's cast
+    truncates, DuckDB's rounds — fractional values would diverge).
+    Pin the precondition the operator docstrings rely on."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01"):
+        n = con.sql(
+            f"SELECT count(*) FROM '/root/testdata/sf{sf}/lineitem.parquet'"
+            " WHERE l_quantity <> round(l_quantity)"
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: {n} fractional quantities"
