@@ -916,3 +916,97 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("hamming") <= SIMHASH_PORTABLE_MAXHAM).select(
         "doc_a", "doc_b", "hamming"
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+WITH {_PORTABLE_PAIR_CTES}
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS n_common,
+       CAST(len(ga.g) AS BIGINT) AS n_a,
+       CAST(len(gb.g) AS BIGINT) AS n_b,
+       round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             / least(len(ga.g), len(gb.g)), 6) AS containment
+FROM cand c
+JOIN grams ga ON ga.doc_id = c.doc_a
+JOIN grams gb ON gb.doc_id = c.doc_b
+WHERE 10 * len(list_intersect(ga.g, gb.g)) >= 9 * least(len(ga.g), len(gb.g))
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup (doc-in-doc): flags pairs where >= 90% of the
+    SMALLER document's word-3-gram set appears in the other — the
+    near-containment case (quoted article inside a digest, README
+    embedded in a bundle) that symmetric Jaccard under-scores because
+    the union is dominated by the larger doc. Candidates reuse the
+    md5-portable MinHash banding, so the whole pipeline — candidates,
+    intersection counts, containment values — replays bit-for-bit in
+    DuckDB; the threshold compares cross-multiplied exact integers
+    (10*|∩| >= 9*min(|A|,|B|)), no float in the filter.
+
+    Honest recall caveat (by construction, shared with every
+    LSH-blocked containment pass): banding keys on symmetric MinHash,
+    so an extreme size ratio (tiny A fully inside huge B, Jaccard ~
+    |A|/|B|) may miss candidates; at scale the dedicated blocking is
+    min-k of the SMALLER side's grams probed against the big side —
+    same shuffle shape, different key. The verification stage here is
+    that operator's verification stage unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    grams_arr = F.array_distinct(_word_ngrams(F.col("text"), 3))
+    grams = d.select("doc_id", grams_arr.alias("g")).filter(F.size("g") > 0)
+    rows_per_band = PORTABLE_K // PORTABLE_BANDS
+    eg = grams.select("doc_id", F.explode("g").alias("gram"))
+    ks = spark.range(PORTABLE_K).select(F.col("id").alias("k"))
+    mh = (
+        eg.crossJoin(F.broadcast(ks))
+        .groupBy("doc_id", "k")
+        .agg(F.min(F.md5(F.concat_ws("#", "gram", "k"))).alias("h"))
+    )
+    bands = (
+        mh.select(
+            "doc_id",
+            F.expr(f"k div {rows_per_band}").alias("band"),
+            F.concat_ws(":", "k", "h").alias("kh"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("", F.array_sort(F.collect_list("kh")))).alias("sig"))
+    )
+    ds = F.array_sort(F.collect_set("doc_id"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        bands.groupBy("band", "sig")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    n_common = F.size(F.array_intersect("ga", "gb")).cast("long")
+    n_a = F.size("ga").cast("long")
+    n_b = F.size("gb").cast("long")
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            F.round(
+                n_common.cast("double") / F.least(n_a, n_b).cast("double"), 6
+            ).alias("containment"),
+        )
+        .filter(10 * F.col("n_common") >= 9 * F.least("n_a", "n_b"))
+    )
