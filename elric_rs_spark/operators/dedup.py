@@ -609,6 +609,50 @@ PORTABLE_BANDS = 4    # 4 bands x 4 rows
 # The full portable-minhash pair pipeline as a reusable CTE chain: the
 # minhash twin selects from `pairs` directly; the clusters twin appends a
 # recursive-CTE connected-components stage on top of the SAME pair graph.
+def _portable_candidates(spark: SparkSession, grams: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from the md5-portable MinHash+LSH
+    banding — the shared blocking stage of q_dedup_minhash_portable,
+    q_dedup_clusters_portable, and q_dedup_containment. K=16 md5
+    minhashes, 4x4 banding, one (band, sig) bucket groupBy (never a
+    corpus self-join); every hash replays bit-for-bit in DuckDB
+    (_PORTABLE_PAIR_CTES is the SQL twin of this function)."""
+    rows_per_band = PORTABLE_K // PORTABLE_BANDS
+    eg = grams.select("doc_id", F.explode("g").alias("gram"))
+    ks = spark.range(PORTABLE_K).select(F.col("id").alias("k"))
+    mh = (
+        eg.crossJoin(F.broadcast(ks))
+        .groupBy("doc_id", "k")
+        .agg(F.min(F.md5(F.concat_ws("#", "gram", "k"))).alias("h"))
+    )
+    bands = (
+        mh.select(
+            "doc_id",
+            F.expr(f"k div {rows_per_band}").alias("band"),
+            F.concat_ws(":", "k", "h").alias("kh"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("", F.array_sort(F.collect_list("kh")))).alias("sig"))
+    )
+    ds = F.array_sort(F.collect_set("doc_id"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        bands.groupBy("band", "sig")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 _PORTABLE_PAIR_CTES = f"""toks AS (
   SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
   FROM documents
@@ -675,41 +719,7 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams_arr = F.array_distinct(_word_ngrams(F.col("text"), 3))
     grams = d.select("doc_id", grams_arr.alias("g")).filter(F.size("g") > 0)
-    rows_per_band = PORTABLE_K // PORTABLE_BANDS
-    eg = grams.select("doc_id", F.explode("g").alias("gram"))
-    ks = spark.range(PORTABLE_K).select(F.col("id").alias("k"))
-    mh = (
-        eg.crossJoin(F.broadcast(ks))
-        .groupBy("doc_id", "k")
-        .agg(F.min(F.md5(F.concat_ws("#", "gram", "k"))).alias("h"))
-    )
-    bands = (
-        mh.select(
-            "doc_id",
-            F.expr(f"k div {rows_per_band}").alias("band"),
-            F.concat_ws(":", "k", "h").alias("kh"),
-        )
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("", F.array_sort(F.collect_list("kh")))).alias("sig"))
-    )
-    ds = F.array_sort(F.collect_set("doc_id"))
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    cand = (
-        bands.groupBy("band", "sig")
-        .agg(ds.alias("ds"))
-        .filter(F.size("ds") > 1)
-        .select(F.explode(pair_expr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cand = _portable_candidates(spark, grams)
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
@@ -955,41 +965,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams_arr = F.array_distinct(_word_ngrams(F.col("text"), 3))
     grams = d.select("doc_id", grams_arr.alias("g")).filter(F.size("g") > 0)
-    rows_per_band = PORTABLE_K // PORTABLE_BANDS
-    eg = grams.select("doc_id", F.explode("g").alias("gram"))
-    ks = spark.range(PORTABLE_K).select(F.col("id").alias("k"))
-    mh = (
-        eg.crossJoin(F.broadcast(ks))
-        .groupBy("doc_id", "k")
-        .agg(F.min(F.md5(F.concat_ws("#", "gram", "k"))).alias("h"))
-    )
-    bands = (
-        mh.select(
-            "doc_id",
-            F.expr(f"k div {rows_per_band}").alias("band"),
-            F.concat_ws(":", "k", "h").alias("kh"),
-        )
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("", F.array_sort(F.collect_list("kh")))).alias("sig"))
-    )
-    ds = F.array_sort(F.collect_set("doc_id"))
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    cand = (
-        bands.groupBy("band", "sig")
-        .agg(ds.alias("ds"))
-        .filter(F.size("ds") > 1)
-        .select(F.explode(pair_expr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cand = _portable_candidates(spark, grams)
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
     n_common = F.size(F.array_intersect("ga", "gb")).cast("long")
