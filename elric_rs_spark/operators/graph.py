@@ -1,0 +1,123 @@
+"""Graph analytics beyond connected components (X15's cluster stage):
+weighted PageRank over the supplier co-purchase graph.
+
+The reference has no graph surface (SURVEY.md §2.3 — its engine is a
+streaming loader); this module exists because a training-data platform
+needs link-style importance scores (source/domain authority weighting is
+a standard corpus-quality signal, and the join-aggregate-per-iteration
+shape is THE distributed graph pattern). Connected components
+(operators/dedup.py) handles equivalence; PageRank handles importance.
+
+Everything is exact scaled-integer arithmetic (SCALE = 1e12): ranks are
+BIGINTs, per-edge contributions use floor division, and damping is a
+cross-multiplied integer expression — Spark's `div` and DuckDB's `//`
+floor identically on positive operands, so three unrolled iterations
+replay bit-for-bit in the oracle. No float appears anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elric_rs_spark.registry import query
+from elric_rs_spark.tables import load_table
+
+PR_SCALE = 10**12
+PR_ITERS = 3
+# damping 0.85 as the integer pair (85, 100)
+_EDGES_SQL = """
+  SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, count(*) AS w
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
+  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+"""
+
+
+def _pagerank_oracle() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT e.dst AS node,
+         base.b + (85 * COALESCE(SUM(({prev}.rank * e.w) // wt.w_total), 0)) // 100
+           AS rank
+  FROM edges e
+  JOIN {prev} ON {prev}.node = e.src
+  JOIN wtot wt ON wt.src = e.src
+  CROSS JOIN base
+  GROUP BY e.dst, base.b
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT count(*) AS n FROM nodes),
+base AS (SELECT (15 * ({PR_SCALE} // n.n)) // 100 AS b FROM n),
+wtot AS (SELECT src, CAST(sum(w) AS BIGINT) AS w_total FROM edges GROUP BY src),
+r0 AS (SELECT node, {PR_SCALE} // n.n AS rank FROM nodes, n),
+{",".join(iters)}
+SELECT s.s_suppkey, s.s_name, CAST(r{PR_ITERS}.rank AS BIGINT) AS rank_scaled
+FROM r{PR_ITERS} JOIN supplier s ON s.s_suppkey = r{PR_ITERS}.node
+"""
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, 3 unrolled iterations, exact integer
+    arithmetic — supplier importance over the co-purchase graph (edge
+    weight = orders shared by two suppliers; the same scores rank
+    domains/sources for corpus weighting at 100 TB).
+
+    Plan shape per iteration: one join of the current rank vector
+    against the edge list + one dst-keyed aggregate — the standard
+    distributed PageRank step (edge list partitioned by src, ranks
+    re-partition by dst each round; at cluster scale both sides bucket
+    on the join key and the edge exchange is REUSED across iterations,
+    which AQE confirms at execution). The per-order pair explosion in
+    the edge build is bounded by lines-per-order (squared), a
+    fixture-schema constant; real deployments land an explicit edge
+    table instead. Ranks are BIGINTs at SCALE=1e12 with floor-division
+    damping, identical on both engines — the oracle replays all three
+    iterations bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    l2 = li.select(
+        F.col("l_orderkey"), F.col("l_suppkey").alias("dst_supp")
+    )
+    edges = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_suppkey") != F.col("dst_supp"))
+        .groupBy(F.col("l_suppkey").alias("src"), F.col("dst_supp").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = n.select(F.expr(f"(15 * ({PR_SCALE} div n)) div 100").alias("b"))
+    wtot = edges.groupBy("src").agg(F.sum("w").cast("long").alias("w_total"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.expr(f"{PR_SCALE} div n").alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(F.broadcast(wtot), "src")
+            .select(
+                "dst", F.expr("(rank * w) div w_total").alias("c")
+            )
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("sc"))
+            .crossJoin(F.broadcast(base))
+            .select("node", F.expr("b + (85 * coalesce(sc, 0)) div 100").alias("rank"))
+        )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return ranks.join(F.broadcast(s), ranks.node == s.s_suppkey).select(
+        "s_suppkey", "s_name", F.col("rank").cast("long").alias("rank_scaled")
+    )

@@ -58,8 +58,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # q_priority_waiting, q_volume_shipping, q_market_share,
 # q_returned_items, q_small_qty_revenue, q_excess_supplier,
 # q_waiting_suppliers, q_pii_scrub, q_lm_score, q_sim_recall,
-# q_sim_ivf_curve, q_dedup_containment — all full-oracle, zero ever
-# driver-graded; then (b) stalest regrades by
+# q_sim_ivf_curve, q_dedup_containment, q_pagerank — all full-oracle,
+# zero ever driver-graded; then (b) stalest regrades by
 # last-graded round. That keeps the union at 100% with one round of lag
 # for new registrations.
 GRADING_ORDER: list[str] = [
@@ -167,5 +167,6 @@ def load_all() -> None:
     from elric_rs_spark.operators import similarity  # noqa: F401  X16
     from elric_rs_spark.operators import multimodal  # noqa: F401  X18
     from elric_rs_spark.operators import curation  # noqa: F401  composed pipeline
+    from elric_rs_spark.operators import graph  # noqa: F401  weighted PageRank
 
     _apply_grading_order()
