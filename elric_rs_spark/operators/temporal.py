@@ -838,3 +838,91 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(inc).alias("increase_cents"),
         F.count(F.when(F.col("delta") < 0, 1)).alias("n_resets"),
     )
+
+
+IVL_W_US = 7 * 60 * 1_000_000  # bucket width == max synthesized duration
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+WITH iv AS (
+  SELECT event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS s_us,
+         CAST(epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS BIGINT) AS e_us
+  FROM events
+)
+SELECT a.event_id AS event_a, b.event_id AS event_b, a.event_type,
+       CAST(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS BIGINT)
+         AS overlap_us
+FROM iv a JOIN iv b
+  ON a.event_type = b.event_type AND a.event_id < b.event_id
+ AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+""",
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (interval x interval, the shape behind
+    session-overlap, concurrent-span, and genomic-range analytics —
+    distinct from q_join_range's point-proximity): every pair of
+    same-type intervals that overlap, with the exact overlap duration.
+    Intervals are synthesized deterministically from the event fixture
+    (duration = (event_id % 7 + 1) minutes), identically on both
+    engines.
+
+    Scale shape: each interval is replicated to the width-W time
+    buckets it touches (W = max duration, so <= 2 buckets per
+    interval — a schema constant, never data-dependent fan-out); the
+    join is a plain EQUI-join on (event_type, bucket) with the exact
+    overlap predicate inside, then a distinct pass because a pair can
+    co-occupy two buckets. Work is O(overlapping pairs), the shuffle
+    key is uniform time buckets (AQE splits hot ones), and the naive
+    O(n²) theta join — which is exactly what the oracle runs at test
+    scale — never appears in the plan (plan-gated: no
+    CartesianProduct/BroadcastNestedLoopJoin)."""
+    ev = load_table(spark, sf_dir, "events")
+    dur_us = ((F.col("event_id") % 7 + 1) * 60_000_000).cast("long")
+    iv = ev.select(
+        "event_id",
+        "event_type",
+        _us("ts").alias("s_us"),
+        (_us("ts") + dur_us).alias("e_us"),
+    )
+    binned = iv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {IVL_W_US}"), F.expr(f"e_us div {IVL_W_US}")
+            )
+        ).alias("bucket"),
+    )
+    a = binned.select(
+        F.col("event_id").alias("event_a"),
+        "event_type",
+        F.col("s_us").alias("sa"),
+        F.col("e_us").alias("ea"),
+        "bucket",
+    )
+    b = binned.select(
+        F.col("event_id").alias("event_b"),
+        F.col("event_type").alias("bt"),
+        F.col("s_us").alias("sb"),
+        F.col("e_us").alias("eb"),
+        F.col("bucket").alias("bb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bb"))
+            & (F.col("event_type") == F.col("bt"))
+            & (F.col("event_a") < F.col("event_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea")),
+        )
+        .select(
+            "event_a",
+            "event_b",
+            "event_type",
+            (F.least("ea", "eb") - F.greatest("sa", "sb")).cast("long").alias("overlap_us"),
+        )
+        .distinct()
+    )

@@ -381,3 +381,12 @@ class TestCurationRound4Plans:
         plan = physical_plan(QUERIES["q_sim_recall"](spark, SF_DIR))
         assert "CartesianProduct" not in plan
         assert plan.count("BroadcastExchange") >= 2, plan
+
+    def test_interval_join_is_equi_not_theta(self, spark):
+        """q_join_interval must plan as an equi-join on (type, bucket)
+        with the overlap predicate inside — a theta-only join
+        (BroadcastNestedLoop / Cartesian) means the binning regressed
+        to the O(n²) form the oracle runs."""
+        plan = physical_plan(QUERIES["q_join_interval"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
