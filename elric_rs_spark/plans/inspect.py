@@ -81,3 +81,17 @@ def read_schemas(df: DataFrame) -> list[str]:
         for line in formatted_plan(df).splitlines()
         if line.strip().startswith("ReadSchema:")
     ]
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """TRUE shuffle exchanges (hash/single/range partitioning) in the
+    physical plan — BroadcastExchange and ReusedExchange excluded. The
+    number that must stay bounded for a plan to survive 1000 executors."""
+    import re
+
+    return len(
+        re.findall(
+            r"Exchange (hashpartitioning|SinglePartition|rangepartitioning)",
+            physical_plan(df),
+        )
+    )

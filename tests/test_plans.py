@@ -17,6 +17,7 @@ import pytest
 
 import __spark_entry__ as entrymod
 from elric_rs_spark.plans.inspect import (
+    count_shuffles,
     physical_plan,
     pushed_filters,
     read_schemas,
@@ -307,10 +308,7 @@ class TestTpchRound4Plans:
             assert col in pushed, f"{col} not pushed: {pushed}"
         for s in read_schemas(df):
             assert s.count(":") <= 4, f"scan too wide: {s}"
-        plan = physical_plan(df)
-        import re
-        shuffles = len(re.findall(r"Exchange (hashpartitioning|SinglePartition|rangepartitioning)", plan))
-        assert shuffles == 1, plan
+        assert count_shuffles(df) == 1
 
     @pytest.mark.parametrize(
         "name,max_shuffles",
@@ -329,12 +327,9 @@ class TestTpchRound4Plans:
         broadcasts excluded) stays bounded — the property that holds at
         1000 executors. The first shuffle in each is map-side combined
         (partial aggregation), so the wire carries collapsed rows."""
-        import re
-        plan = physical_plan(QUERIES[name](spark, SF_DIR))
-        shuffles = len(
-            re.findall(r"Exchange (hashpartitioning|SinglePartition|rangepartitioning)", plan)
-        )
-        assert shuffles <= max_shuffles, f"{name}: {shuffles} shuffles\n{plan}"
+        df = QUERIES[name](spark, SF_DIR)
+        n = count_shuffles(df)
+        assert n <= max_shuffles, f"{name}: {n} shuffles\n{physical_plan(df)}"
 
     def test_returned_items_topk_not_global_sort(self, spark):
         """Q10's top-20 must plan as TakeOrderedAndProject, never a
@@ -354,24 +349,17 @@ class TestCurationRound4Plans:
     def test_pii_scrub_zero_shuffle(self, spark):
         """PII scrub is pure row-local regex projection — zero shuffles,
         no Python eval; at 100 TB it pipelines with the scan."""
-        import re
-        plan = physical_plan(QUERIES["q_pii_scrub"](spark, SF_DIR))
-        shuffles = len(
-            re.findall(r"Exchange (hashpartitioning|SinglePartition|rangepartitioning)", plan)
-        )
-        assert shuffles == 0, plan
-        assert "BatchEvalPython" not in plan
+        df = QUERIES["q_pii_scrub"](spark, SF_DIR)
+        assert count_shuffles(df) == 0, physical_plan(df)
+        assert "BatchEvalPython" not in physical_plan(df)
 
     def test_lm_score_shuffle_budget(self, spark):
         """Unigram LM scoring: vocab build (token shuffle) + total count
         + per-doc rollup; the surprisal table comes back as a broadcast,
         never a corpus re-shuffle."""
-        import re
-        plan = physical_plan(QUERIES["q_lm_score"](spark, SF_DIR))
-        shuffles = len(
-            re.findall(r"Exchange (hashpartitioning|SinglePartition|rangepartitioning)", plan)
-        )
-        assert shuffles <= 3, plan
+        df = QUERIES["q_lm_score"](spark, SF_DIR)
+        plan = physical_plan(df)
+        assert count_shuffles(df) <= 3, plan
         assert plan.count("BroadcastExchange") >= 1, plan
 
     def test_sim_recall_no_corpus_self_join(self, spark):
