@@ -646,7 +646,7 @@ PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 @query(
-    "q_pivot",
+    "q_pivot_sums",
     oracle="""
 SELECT user_id % 10 AS cohort,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -669,10 +669,14 @@ FROM events
 GROUP BY user_id % 10
 """,
 )
-def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pivot_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (X5 surface widening): long->wide per-cohort sums, one
-    column per declared event type — the feature-matrix build step of a
-    per-entity metrics table.
+    column per declared event type. Named q_pivot_sums: the round-2
+    q_pivot (count pivot, green driver row since r2) owns the plain
+    name, and this round-4 variant silently SHADOWED it in the
+    registry until tools/union_report.py surfaced the collision;
+    the @query decorator now rejects duplicate names. This is the
+    feature-matrix build step of a per-entity metrics table.
 
     Scale shape: Spark compiles a declared-values pivot into ONE hash
     aggregate whose state is |values| cells per group — a single

@@ -31,6 +31,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; `oracle=None` marks it rows-only (non-SQL-expressible)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise RuntimeError(
+                f"duplicate query registration: {name!r} (a second @query "
+                "would silently shadow the first -- rename one)"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle.strip()
@@ -114,7 +119,7 @@ GRADING_ORDER: list[str] = [
     # adds no signal, while each slot below adds a full-oracle green —
     # and with them every query registered through round 4 has a driver
     # row in some round (the union closes at 100%).
-    "q_pivot",
+    "q_pivot_sums",
     "q_chunk_split",
     "q_token_zipf",
     "q_dedup_clusters_portable",

@@ -461,3 +461,69 @@ class TestKMVSketchAccuracy:
         for k in exact:
             # KMV with K=64 has ~1/sqrt(62) ≈ 13% relative std error
             assert abs(est[k] - exact[k]) / exact[k] < 0.40, (k, est[k], exact[k])
+
+
+class TestZOrder:
+    """Z-order clustering (plans/zorder.py): after a Morton-code write,
+    min/max pruning works on BOTH filter dimensions; a single-column
+    sort skips on that column only. Verified directly against the
+    parquet footers (file-level column statistics), which is exactly
+    the information the scan's row-group skipping consumes."""
+
+    @staticmethod
+    def _candidate_files(path, col, value):
+        import os
+
+        import pyarrow.parquet as pq
+
+        total, cand = 0, 0
+        for name in os.listdir(path):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, name)).metadata
+            total += 1
+            admit = False
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        if s.min <= value <= s.max:
+                            admit = True
+            if admit:
+                cand += 1
+        return cand, total
+
+    def test_both_dimensions_skip(self, spark, tmp_path):
+        from elric_rs_spark.plans.zorder import write_zordered
+        from elric_rs_spark.tables import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        zpath = str(tmp_path / "zorder")
+        write_zordered(d, zpath, ["lang", "source"], n_files=8)
+        # layout must preserve the data
+        assert spark.read.parquet(zpath).count() == d.count()
+
+        lang_cand, total = self._candidate_files(zpath, "lang", "zh")
+        src_cand, _ = self._candidate_files(zpath, "source", "src7")
+        assert total >= 4
+        assert lang_cand < total, "lang filter prunes no files"
+        assert src_cand < total, "source filter prunes no files"
+
+        # contrast: single-column sort skips on lang but NOT on source
+        spath = str(tmp_path / "langsort")
+        (
+            d.repartitionByRange(8, "lang", "doc_id")
+            .sortWithinPartitions("lang")
+            .write.mode("overwrite")
+            .parquet(spath)
+        )
+        s_lang_cand, s_total = self._candidate_files(spath, "lang", "zh")
+        s_src_cand, _ = self._candidate_files(spath, "source", "src7")
+        assert s_lang_cand < s_total
+        assert s_src_cand == s_total, (
+            "a lang-sorted layout should NOT skip on source — if it does, "
+            "the fixture changed and this contrast test needs new columns"
+        )
