@@ -30,6 +30,7 @@ sys.path.insert(0, "/root/repo/tests")
 
 def main() -> None:
     n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    decode_mode = sys.argv[2] if len(sys.argv) > 2 else "json"
     from elric_rs_spark.session import get_spark
     from elric_rs_spark.streaming.pipeline import TypedPerTableSink, run_pipeline
     from elric_rs_spark.streaming.source import land_blocks
@@ -40,16 +41,59 @@ def main() -> None:
     d = tempfile.mkdtemp(prefix="elric_sbench_")
     try:
         landing, ckpt, out = f"{d}/landing", f"{d}/ckpt", f"{d}/out"
-        blocks = _blocks(n_blocks, reorg_depth=12)
+        if decode_mode == "protobuf":
+            # the reference-faithful wire format: DatabaseChanges bytes
+            # (base64 payload), decoded by the pure-Python wire reader
+            # inside Arrow-batched mapInPandas (pipeline.py T1)
+            import base64
+
+            from test_protowire import enc_database_changes, enc_table_change
+
+            def _pb_payload(n: int) -> str:
+                raw = enc_database_changes(
+                    enc_table_change(
+                        "transfers",
+                        {
+                            "contract_address": "ab",
+                            "evt_block_number": str(n),
+                            "value": str((1 << 200) + n),
+                            "evt_block_time": f"2024-08-07T00:00:{n % 60:02d}Z",
+                        },
+                        composite_pk={"evt_tx_hash": f"0x{n:x}",
+                                      "evt_index": str(n)},
+                    ),
+                    enc_table_change(
+                        "approvals",
+                        {"owner": f"o{n}", "spender": f"s{n}",
+                         "amount": str(n * 10)},
+                        single_pk="SHOULD_NOT_OVERRIDE",
+                    ),
+                )
+                return base64.b64encode(raw).decode()
+
+            blocks = _blocks(n_blocks, reorg_depth=12)
+            for b in blocks:
+                b["payload"] = _pb_payload(b["block_num"])
+        else:
+            blocks = _blocks(n_blocks, reorg_depth=12)
 
         t_land = time.monotonic()
         land_blocks(spark, blocks, landing, batch_size=5_000)
         land_s = time.monotonic() - t_land
 
         schema = dict(TRANSFERS_SCHEMA, evt_tx_hash="String", evt_index="UInt32")
-        sink = TypedPerTableSink(
-            out, {"transfers": schema, "approvals": APPROVALS_SCHEMA}
-        )
+        if decode_mode == "protobuf":
+            from elric_rs_spark.streaming.pipeline import decode_changes_protobuf
+
+            sink = TypedPerTableSink(
+                out,
+                {"transfers": schema, "approvals": APPROVALS_SCHEMA},
+                decode=decode_changes_protobuf,
+            )
+        else:
+            sink = TypedPerTableSink(
+                out, {"transfers": schema, "approvals": APPROVALS_SCHEMA}
+            )
         t0 = time.monotonic()
         q = run_pipeline(spark, landing, ckpt, sink)
         finished = q.awaitTermination(600)
@@ -69,6 +113,7 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "pipeline_blocks_per_sec",
+                    "decode": decode_mode,
                     "value": round(n_blocks / wall, 1),
                     "unit": "blocks/sec",
                     "rows_per_sec": round(n_rows / wall, 1),
