@@ -218,3 +218,37 @@ class TestBinaryFileSource:
         assert {(r.blob_id, r.n_bytes) for r in out} == {
             (i, 100 + i) for i in range(4)
         }
+
+
+class TestSchemaEvolution:
+    """Landed batches drift (a new column appears in newer files) — the
+    ingest reality mergeSchema exists for. Older rows must surface NULL
+    for the new column, and the default (no mergeSchema) must keep the
+    footer-sampled schema rather than failing."""
+
+    def _land_two_generations(self, spark, tmp_path) -> str:
+        d = str(tmp_path / "evolving")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).write.mode("append").parquet(d)
+        spark.createDataFrame(
+            [(3, "c", 30), (4, "d", 40)], "id long, v string, score long"
+        ).write.mode("append").parquet(d)
+        return d
+
+    def test_merge_schema_unions_columns(self, spark, tmp_path):
+        d = self._land_two_generations(spark, tmp_path)
+        df = spark.read.option("mergeSchema", "true").parquet(d)
+        assert set(df.columns) == {"id", "v", "score"}
+        rows = {r.id: r.score for r in df.collect()}
+        assert rows[1] is None and rows[3] == 30
+
+    def test_explicit_schema_is_the_scale_path(self, spark, tmp_path):
+        """At 100 TB, mergeSchema's footer sweep over millions of files
+        is the slow path — an EXPLICIT schema skips it and still reads
+        old and new files (missing columns null-filled)."""
+        d = self._land_two_generations(spark, tmp_path)
+        df = spark.read.schema("id long, v string, score long").parquet(d)
+        rows = {r.id: (r.v, r.score) for r in df.collect()}
+        assert rows == {1: ("a", None), 2: ("b", None),
+                        3: ("c", 30), 4: ("d", 40)}
