@@ -455,3 +455,111 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.filter(
         (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
     )
+
+
+@query(
+    "q_url_dedup",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || source || '.Com:443/Path/'
+         || CAST(doc_id % 50 AS VARCHAR)
+         || '/?utm_source=feed&b=2&a=' || CAST(doc_id % 3 AS VARCHAR)
+         || '&utm_campaign=x#sec' || CAST(doc_id % 4 AS VARCHAR) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+             '^www\\.', ''),
+           ':(443|80)$', '') AS host,
+         regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                        '/$', '') AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM raw
+),
+cleaned AS (
+  SELECT doc_id, scheme, host, path,
+         array_to_string(
+           list_sort(list_filter(string_split(q, '&'),
+                                 p -> p NOT LIKE 'utm_%' AND p <> '')),
+           '&') AS qn
+  FROM parts
+),
+urls AS (
+  SELECT doc_id,
+         scheme || '://' || host || path
+         || CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS norm_url
+  FROM cleaned
+)
+SELECT norm_url, count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc
+FROM urls GROUP BY norm_url
+""",
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup (the first pass of every web-corpus
+    pipeline): scheme/host lowercased, www. and default ports stripped,
+    trailing slash removed, fragment dropped, tracking (utm_*) params
+    removed, surviving params SORTED — then documents group by the
+    canonical URL and the lowest doc_id becomes the cluster canonical.
+    The fixture has no URL column, so both engines synthesize the same
+    messy URLs deterministically from (source, doc_id); on a real crawl
+    only the synthesis CTE disappears.
+
+    All normalization is regex/split/sort built-ins in the Java-regex ∩
+    RE2 subset (the q_pii_scrub discipline), entirely row-local; the
+    only shuffle is the final canonical-URL groupBy (map-side combined,
+    uniform keys). The oracle replays every step bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Com:443/Path/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&b=2&a="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&utm_campaign=x#sec"),
+        (F.col("doc_id") % 4).cast("string"),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":(443|80)$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    q = F.regexp_extract("url", r"\?([^#]*)", 1)
+    qn = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda p: (~p.startswith("utm_")) & (p != ""),
+            )
+        ),
+        "&",
+    )
+    urls = raw.select(
+        "doc_id",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
+        ).alias("norm_url"),
+    )
+    return urls.groupBy("norm_url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("canonical_doc"),
+    )
