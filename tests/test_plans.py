@@ -320,6 +320,7 @@ class TestTpchRound4Plans:
             ("q_small_qty_revenue", 2),  # partkey agg + join-back
             ("q_excess_supplier", 2),    # suppkey agg (+1 headroom)
             ("q_waiting_suppliers", 5),  # (o,s) agg → o rollup → join → s agg
+            ("q_url_dedup", 1),          # row-local normalize + one groupBy
         ],
     )
     def test_shuffle_budget(self, spark, name, max_shuffles):

@@ -357,3 +357,54 @@ def test_lineitem_quantity_integral():
             " WHERE l_quantity <> round(l_quantity)"
         ).fetchone()[0]
         assert n == 0, f"sf{sf}: {n} fractional quantities"
+
+
+def test_registry_load_all_idempotent():
+    """load_all() twice must not trip the duplicate-registration guard
+    (module imports are cached; the guard only fires on a genuine
+    second @query with the same name)."""
+    from elric_rs_spark import registry
+
+    registry.load_all()
+    n = len(registry.QUERIES)
+    registry.load_all()
+    assert len(registry.QUERIES) == n
+
+
+def test_url_normalization_idempotent(spark):
+    """Normalizing an already-normalized URL is a no-op: the canonical
+    form must be a fixed point (no scheme/host/param rule re-fires)."""
+    from pyspark.sql import functions as F
+
+    from elric_rs_spark import registry
+
+    registry.load_all()
+    urls = registry.QUERIES["q_url_dedup"](spark, "/root/testdata/sf0.001").select(
+        "norm_url"
+    )
+    scheme = F.lower(F.regexp_extract("norm_url", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("norm_url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":(443|80)$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("norm_url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    q = F.regexp_extract("norm_url", r"\?([^#]*)", 1)
+    qn = F.array_join(
+        F.array_sort(
+            F.filter(F.split(q, "&"), lambda p: (~p.startswith("utm_")) & (p != ""))
+        ),
+        "&",
+    )
+    renorm = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
+    )
+    n = urls.filter(renorm != F.col("norm_url")).count()
+    assert n == 0
