@@ -926,3 +926,55 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+ROLLING_DAYS = 7
+
+
+@query(
+    "q_rolling_active",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+contrib AS (
+  SELECT user_id, d + CAST(i AS INTEGER) AS window_day
+  FROM ud, range(0, {ROLLING_DAYS}) t(i)
+),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS window_day FROM events)
+SELECT c.window_day, count(DISTINCT c.user_id) AS active_users
+FROM contrib c JOIN days ON days.window_day = c.window_day
+GROUP BY c.window_day
+""",
+)
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {N}-day distinct active users (the DAU/WAU retention
+    metric): for every day with events, the count of distinct users
+    seen in the trailing {N}-day window ending that day.
+
+    Distinct-over-sliding-windows has no map-side-combinable window
+    frame form (COUNT(DISTINCT) OVER RANGE is unsupported in Spark and
+    a quadratic re-scan where it exists); the scalable shape is
+    contribution explode: collapse to distinct (user, day) FIRST (one
+    shuffle, map-side combined, the big reduction), then each pair
+    contributes to the {N} window-days it's visible in (a constant
+    {N}x fan-out of the ALREADY-collapsed pairs, not of raw events),
+    then one (window_day, user) distinct-count. Days with no events
+    produce no row (inner join against observed days) — matching the
+    oracle's semantics exactly; calendar gap-fill is q_gap_fill's job.
+    At 100 TB: raw events collapse by orders of magnitude before the
+    fan-out, and every shuffle keys on uniform (day, user) hashes."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), ROLLING_DAYS - 1))
+        ).alias("window_day"),
+    )
+    days = ev.select(F.col("ts").cast("date").alias("window_day")).distinct()
+    return (
+        contrib.join(days, "window_day")
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
