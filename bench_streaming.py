@@ -71,11 +71,10 @@ def main() -> None:
                 )
                 return base64.b64encode(raw).decode()
 
-            blocks = _blocks(n_blocks, reorg_depth=12)
+        blocks = _blocks(n_blocks, reorg_depth=12)
+        if decode_mode == "protobuf":
             for b in blocks:
                 b["payload"] = _pb_payload(b["block_num"])
-        else:
-            blocks = _blocks(n_blocks, reorg_depth=12)
 
         t_land = time.monotonic()
         land_blocks(spark, blocks, landing, batch_size=5_000)

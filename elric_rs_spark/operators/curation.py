@@ -457,6 +457,44 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def normalize_url(url):
+    """Canonical form of a URL column: scheme/host lowercased, www. and
+    default ports stripped, trailing slash removed, fragment dropped,
+    utm_* tracking params removed, surviving params sorted. Shared by
+    q_url_dedup and its fixed-point property test — one copy of the
+    rules. All expressions sit in the Java-regex ∩ RE2 subset."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":(443|80)$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    qn = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda p: (~p.startswith("utm_")) & (p != ""),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
+    )
+
+
 @query(
     "q_url_dedup",
     oracle="""
@@ -485,7 +523,7 @@ cleaned AS (
   SELECT doc_id, scheme, host, path,
          array_to_string(
            list_sort(list_filter(string_split(q, '&'),
-                                 p -> p NOT LIKE 'utm_%' AND p <> '')),
+                                 p -> NOT starts_with(p, 'utm_') AND p <> '')),
            '&') AS qn
   FROM parts
 ),
@@ -526,38 +564,8 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 4).cast("string"),
     )
     raw = d.select("doc_id", url.alias("url"))
-    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
-    host = F.regexp_replace(
-        F.regexp_replace(
-            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
-            r"^www\.",
-            "",
-        ),
-        r":(443|80)$",
-        "",
-    )
-    path = F.regexp_replace(
-        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
-    )
-    q = F.regexp_extract("url", r"\?([^#]*)", 1)
-    qn = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split(q, "&"),
-                lambda p: (~p.startswith("utm_")) & (p != ""),
-            )
-        ),
-        "&",
-    )
     urls = raw.select(
-        "doc_id",
-        F.concat(
-            scheme,
-            F.lit("://"),
-            host,
-            path,
-            F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
-        ).alias("norm_url"),
+        "doc_id", normalize_url(F.col("url")).alias("norm_url")
     )
     return urls.groupBy("norm_url").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -34,10 +34,12 @@ ZBITS = 8  # bits per dimension: 256 distinct cells per dim is plenty of
 
 def _to_bucket(col: Column, n_bits: int = ZBITS) -> Column:
     """Rank-free bucketing of an arbitrary column into [0, 2^n_bits):
-    non-negative integral columns are clamped; anything else is hashed.
-    (A true rank-compression needs a pass over the data; hash-bucketing
-    keeps the property that matters — equal values share a bucket — at
-    the cost of rectangle locality for range predicates on that dim.)"""
+    every column is HASHED into its bucket (a true rank-compression
+    needs a pass over the data). Hashing keeps the property that makes
+    min/max skipping work for EQUALITY predicates — equal values share
+    a bucket — but sacrifices rectangle locality for RANGE predicates
+    on that dimension; rank-compress externally first if you need
+    range skipping."""
     bucket = F.pmod(F.xxhash64(col), F.lit(1 << n_bits))
     return bucket.cast("long")
 
@@ -47,6 +49,14 @@ def zorder_key(*cols: Column, n_bits: int = ZBITS) -> Column:
     column 0 taking the most significant position of each bit group."""
     buckets = [_to_bucket(c, n_bits) for c in cols]
     k = len(buckets)
+    # Spark's shiftleft masks the shift count to 6 bits: a position >= 64
+    # silently wraps onto low bits and corrupts the code; position 63 is
+    # the sign bit, which would split the curve at the range boundary.
+    if k * n_bits >= 64:
+        raise ValueError(
+            f"zorder_key: {k} cols x {n_bits} bits = {k * n_bits} bits "
+            "does not fit a signed 64-bit code; lower n_bits"
+        )
     code: Column = F.lit(0).cast("long")
     for bit in range(n_bits - 1, -1, -1):
         for i, b in enumerate(buckets):

@@ -308,7 +308,7 @@ class TestTpchRound4Plans:
             assert col in pushed, f"{col} not pushed: {pushed}"
         for s in read_schemas(df):
             assert s.count(":") <= 4, f"scan too wide: {s}"
-        assert count_shuffles(df) == 1
+        assert count_shuffles(df) == 1, physical_plan(df)
 
     @pytest.mark.parametrize(
         "name,max_shuffles",
@@ -351,8 +351,9 @@ class TestCurationRound4Plans:
         """PII scrub is pure row-local regex projection — zero shuffles,
         no Python eval; at 100 TB it pipelines with the scan."""
         df = QUERIES["q_pii_scrub"](spark, SF_DIR)
-        assert count_shuffles(df) == 0, physical_plan(df)
-        assert "BatchEvalPython" not in physical_plan(df)
+        plan = physical_plan(df)
+        assert count_shuffles(df) == 0, plan
+        assert "BatchEvalPython" not in plan
 
     def test_lm_score_shuffle_budget(self, spark):
         """Unigram LM scoring: vocab build (token shuffle) + total count

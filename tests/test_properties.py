@@ -373,38 +373,19 @@ def test_registry_load_all_idempotent():
 
 def test_url_normalization_idempotent(spark):
     """Normalizing an already-normalized URL is a no-op: the canonical
-    form must be a fixed point (no scheme/host/param rule re-fires)."""
+    form must be a fixed point (no scheme/host/param rule re-fires).
+    Uses the SAME normalize_url helper as the operator — one copy of
+    the rules."""
     from pyspark.sql import functions as F
 
     from elric_rs_spark import registry
+    from elric_rs_spark.operators.curation import normalize_url
 
     registry.load_all()
     urls = registry.QUERIES["q_url_dedup"](spark, "/root/testdata/sf0.001").select(
         "norm_url"
     )
-    scheme = F.lower(F.regexp_extract("norm_url", r"^([A-Za-z]+)://", 1))
-    host = F.regexp_replace(
-        F.regexp_replace(
-            F.lower(F.regexp_extract("norm_url", r"^[A-Za-z]+://([^/?#]+)", 1)),
-            r"^www\.",
-            "",
-        ),
-        r":(443|80)$",
-        "",
-    )
-    path = F.regexp_replace(
-        F.regexp_extract("norm_url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
-    )
-    q = F.regexp_extract("norm_url", r"\?([^#]*)", 1)
-    qn = F.array_join(
-        F.array_sort(
-            F.filter(F.split(q, "&"), lambda p: (~p.startswith("utm_")) & (p != ""))
-        ),
-        "&",
-    )
-    renorm = F.concat(
-        scheme, F.lit("://"), host, path,
-        F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
-    )
-    n = urls.filter(renorm != F.col("norm_url")).count()
+    n = urls.filter(
+        normalize_url(F.col("norm_url")) != F.col("norm_url")
+    ).count()
     assert n == 0
