@@ -571,3 +571,95 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").cast("long").alias("canonical_doc"),
     )
+
+
+# DSIR-lite hashed-importance buckets: 256 buckets keyed by the first
+# two hex chars of md5(token) — engine-portable (md5 is bit-identical in
+# Spark and DuckDB), uniform by construction, and small enough that the
+# per-bucket log-ratio table broadcasts anywhere.
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "q_importance_weight",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+),
+bucketed AS (
+  SELECT substr(md5(tok), 1, 2) AS bucket,
+         CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS is_tgt
+  FROM toks
+),
+counts AS (
+  SELECT bucket,
+         CAST(sum(is_tgt) AS BIGINT) AS target_cnt,
+         CAST(count(*) AS BIGINT) AS raw_cnt
+  FROM bucketed GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(sum(target_cnt) AS BIGINT) AS t_total,
+         CAST(sum(raw_cnt) AS BIGINT) AS r_total
+  FROM counts
+)
+SELECT bucket, target_cnt, raw_cnt,
+       CAST(round(1000 * ln(
+         (CAST(target_cnt + 1 AS DOUBLE) * (r_total + {DSIR_BUCKETS}))
+         / (CAST(raw_cnt + 1 AS DOUBLE) * (t_total + {DSIR_BUCKETS}))
+       )) AS BIGINT) AS weight_mnat
+FROM counts, totals
+""",
+)
+def q_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed importance weights (Xie et al. 2023,
+    arXiv:2302.03169 — public method): token mass is hashed into 256
+    buckets; each bucket's importance is the add-1-smoothed log-ratio of
+    its probability under the TARGET distribution (here lang='en' docs)
+    vs the RAW corpus, in milli-nats. The 256-row table is the artifact
+    a data-selection pass broadcasts to score every document with
+    sum(count_b * weight_b).
+
+    Cross-engine determinism: the bucket key is substr(md5(token),1,2)
+    (bit-identical in both engines); the ratio is assembled from exact
+    integer counts with ONE double division and one ln(), then rounded
+    to integer milli-nats — the same float-risk envelope q_lm_score
+    already carries (a flip needs the true value within ~1e-16 of a
+    0.0005 boundary).
+
+    Scale shape: one map-side-combinable groupBy on 256 uniform keys,
+    one single-row total, zero joins against the corpus. The weight
+    table is O(1); applying it to documents later is a broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    )
+    counts = (
+        toks.select(
+            F.substring(F.md5("tok"), 1, 2).alias("bucket"),
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0).alias("is_tgt"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_tgt").cast("long").alias("target_cnt"),
+            F.count(F.lit(1)).alias("raw_cnt"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("target_cnt").alias("t_total"), F.sum("raw_cnt").alias("r_total")
+    )
+    ratio = (
+        (F.col("target_cnt") + 1).cast("double")
+        * (F.col("r_total") + DSIR_BUCKETS)
+    ) / (
+        (F.col("raw_cnt") + 1).cast("double")
+        * (F.col("t_total") + DSIR_BUCKETS)
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "target_cnt",
+        "raw_cnt",
+        F.round(1000 * F.log(ratio)).cast("long").alias("weight_mnat"),
+    )

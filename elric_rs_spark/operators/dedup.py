@@ -986,3 +986,274 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(10 * F.col("n_common") >= 9 * F.least("n_a", "n_b"))
     )
+
+
+# SemDeDup threshold: cosine >= 0.35 == 7/20 (the synthetic embeddings
+# top out at ~0.47 within-cluster cosine, same calibration note as
+# q_dedup_embed's 0.4). The filter never touches a float: cos >= t is
+# cross-multiplied to dot >= 0 AND 400*dot^2 >= 49*nsq_a*nsq_b on
+# milli-int components (|c| <= ~530 for the +-0.53-range data ->
+# dot <= 64*530^2 ~ 1.8e7, 400*dot^2 ~ 1.3e17 < 2^63 — BIGINT-safe in
+# BOTH engines with no HUGEINT widening).
+SEMANTIC_T_NUM_SQ = 49    # t^2 = 49/400  (t = 7/20 = 0.35)
+SEMANTIC_T_DEN_SQ = 400
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS mil
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+sums AS (
+  SELECT label AS c_label, dim,
+         CAST(sum(mil) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM comp GROUP BY label, dim
+),
+cent AS (
+  SELECT c_label, dim, (s - ((s % n + n) % n)) // n AS icent FROM sums
+),
+scores AS (
+  SELECT comp.vec_id, cent.c_label,
+         CAST(sum(comp.mil * cent.icent) AS BIGINT) AS score
+  FROM comp JOIN cent ON comp.dim = cent.dim
+  GROUP BY comp.vec_id, cent.c_label
+),
+assign AS (
+  SELECT vec_id, c_label AS cluster
+  FROM (SELECT vec_id, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, c_label) AS rn
+        FROM scores)
+  WHERE rn = 1
+),
+norms AS (
+  SELECT vec_id, CAST(sum(mil * mil) AS BIGINT) AS nsq
+  FROM comp GROUP BY vec_id
+),
+dots AS (
+  SELECT aa.cluster, a.vec_id AS ida, b.vec_id AS idb,
+         CAST(sum(a.mil * b.mil) AS BIGINT) AS dot
+  FROM comp a
+  JOIN assign aa ON aa.vec_id = a.vec_id
+  JOIN assign ab ON ab.cluster = aa.cluster
+  JOIN comp b ON b.vec_id = ab.vec_id AND b.dim = a.dim
+  WHERE a.vec_id < b.vec_id
+  GROUP BY aa.cluster, a.vec_id, b.vec_id
+),
+dropped AS (
+  SELECT DISTINCT d.cluster, d.idb AS vec_id
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.ida
+  JOIN norms nb ON nb.vec_id = d.idb
+  WHERE d.dot >= 0
+    AND {SEMANTIC_T_DEN_SQ} * d.dot * d.dot >= {SEMANTIC_T_NUM_SQ} * na.nsq * nb.nsq
+)
+SELECT a.cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(dr.vec_id) AS BIGINT) AS n_dropped,
+       CAST(coalesce(sum(dr.vec_id), 0) AS BIGINT) AS drop_id_sum
+FROM assign a
+LEFT JOIN dropped dr ON dr.vec_id = a.vec_id AND dr.cluster = a.cluster
+GROUP BY a.cluster
+""",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540
+    — public method): cluster the embedding space (here one exact k-means
+    assignment step against the label centroids, the same
+    floor-div-integer centroid construction as q_kmeans_assign), then
+    drop every vector whose cosine similarity to a LOWER-id vector in
+    the SAME cluster exceeds the threshold — keep-lowest-id survivor
+    rule, pairwise comparison confined to a cluster, never the corpus.
+
+    Output is the per-cluster audit row (n_vecs, n_dropped, checksum of
+    dropped ids), which verifies every pairwise decision without
+    emitting O(n^2) pairs.
+
+    Cross-engine exactness: components quantize to milli-ints so every
+    dot product and norm is an exact BIGINT; the cosine threshold is
+    cross-multiplied into integer arithmetic (see SEMANTIC_T_* above) —
+    no float ever enters a filter, so DuckDB replays bit-for-bit.
+
+    Scale shape: centroids are O(k x dims) — broadcast; assignment is
+    map-side-combinable per-vector argmax (no shuffle before it); the
+    only quadratic is WITHIN a cluster, which at 100 TB is bounded by
+    capping cluster population (re-cluster oversized cells with a finer
+    k, or hash-split them — the standard SemDeDup production guard;
+    documented, not needed at sf). No window over the corpus, no
+    cross join: the pair generation is an equi-join on (cluster, dim)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("val").cast("double") * 1000).cast("long").alias("mil"),
+    )
+    sums = comp.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.sum("mil").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = sums.select(
+        "c_label", "dim", F.expr("(s - pmod(s, n)) div n").alias("icent")
+    )
+    scores = (
+        comp.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "c_label")
+        .agg(F.sum(F.col("mil") * F.col("icent")).alias("score"))
+    )
+    assign = (
+        scores.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("c_label")).alias("neg_label"))
+            ).alias("top")
+        )
+        .select("vec_id", (-F.col("top.neg_label")).cast("long").alias("cluster"))
+    )
+    norms = comp.groupBy("vec_id").agg(F.sum(F.col("mil") * F.col("mil")).alias("nsq"))
+    side = comp.join(assign, "vec_id")
+    a = side.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("ida"),
+        F.col("dim"),
+        F.col("mil").alias("mil_a"),
+    )
+    b = side.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("idb"),
+        F.col("dim"),
+        F.col("mil").alias("mil_b"),
+    )
+    dots = (
+        a.join(b, ["cluster", "dim"])
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("cluster", "ida", "idb")
+        .agg(F.sum(F.col("mil_a") * F.col("mil_b")).alias("dot"))
+    )
+    dropped = (
+        dots.join(norms.select(F.col("vec_id").alias("ida"), F.col("nsq").alias("nsq_a")), "ida")
+        .join(norms.select(F.col("vec_id").alias("idb"), F.col("nsq").alias("nsq_b")), "idb")
+        .filter(
+            (F.col("dot") >= 0)
+            & (
+                SEMANTIC_T_DEN_SQ * F.col("dot") * F.col("dot")
+                >= SEMANTIC_T_NUM_SQ * F.col("nsq_a") * F.col("nsq_b")
+            )
+        )
+        .select("cluster", F.col("idb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dropped.withColumn("is_drop", F.lit(1)), ["cluster", "vec_id"], "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("is_drop").alias("n_dropped"),
+            F.coalesce(F.sum(F.when(F.col("is_drop") == 1, F.col("vec_id"))), F.lit(0))
+            .cast("long")
+            .alias("drop_id_sum"),
+        )
+    )
+
+
+# Passage width for passage-level exact dedup: non-overlapping 8-token
+# windows (the fixed-width stand-in for paragraph boundaries, which the
+# synthetic corpus lacks).
+PASSAGE_TOKENS = 8
+
+
+@query(
+    "q_passage_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+),
+expanded AS (
+  -- scalar range() returns a LIST, so it can take a column argument
+  -- (the table-function form rejects lateral column parameters)
+  SELECT doc_id, t,
+         unnest(range(0, CAST(ceil(len(t) / {PASSAGE_TOKENS}.0) AS BIGINT)))
+           AS i
+  FROM toks WHERE len(t) > 0
+),
+passages AS (
+  SELECT doc_id,
+         array_to_string(
+           t[CAST(i * {PASSAGE_TOKENS} + 1 AS BIGINT)
+             : CAST(i * {PASSAGE_TOKENS} + {PASSAGE_TOKENS} AS BIGINT)],
+           ' ') AS passage
+  FROM expanded
+),
+freq AS (
+  SELECT passage, CAST(count(*) AS BIGINT) AS n_occ
+  FROM passages GROUP BY passage
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_passages,
+       round(CAST(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_ratio
+FROM passages p JOIN freq f ON f.passage = p.passage
+GROUP BY p.doc_id
+""",
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup audit (the sub-document pass exact-dedup
+    misses and MinHash over-grains): each document splits into
+    non-overlapping 8-token passages; a passage is a duplicate when its
+    exact text occurs >= 2 times corpus-wide (across docs OR repeated
+    within one — repeated boilerplate inside a single page counts).
+    Output is the per-doc passage count, duplicate-passage count, and
+    duplicate ratio — the sub-document twin of q_dedup_exact.
+
+    Passages come from arithmetic slices (doc splits into
+    ceil(n/8) windows via explode(sequence) + slice), NOT from
+    collect_list — no ordering assumptions, no grouped re-assembly.
+
+    Scale shape: same as q_chunk_split's generator fan-out (no shuffle
+    to build passages), then ONE groupBy on the passage string for
+    occurrence counts (uniform short-string keys, map-side combined),
+    a join back on the passage, and a per-doc rollup. At 100 TB,
+    replace the raw passage join key with xxhash64(passage) to shrink
+    shuffle bytes — kept as the raw string here so DuckDB replays it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("t")
+    ).filter(F.size("t") > 0)
+    n_pass = F.ceil(F.size("t").cast("double") / PASSAGE_TOKENS).cast("long")
+    passages = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_pass - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.col("t"), (F.col("i") * PASSAGE_TOKENS + 1).cast("int"),
+                    PASSAGE_TOKENS),
+            " ",
+        ).alias("passage"),
+    )
+    freq = passages.groupBy("passage").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        passages.join(freq, "passage")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_passages"), dup.alias("n_dup_passages"))
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup_passages",
+            F.round(
+                F.col("n_dup_passages").cast("double") / F.col("n_passages"), 6
+            ).alias("dup_ratio"),
+        )
+    )

@@ -1452,3 +1452,71 @@ def q_sim_ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_recall"),
         )
     )
+
+
+# Matryoshka head width: energy retained by the first 16 of 64 dims —
+# the truncation-QA number a matryoshka-embedding pipeline checks before
+# switching ANN search to the cheap prefix.
+MRL_HEAD_DIMS = 16
+
+
+@query(
+    "q_embed_norm",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+)
+SELECT vec_id,
+       CAST(sum(micro * micro) AS BIGINT) AS ssq_full,
+       CAST(sum(CASE WHEN dim <= {MRL_HEAD_DIMS}
+                     THEN micro * micro ELSE 0 END) AS BIGINT) AS ssq_head,
+       round(CAST(sum(CASE WHEN dim <= {MRL_HEAD_DIMS}
+                           THEN micro * micro ELSE 0 END) AS DOUBLE)
+             / sum(micro * micro), 6) AS head_energy_ratio
+FROM comp
+GROUP BY vec_id
+HAVING sum(micro * micro) > 0
+""",
+)
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm / matryoshka-truncation QA (Kusupati et al. 2022,
+    arXiv:2205.13147 — public method): per-vector L2 energy of the full
+    64-dim embedding and of its first-16-dim head, plus the head's
+    retained-energy ratio — the go/no-go number before an ANN index
+    switches to truncated prefixes. Sums of squares are exact BIGINTs on
+    micro-int components (64 * (2^20)^2 < 2^46), so only the final ratio
+    is floating and it rounds at 6dp on both engines.
+
+    Scale shape: zero shuffles — per-row array math (posexplode + one
+    map-side-combinable groupBy on vec_id, which AQE coalesces back to
+    the input partitioning); no joins, no windows, runs at any corpus
+    size as a pure scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("val").cast("double") * 1000000).cast("long").alias("micro"),
+    )
+    sq = F.col("micro") * F.col("micro")
+    head_sq = F.when(F.col("dim") <= MRL_HEAD_DIMS, sq).otherwise(F.lit(0))
+    return (
+        comp.groupBy("vec_id")
+        .agg(
+            F.sum(sq).alias("ssq_full"),
+            F.sum(head_sq).alias("ssq_head"),
+        )
+        .filter(F.col("ssq_full") > 0)
+        .select(
+            "vec_id",
+            "ssq_full",
+            "ssq_head",
+            F.round(
+                F.col("ssq_head").cast("double") / F.col("ssq_full"), 6
+            ).alias("head_energy_ratio"),
+        )
+    )

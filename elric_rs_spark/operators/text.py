@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elric_rs_spark.functions.hashing import word_ngrams as _word_ngrams
 from elric_rs_spark.registry import query
 from elric_rs_spark.tables import load_table
 
@@ -331,11 +332,9 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> per-doc max/sum. Both aggregates key on doc_id-led keys, so the
     second is nearly shuffle-free after the first; no joins, no windows.
     """
-    from elric_rs_spark.functions.hashing import word_ngrams
-
     d = load_table(spark, sf_dir, "documents")
     grams = d.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("g")
+        "doc_id", F.explode(_word_ngrams(F.col("text"), 2)).alias("g")
     )
     c = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     return c.groupBy("doc_id").agg(
@@ -760,5 +759,73 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sum_mnat").cast("double") / F.col("n_tok"), 6).alias(
                 "avg_mnat"
             ),
+        )
+    )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN range(1, len(t) - 1)]) AS g
+  FROM toks WHERE len(t) >= 3
+),
+eg AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams
+),
+df AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS n_docs FROM eg GROUP BY gram
+)
+SELECT eg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       round(CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_gram_ratio
+FROM eg JOIN df ON df.gram = eg.gram
+GROUP BY eg.doc_id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty / cross-document duplication rate:
+    the fraction of a document's DISTINCT word-3-grams that also occur
+    in at least one other document — the per-doc diagnostic behind
+    repeated-passage contamination sweeps (the corpus-level twin of the
+    pairwise MinHash family: no pairs, just document frequency).
+
+    Scale shape: ONE groupBy on the gram string (uniform 3-gram keys,
+    the same shuffle class q_dedup_minhash already carries) to get
+    document frequency, then a join back on the gram and a per-doc
+    rollup. Gram df-counts are map-side combinable; nothing quadratic
+    anywhere. At 100 TB the gram->df table is the big intermediate —
+    prune it with WHERE n_docs >= 2 semi-join form if only the shared
+    grams matter (kept full here so n_grams comes from the same join)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.array_distinct(_word_ngrams(F.col("text"), 3)).alias("g")
+    ).filter(F.size("g") > 0)
+    eg = grams.select("doc_id", F.explode("g").alias("gram"))
+    dfreq = eg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        eg.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            shared.alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_grams"), 6
+            ).alias("dup_gram_ratio"),
         )
     )
