@@ -70,6 +70,13 @@ HEADLINE = [
     "q_waiting_suppliers",
     "q_pii_scrub",
     "q_lm_score",
+    # round-4 second-wave appends (same contract)
+    "q_dedup_semantic",
+    "q_ngram_novelty",
+    "q_passage_dedup",
+    "q_embed_norm",
+    "q_importance_weight",
+    "q_substring_dedup",
 ]
 
 

@@ -1087,15 +1087,25 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented, not needed at sf). No window over the corpus, no
     cross join: the pair generation is an equi-join on (cluster, dim)."""
     e = load_table(spark, sf_dir, "embeddings")
-    comp = e.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding")).alias("pos", "val"),
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("pos") + 1).cast("long").alias("dim"),
-        F.round(F.col("val").cast("double") * 1000).cast("long").alias("mil"),
+    # comp feeds FIVE plan branches (centroid sums, assignment scores,
+    # norms, both pair sides). A repartition exchange placed after the
+    # explode materializes it once (ReusedExchange — the q_dedup_minhash
+    # pattern; .persist() would pin the plan and disable AQE), and
+    # vec_id partitioning satisfies every downstream vec_id-led groupBy
+    # without a further shuffle.
+    comp = (
+        e.select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding")).alias("pos", "val"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.round(F.col("val").cast("double") * 1000).cast("long").alias("mil"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     sums = comp.groupBy(F.col("label").alias("c_label"), "dim").agg(
         F.sum("mil").alias("s"), F.count(F.lit(1)).alias("n")
@@ -1116,6 +1126,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top")
         )
         .select("vec_id", (-F.col("top.neg_label")).cast("long").alias("cluster"))
+        # assign feeds three branches (both pair sides + the final
+        # rollup); same ReusedExchange treatment
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     norms = comp.groupBy("vec_id").agg(F.sum(F.col("mil") * F.col("mil")).alias("nsq"))
     side = comp.join(assign, "vec_id")
@@ -1255,5 +1268,136 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_dup_passages").cast("double") / F.col("n_passages"), 6
             ).alias("dup_ratio"),
+        )
+    )
+
+
+# Exact-substring dedup span: 13 tokens, the span length Lee et al. 2021
+# (arXiv:2107.06499, public method) found marks verbatim duplication with
+# negligible false positives.
+SPAN_TOKENS = 13
+
+
+@query(
+    "q_substring_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, t, len(t) AS n_tokens,
+         unnest(range(1, len(t) - {SPAN_TOKENS} + 2)) AS i
+  FROM toks WHERE len(t) >= {SPAN_TOKENS}
+),
+w AS (
+  SELECT doc_id, n_tokens, i,
+         array_to_string(
+           t[CAST(i AS BIGINT) : CAST(i + {SPAN_TOKENS} - 1 AS BIGINT)],
+           ' ') AS win
+  FROM ex
+),
+f AS (
+  SELECT win, CAST(count(*) AS BIGINT) AS n_occ FROM w GROUP BY win
+),
+dup AS (
+  SELECT w.doc_id, w.n_tokens, w.i AS s,
+         w.i + {SPAN_TOKENS} - 1 AS e
+  FROM w JOIN f ON f.win = w.win
+  WHERE f.n_occ >= 2
+),
+merged AS (
+  SELECT doc_id, n_tokens, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_e
+  FROM dup
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_windows,
+       CAST(sum(greatest(0, e - greatest(s - 1, coalesce(prev_e, 0))))
+            AS BIGINT) AS covered_tokens,
+       round(CAST(sum(greatest(0, e - greatest(s - 1, coalesce(prev_e, 0))))
+                  AS DOUBLE) / n_tokens, 6) AS coverage_ratio
+FROM merged
+GROUP BY doc_id, n_tokens
+""",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup audit (Lee et al. 2021, arXiv:2107.06499 —
+    public method, the ExactSubstr pass): every sliding 13-token window
+    is matched corpus-wide; a document's duplicated-span coverage is the
+    fraction of its tokens inside at least one window whose exact text
+    occurs >= 2 times anywhere (the tokens ExactSubstr would cut).
+    Output: per-doc window count, interval-union covered-token count,
+    and coverage ratio — docs only appear if they contain >= 1
+    duplicated window.
+
+    The interval union is the classic sorted-sweep: windows sorted by
+    start, each contributing max(0, end - max(start-1, running-max
+    prev end)) — one per-doc window function over only the DUPLICATED
+    windows (bounded by doc length), identical SQL semantics on both
+    engines.
+
+    Scale shape: the sliding fan-out is 13x the token stream — the
+    inherent cost of exact-substring matching (a suffix array pays the
+    same linearized cost); the window-frequency groupBy keys on uniform
+    13-token strings (at 100 TB: xxhash64 the window instead of
+    shuffling raw strings — kept raw here so DuckDB replays it). The
+    per-doc sweep window partitions on doc_id, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("t")
+    ).filter(F.size("t") >= SPAN_TOKENS)
+    ex = toks.select(
+        "doc_id",
+        "t",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.explode(
+            F.sequence(F.lit(1), F.size("t") - SPAN_TOKENS + 1)
+        ).alias("i"),
+    )
+    w = ex.select(
+        "doc_id",
+        "n_tokens",
+        "i",
+        F.array_join(F.slice(F.col("t"), F.col("i"), SPAN_TOKENS), " ").alias("win"),
+    )
+    freq = w.groupBy("win").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = (
+        w.join(freq, "win")
+        .filter(F.col("n_occ") >= 2)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("i").alias("s"),
+            (F.col("i") + SPAN_TOKENS - 1).alias("e"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    sweep = W.partitionBy("doc_id").orderBy("s").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    merged = dup.withColumn("prev_e", F.max("e").over(sweep))
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("e") - F.greatest(F.col("s") - 1, F.coalesce(F.col("prev_e"), F.lit(0))),
+    )
+    return (
+        merged.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum(contrib).alias("covered_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_windows",
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("coverage_ratio"),
         )
     )
