@@ -77,6 +77,8 @@ HEADLINE = [
     "q_embed_norm",
     "q_importance_weight",
     "q_substring_dedup",
+    "q_bm25",
+    "q_bigram_pmi",
 ]
 
 

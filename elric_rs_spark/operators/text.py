@@ -829,3 +829,205 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_gram_ratio"),
         )
     )
+
+
+# BM25 constants (the standard Robertson/Lucene operating point)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+),
+dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         sum(CAST(dl AS DOUBLE)) / count(*) AS avgdl
+  FROM dl
+),
+df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+qterms AS (
+  SELECT DISTINCT tok FROM toks WHERE doc_id = 0
+),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(round(1000000 *
+           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+           (tf.tf * ({BM25_K1} + 1)) /
+           (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                                 + {BM25_B} * dl.dl / stats.avgdl))
+         ) AS BIGINT) AS term_micro
+  FROM tf
+  JOIN qterms ON qterms.tok = tf.tok
+  JOIN df ON df.tok = tf.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id != 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(term_micro) AS BIGINT) AS score_micro
+FROM scored
+GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT 20
+""",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Robertson et al. — the standard public IR scoring
+    function, Lucene idf form ln(1 + (N-df+0.5)/(df+0.5))): every
+    document scored against doc 0's distinct tokens as the query,
+    top-20 with doc_id tie-break. The retrieval-baseline twin of
+    q_tfidf, adding term-frequency saturation (k1) and length
+    normalization (b).
+
+    Cross-engine determinism: each (term, doc) partial score is rounded
+    ONCE into integer micro-units, then summed exactly — per-doc totals
+    never depend on float summation order (the q_lm_score pattern).
+
+    Scale shape: tf/df/dl are the inverted-index aggregates (uniform
+    token keys, map-side combined); the query-term table is a broadcast
+    semi-join that prunes the tf stream before any scoring; stats is a
+    one-row broadcast. No corpus self-join, no window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("dl").cast("double")) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qterms = toks.filter(F.col("doc_id") == 0).select("tok").distinct()
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            F.round(1_000_000 * idf * sat).cast("long").alias("term_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("term_micro").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_bigram_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+),
+uni AS (
+  SELECT unnest(t) AS w FROM toks
+),
+ucnt AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w
+),
+utot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ucnt),
+bi AS (
+  SELECT unnest([array_to_string(t[i:i+1], ' ')
+                 FOR i IN range(1, len(t))]) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+bcnt AS (
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         CAST(count(*) AS BIGINT) AS c12
+  FROM bi GROUP BY 1, 2
+),
+btot AS (SELECT CAST(sum(c12) AS BIGINT) AS b FROM bcnt)
+SELECT w1, w2, c12,
+       CAST(round(1000 * ln(
+         (CAST(c12 AS DOUBLE) * utot.t * utot.t)
+         / (CAST(btot.b AS DOUBLE) * u1.c * u2.c)
+       )) AS BIGINT) AS pmi_mnat
+FROM bcnt
+JOIN ucnt u1 ON u1.w = w1
+JOIN ucnt u2 ON u2.w = w2
+CROSS JOIN utot CROSS JOIN btot
+ORDER BY c12 DESC, w1, w2
+LIMIT 20
+""",
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram pointwise mutual information (collocation mining — the
+    classic phrase-detection signal behind word2vec-style phrase
+    merging): PMI(w1,w2) = ln(p(w1 w2) / (p(w1) p(w2))) from exact
+    corpus counts; top-20 bigrams by frequency with (w1, w2)
+    tie-break.
+
+    Cross-engine determinism: all counts are exact BIGINTs; the PMI
+    ratio is assembled with the identical cast/multiply order on both
+    engines and rounded once into milli-nats.
+
+    Scale shape: two uniform-key groupBys (unigrams, bigrams) + two
+    joins of the bigram table against the unigram counts — the
+    unigram table is vocabulary-sized (skew-free keys after the
+    count), totals are one-row broadcasts. Nothing touches the corpus
+    twice."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    utot = ucnt.agg(F.sum("c").alias("t"))
+    bi = d.filter(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " ")) >= 2
+    ).select(F.explode(_word_ngrams(F.col("text"), 2)).alias("bg"))
+    parts = F.split(F.col("bg"), " ")
+    bcnt = bi.select(
+        parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2")
+    ).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    btot = bcnt.agg(F.sum("c12").alias("b"))
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        1000
+        * F.log(
+            (F.col("c12").cast("double") * F.col("t") * F.col("t"))
+            / (F.col("b").cast("double") * F.col("c1") * F.col("c2"))
+        )
+    ).cast("long")
+    return (
+        bcnt.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", "c12", pmi.alias("pmi_mnat"))
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -527,3 +527,85 @@ class TestZOrder:
             "a lang-sorted layout should NOT skip on source — if it does, "
             "the fixture changed and this contrast test needs new columns"
         )
+
+
+class TestSemanticDedupPlanted:
+    """q_dedup_semantic on a hand-built fixture where every pairwise
+    decision is known: identical vectors in the same cluster must drop
+    (keep-lowest-id), orthogonal ones must survive — independent of the
+    DuckDB oracle, which replays the same arithmetic."""
+
+    def test_planted_duplicates(self, spark, tmp_path):
+        from elric_rs_spark.operators.dedup import q_dedup_semantic
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [1.0, 0.0, 0.0, 0.0], 0),  # dup of 0 -> dropped
+            (2, [0.0, 1.0, 0.0, 0.0], 0),  # orthogonal -> kept
+            (3, [0.0, 0.0, 1.0, 0.0], 1),
+            (4, [0.0, 0.0, 1.0, 0.0], 1),  # dup of 3 -> dropped
+            (5, [0.0, 0.0, 0.0, 1.0], 1),  # orthogonal -> kept
+        ]
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # load_table reads a single parquet FILE (the ns-fix path), not
+        # a Spark output directory — write via pyarrow
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+        out = {
+            r["cluster"]: r
+            for r in q_dedup_semantic(spark, str(tmp_path)).collect()
+        }
+        assert set(out) == {0, 1}
+        assert (out[0]["n_vecs"], out[0]["n_dropped"], out[0]["drop_id_sum"]) == (3, 1, 1)
+        assert (out[1]["n_vecs"], out[1]["n_dropped"], out[1]["drop_id_sum"]) == (3, 1, 4)
+
+
+class TestSubstringDedupPlanted:
+    """q_substring_dedup interval-union arithmetic on a corpus with one
+    known shared 26-token prefix: coverage ratios are computable by
+    hand (doc A fully covered; doc B covered only on the prefix)."""
+
+    def test_shared_prefix_coverage(self, spark, tmp_path):
+        from elric_rs_spark.operators.dedup import q_substring_dedup
+
+        prefix = " ".join(f"a{i}" for i in range(26))
+        tail = " ".join(f"b{i}" for i in range(6))
+        unique = " ".join(f"c{i}" for i in range(20))
+        rows = [
+            (0, prefix, "xx", "s", len(prefix)),
+            (1, f"{prefix} {tail}", "xx", "s", len(prefix) + 1 + len(tail)),
+            (2, unique, "xx", "s", len(unique)),
+        ]
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = {r["doc_id"]: r for r in q_substring_dedup(spark, str(tmp_path)).collect()}
+        # doc 2 has no duplicated window -> absent
+        assert set(out) == {0, 1}
+        # doc 0: 26 tokens, 14 windows, all duplicated, fully covered
+        assert (out[0]["n_tokens"], out[0]["n_dup_windows"], out[0]["covered_tokens"]) == (26, 14, 26)
+        assert out[0]["coverage_ratio"] == 1.0
+        # doc 1: 32 tokens; only the 14 prefix-contained windows repeat,
+        # covering tokens 1..26
+        assert (out[1]["n_tokens"], out[1]["n_dup_windows"], out[1]["covered_tokens"]) == (32, 14, 26)
+        assert out[1]["coverage_ratio"] == round(26 / 32, 6)
