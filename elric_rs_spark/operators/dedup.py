@@ -1049,7 +1049,7 @@ dropped AS (
   FROM dots d
   JOIN norms na ON na.vec_id = d.ida
   JOIN norms nb ON nb.vec_id = d.idb
-  WHERE d.dot >= 0
+  WHERE d.dot > 0
     AND {SEMANTIC_T_DEN_SQ} * d.dot * d.dot >= {SEMANTIC_T_NUM_SQ} * na.nsq * nb.nsq
 )
 SELECT a.cluster,
@@ -1153,8 +1153,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = (
         dots.join(norms.select(F.col("vec_id").alias("ida"), F.col("nsq").alias("nsq_a")), "ida")
         .join(norms.select(F.col("vec_id").alias("idb"), F.col("nsq").alias("nsq_b")), "idb")
+        # STRICT dot > 0: cos >= 0.35 implies a positive dot for nonzero
+        # norms, and >= 0 would let an all-zero quantized vector (nsq=0,
+        # dot=0 against everyone) mark its entire cluster as duplicates
         .filter(
-            (F.col("dot") >= 0)
+            (F.col("dot") > 0)
             & (
                 SEMANTIC_T_DEN_SQ * F.col("dot") * F.col("dot")
                 >= SEMANTIC_T_NUM_SQ * F.col("nsq_a") * F.col("nsq_b")

@@ -918,9 +918,13 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         1
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    sat = (F.col("tf") * (BM25_K1 + 1)) / (
-        F.col("tf")
-        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    # multiply-then-divide in the ORACLE's association order — a
+    # pre-divided saturation factor (a*(b/c) vs (a*b)/c) differs by an
+    # ulp and can flip round() at a .5 micro-unit boundary on one
+    # engine only
+    sat_num = F.col("tf") * (BM25_K1 + 1)
+    sat_den = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
     scored = (
         tf.join(F.broadcast(qterms), "tok")
@@ -930,7 +934,9 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != 0)
         .select(
             "doc_id",
-            F.round(1_000_000 * idf * sat).cast("long").alias("term_micro"),
+            F.round(1_000_000 * idf * sat_num / sat_den)
+            .cast("long")
+            .alias("term_micro"),
         )
     )
     return (
@@ -1005,9 +1011,9 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = toks.select(F.explode("t").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     utot = ucnt.agg(F.sum("c").alias("t"))
-    bi = d.filter(
-        F.size(F.split(F.lower(F.trim(F.col("text"))), " ")) >= 2
-    ).select(F.explode(_word_ngrams(F.col("text"), 2)).alias("bg"))
+    # word_ngrams already yields an empty array below 2 tokens and
+    # explode drops empty arrays — no pre-filter needed
+    bi = d.select(F.explode(_word_ngrams(F.col("text"), 2)).alias("bg"))
     parts = F.split(F.col("bg"), " ")
     bcnt = bi.select(
         parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2")
