@@ -318,3 +318,34 @@ class TestStreamStreamJoin:
         # the out-of-window click (id 200) and the no-impression click
         # (id 201) never attribute
         assert not any(c in (200, 201) for _, c in got)
+
+
+class TestStreamingDedup:
+    def test_drop_duplicates_within_watermark(self, spark, tmpdir):
+        """At-least-once upstream delivery dedup: the same block_id landed
+        twice must emit once. dropDuplicatesWithinWatermark keeps bounded
+        state (keys expire once the watermark passes their event time) —
+        the production shape for exactly-once ingestion over a redelivering
+        transport; plain dropDuplicates on a stream would grow state
+        forever."""
+        landing = f"{tmpdir}/landing"
+        blocks = _ts_blocks(20)
+        land_blocks(spark, blocks, landing)
+        # redeliver the first five (duplicate cursor replay)
+        land_blocks(spark, [dict(b) for b in blocks[:5]], landing)
+        stream = read_block_stream(spark, landing)
+        dedup = stream.withWatermark("block_ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["block_id"]
+        )
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName("sdedup")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ids = [r.block_num for r in spark.table("sdedup").collect()]
+        assert sorted(ids) == list(range(20))
+        assert len(ids) == len(set(ids))
