@@ -157,6 +157,10 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_suite, 3)
 
+    # Box-state telemetry: three rounds of driver-bench attribution work
+    # (BASELINE.md) traced every >2x per-query "regression" to box load,
+    # not code. Recording the 1-minute load average at suite start/end
+    # makes that diagnosis readable directly from BENCH_r{N}.json.
     print(
         json.dumps(
             {
@@ -165,6 +169,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_1m_end": round(os.getloadavg()[0], 2),
             }
         )
     )
