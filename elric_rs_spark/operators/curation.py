@@ -663,3 +663,70 @@ def q_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_cnt",
         F.round(1000 * F.log(ratio)).cast("long").alias("weight_mnat"),
     )
+
+
+@query(
+    "q_c4_filter",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN right(text, 1) IN ('.', '!', '?', '"') THEN 1 ELSE 0 END
+         AS r_terminal_punct,
+       CASE WHEN len(string_split(trim(text), ' ')) >= 5 THEN 1 ELSE 0 END
+         AS r_min_words,
+       CASE WHEN contains(text, 'lorem ipsum') THEN 0 ELSE 1 END
+         AS r_no_lorem,
+       CASE WHEN contains(text, '{') THEN 0 ELSE 1 END AS r_no_brace,
+       CASE WHEN right(text, 1) IN ('.', '!', '?', '"')
+             AND len(string_split(trim(text), ' ')) >= 5
+             AND NOT contains(text, 'lorem ipsum')
+             AND NOT contains(text, '{')
+            THEN 1 ELSE 0 END AS c4_keep
+FROM aug
+""",
+)
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic page filters (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2 — public method), the deterministic subset:
+    terminal-punctuation rule, minimum word count, 'lorem ipsum'
+    placeholder-text rule, curly-brace (code leakage) rule, and the
+    composed keep decision. The synthetic corpus carries none of these
+    markers, so — the q_pii_scrub synthesis pattern — the fixture is
+    augmented deterministically from doc_id residue classes inside the
+    query on BOTH engines, making every rule fire on a known subset.
+
+    Scale shape: zero shuffles — four row-local string predicates
+    evaluated in the scan stage, the canonical cheap first gate of a
+    100 TB curation run (drops before anything pays a shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" lorem ipsum")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" {")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    terminal = F.expr("right(text, 1)").isin(".", "!", "?", '"')
+    min_words = F.size(F.split(F.trim(F.col("text")), " ")) >= 5
+    no_lorem = ~F.contains(F.col("text"), F.lit("lorem ipsum"))
+    no_brace = ~F.contains(F.col("text"), F.lit("{"))
+    as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return aug.select(
+        "doc_id",
+        as_int(terminal).alias("r_terminal_punct"),
+        as_int(min_words).alias("r_min_words"),
+        as_int(no_lorem).alias("r_no_lorem"),
+        as_int(no_brace).alias("r_no_brace"),
+        as_int(terminal & min_words & no_lorem & no_brace).alias("c4_keep"),
+    )
