@@ -176,6 +176,13 @@ class TestExchangeBudgets:
             ("q_rollup_multigrain", 1),  # one Expand + one shuffle, 3 grains
             ("q_min_cost_supplier", 2),  # broadcast affinity join + extremum agg
             ("q_counter_rate", 1),     # lag window partitioning reused by report
+            # round-4 second wave
+            ("q_c4_filter", 0),        # row-local rules, pure scan stage
+            ("q_embed_norm", 1),       # one vec_id aggregate, no joins
+            ("q_importance_weight", 4),  # bucket agg + one-row total + bcast
+            ("q_passage_dedup", 3),    # passage-freq groupBy + join-back + rollup
+            ("q_ngram_novelty", 3),    # gram-df groupBy + join-back + rollup
+            ("q_substring_dedup", 3),  # window-freq groupBy + join-back + sweep
         ],
     )
     def test_exchange_budget(self, spark, name, max_exchanges):
