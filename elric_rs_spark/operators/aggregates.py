@@ -741,3 +741,57 @@ def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS q_cents,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p_cents,
+         CAST(round(l_discount * 1000) AS BIGINT) AS d_mills
+  FROM lineitem
+),
+long AS (
+  SELECT l_returnflag, 'q_cents' AS measure, q_cents AS v FROM m
+  UNION ALL
+  SELECT l_returnflag, 'p_cents', p_cents FROM m
+  UNION ALL
+  SELECT l_returnflag, 'd_mills', d_mills FROM m
+)
+SELECT l_returnflag, measure,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS total
+FROM long
+GROUP BY l_returnflag, measure
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (the inverse of q_pivot — wide measures to a long
+    (measure, value) stream, the shape feeding generic metric sinks and
+    per-measure rollups). Measures are pre-rounded into integer units
+    per row so the unpivoted sums are exact BIGINTs on both engines;
+    the oracle replays the melt as a UNION ALL, which is exactly what
+    Spark's unpivot lowers to (an Expand node — each input row emitted
+    once per measure, no shuffle until the final aggregate).
+
+    Scale shape: Expand (3x row fan-out, map-side) + ONE grouped
+    aggregate on (flag, measure) — 9 uniform keys, map-side combined.
+    No joins, no windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("q_cents"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p_cents"),
+        F.round(F.col("l_discount") * 1000).cast("long").alias("d_mills"),
+    )
+    long_df = m.unpivot(
+        ids=["l_returnflag"],
+        values=["q_cents", "p_cents", "d_mills"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return long_df.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+    )
