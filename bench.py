@@ -3,7 +3,8 @@
 
 Prints exactly ONE JSON line:
   {"metric": "headline_suite_wall_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "sf": 0.1,
+   "load_1m_start": L0, "load_1m_end": L1}
 
 Each query is timed as a full cold plan->execute->collect cycle (the
 driver-relevant cost). A warmup pass on a trivial count removes JVM/session
@@ -85,6 +86,9 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # pre-existing box load — sampled BEFORE the JVM starts, since the
+    # diagnosis this exists for is "was the box already busy"
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_spark("elric_rs_spark_bench")
 
     # Warmup (VERDICT r03 #3): a trivial count is NOT enough — the first
@@ -159,8 +163,8 @@ def main() -> None:
 
     # Box-state telemetry: three rounds of driver-bench attribution work
     # (BASELINE.md) traced every >2x per-query "regression" to box load,
-    # not code. Recording the 1-minute load average at suite start/end
-    # makes that diagnosis readable directly from BENCH_r{N}.json.
+    # not code. load_1m_start is the pre-existing-load signal; the end
+    # sample shows whether anything ramped up mid-suite.
     print(
         json.dumps(
             {
@@ -169,6 +173,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_1m_start": load_start,
                 "load_1m_end": round(os.getloadavg()[0], 2),
             }
         )

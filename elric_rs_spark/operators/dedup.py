@@ -991,7 +991,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup threshold: cosine >= 0.35 == 7/20 (the synthetic embeddings
 # top out at ~0.47 within-cluster cosine, same calibration note as
 # q_dedup_embed's 0.4). The filter never touches a float: cos >= t is
-# cross-multiplied to dot >= 0 AND 400*dot^2 >= 49*nsq_a*nsq_b on
+# cross-multiplied to STRICT dot > 0 AND 400*dot^2 >= 49*nsq_a*nsq_b
+# (strict: cos >= 0.35 implies a positive dot for nonzero norms, and
+# >= 0 would let an all-zero quantized vector wipe its cluster; the
+# pair of two all-zero vectors is special-cased as an exact dup) on
 # milli-int components (|c| <= ~530 for the +-0.53-range data ->
 # dot <= 64*530^2 ~ 1.8e7, 400*dot^2 ~ 1.3e17 < 2^63 — BIGINT-safe in
 # BOTH engines with no HUGEINT widening).
@@ -1049,8 +1052,10 @@ dropped AS (
   FROM dots d
   JOIN norms na ON na.vec_id = d.ida
   JOIN norms nb ON nb.vec_id = d.idb
-  WHERE d.dot > 0
-    AND {SEMANTIC_T_DEN_SQ} * d.dot * d.dot >= {SEMANTIC_T_NUM_SQ} * na.nsq * nb.nsq
+  WHERE (d.dot > 0
+         AND {SEMANTIC_T_DEN_SQ} * d.dot * d.dot
+             >= {SEMANTIC_T_NUM_SQ} * na.nsq * nb.nsq)
+     OR (na.nsq = 0 AND nb.nsq = 0)
 )
 SELECT a.cluster,
        CAST(count(*) AS BIGINT) AS n_vecs,
@@ -1155,13 +1160,18 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(norms.select(F.col("vec_id").alias("idb"), F.col("nsq").alias("nsq_b")), "idb")
         # STRICT dot > 0: cos >= 0.35 implies a positive dot for nonzero
         # norms, and >= 0 would let an all-zero quantized vector (nsq=0,
-        # dot=0 against everyone) mark its entire cluster as duplicates
+        # dot=0 against everyone) mark its entire cluster as duplicates.
+        # TWO all-zero vectors, though, ARE exact duplicates of each
+        # other — special-cased so they still collapse.
         .filter(
-            (F.col("dot") > 0)
-            & (
-                SEMANTIC_T_DEN_SQ * F.col("dot") * F.col("dot")
-                >= SEMANTIC_T_NUM_SQ * F.col("nsq_a") * F.col("nsq_b")
+            (
+                (F.col("dot") > 0)
+                & (
+                    SEMANTIC_T_DEN_SQ * F.col("dot") * F.col("dot")
+                    >= SEMANTIC_T_NUM_SQ * F.col("nsq_a") * F.col("nsq_b")
+                )
             )
+            | ((F.col("nsq_a") == 0) & (F.col("nsq_b") == 0))
         )
         .select("cluster", F.col("idb").alias("vec_id"))
         .distinct()

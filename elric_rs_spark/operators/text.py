@@ -863,9 +863,12 @@ qterms AS (
 ),
 scored AS (
   SELECT tf.doc_id, tf.tok,
+         -- CAST tf to DOUBLE before the k1 product: DuckDB otherwise
+         -- folds (k1 + 1) to DECIMAL and computes tf * 2.2 EXACTLY,
+         -- 1 ulp off Spark's double product for tf = 3, 7, 11, ...
          CAST(round(1000000 *
            ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
-           (tf.tf * ({BM25_K1} + 1)) /
+           (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1)) /
            (tf.tf + {BM25_K1} * (1 - {BM25_B}
                                  + {BM25_B} * dl.dl / stats.avgdl))
          ) AS BIGINT) AS term_micro

@@ -545,10 +545,13 @@ class TestSemanticDedupPlanted:
             (3, [0.0, 0.0, 1.0, 0.0], 1),
             (4, [0.0, 0.0, 1.0, 0.0], 1),  # dup of 3 -> dropped
             (5, [0.0, 0.0, 0.0, 1.0], 1),  # orthogonal -> kept
-            # all-zero vector: nsq=0, dot=0 vs everyone — must neither
-            # drop nor be dropped (strict dot > 0 guard); assignment
-            # tie-breaks to the smallest label -> cluster 0
+            # all-zero vectors: nsq=0, dot=0 vs everyone — must not drop
+            # (or be dropped by) any NONZERO vector (strict dot > 0
+            # guard), but two all-zero vectors are exact duplicates of
+            # each other and must still collapse (7 dropped, 6 kept);
+            # assignment tie-breaks to the smallest label -> cluster 0
             (6, [0.0, 0.0, 0.0, 0.0], 1),
+            (7, [0.0, 0.0, 0.0, 0.0], 1),
         ]
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -570,7 +573,7 @@ class TestSemanticDedupPlanted:
             for r in q_dedup_semantic(spark, str(tmp_path)).collect()
         }
         assert set(out) == {0, 1}
-        assert (out[0]["n_vecs"], out[0]["n_dropped"], out[0]["drop_id_sum"]) == (4, 1, 1)
+        assert (out[0]["n_vecs"], out[0]["n_dropped"], out[0]["drop_id_sum"]) == (5, 2, 8)
         assert (out[1]["n_vecs"], out[1]["n_dropped"], out[1]["drop_id_sum"]) == (3, 1, 4)
 
 
