@@ -795,3 +795,96 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long_df.groupBy("l_returnflag", "measure").agg(
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
     )
+
+
+# Count-Min Sketch geometry: 4 independent hash rows x 16 buckets (the
+# 1-hex-char md5 prefix) — deliberately NARROW so the ~30-token fixture
+# vocabulary collides and the min-across-rows estimate actually exceeds
+# exact counts (256 buckets would make every overcount 0 here); the
+# engine-portable md5 family is the same as the MinHash/SimHash/KMV
+# portable twins. Width is a constant: at scale you widen, the
+# arithmetic is unchanged.
+CMS_DEPTH = 4
+CMS_TOPK = 20
+
+
+@query(
+    "q_sketch_cms",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM toks GROUP BY tok
+),
+cells AS (
+  SELECT d.d, substr(md5(exact.tok || '#' || d.d), 1, 1) AS bucket,
+         CAST(sum(exact.exact_cnt) AS BIGINT) AS cell_total
+  FROM exact CROSS JOIN range(0, {CMS_DEPTH}) d(d)
+  GROUP BY d.d, substr(md5(exact.tok || '#' || d.d), 1, 1)
+),
+top AS (
+  SELECT tok, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, tok LIMIT {CMS_TOPK}
+),
+est AS (
+  SELECT top.tok, top.exact_cnt,
+         CAST(min(cells.cell_total) AS BIGINT) AS cms_est
+  FROM top
+  CROSS JOIN range(0, {CMS_DEPTH}) d(d)
+  JOIN cells ON cells.d = d.d
+            AND cells.bucket = substr(md5(top.tok || '#' || d.d), 1, 1)
+  GROUP BY top.tok, top.exact_cnt
+)
+SELECT tok, exact_cnt, cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+FROM est
+""",
+)
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters (Cormode & Muthukrishnan 2005 —
+    public method): token frequencies estimated from a 4x16 counter
+    grid (bucket = 1-hex-char prefix of md5(tok || '#' || row)), the
+    estimate being the min cell total across the 4 rows; reported for
+    the top-20 exact tokens alongside their true counts and the
+    (always >= 0) overcount. The md5 bucket family makes the ENTIRE
+    sketch replayable bit-for-bit in DuckDB — the same portable-oracle
+    construction as the MinHash/SimHash/KMV twins, giving the sketch a
+    full value check instead of a rows-only row.
+
+    Scale shape: the counter grid is O(depth x width) — built with one
+    vocabulary-sized groupBy (the exact counts are already the
+    inverted-index aggregate) and a constant 4x fan-out; estimates
+    join the tiny broadcast grid. In a streaming deployment the grid
+    is the mergeable state (cell-wise sum across partitions/batches);
+    this batch form verifies the arithmetic of exactly that merge."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    depth = spark.range(CMS_DEPTH).select(F.col("id").alias("d"))
+    bucket = F.substring(
+        F.md5(F.concat(F.col("tok"), F.lit("#"), F.col("d").cast("string"))), 1, 1
+    )
+    cells = (
+        exact.crossJoin(F.broadcast(depth))
+        .groupBy("d", bucket.alias("bucket"))
+        .agg(F.sum("exact_cnt").alias("cell_total"))
+    )
+    top = exact.orderBy(F.col("exact_cnt").desc(), "tok").limit(CMS_TOPK)
+    est = (
+        top.crossJoin(F.broadcast(depth))
+        .withColumn("bucket", bucket)
+        .join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cell_total").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
