@@ -127,3 +127,116 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(F.broadcast(s), ranks.node == s.s_suppkey).select(
         "s_suppkey", "s_name", F.col("rank").cast("long").alias("rank_scaled")
     )
+
+
+# Co-purchase edges thinned to STRONG ties (>= 28 shared orders at the
+# graded scale) so the graph is sparse and triangle membership varies;
+# the complete graph below any threshold makes every count identical.
+TRI_MIN_W = 28
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+WITH raw AS (
+  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b, count(*) AS w
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
+  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS (
+  SELECT a, b FROM raw WHERE w >= {TRI_MIN_W}
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v
+  FROM edges e
+  JOIN deg da ON da.node = e.a
+  JOIN deg db ON db.node = e.b
+),
+tri AS (
+  SELECT o1.u AS x, o1.v AS y, o2.v AS z
+  FROM oriented o1
+  JOIN oriented o2 ON o2.u = o1.u AND o2.v > o1.v
+  JOIN oriented o3 ON o3.u = o1.v AND o3.v = o2.v
+),
+members AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM members GROUP BY node
+""",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the strong-tie co-purchase graph
+    — the classic distributed-graph benchmark (clustering-coefficient
+    numerator; dense-community detection for corpus source analysis).
+    Algorithm: degree-ordered edge orientation (each undirected edge
+    points from its (degree, id)-smaller endpoint), wedge join at the
+    common smallest vertex, closing-edge join — each triangle
+    materializes EXACTLY once, the Suri/Vassilvitskii MR-style shape.
+
+    Scale shape: orientation bounds every node's out-degree by
+    O(sqrt(m)), so the wedge join fans out O(m^1.5) worst case instead
+    of the naive O(sum deg^2) — the standard scalable form; all three
+    joins are equi-joins on node keys (no theta join anywhere). Edge
+    weights/degrees are exact integers, so the oracle replays the
+    orientation tie-break (tuple compare on (degree, id)) verbatim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
+    l2 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
+    edges = (
+        l1.join(l2, "k")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TRI_MIN_W)
+        .select("a", "b")
+    )
+    # materialize once: degree, orientation, and all three join branches
+    # consume the edge list (the q_dedup_minhash ReusedExchange pattern)
+    edges = edges.repartition(spark.sparkContext.defaultParallelism, "a", "b")
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "u")
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("z"))
+    wedges = o1.join(o2, "u").filter(F.col("z") > F.col("y"))
+    closing = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closing, ["y", "z"]).select(
+        F.col("u").alias("x"), "y", "z"
+    )
+    members = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return members.groupBy(F.col("node").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
