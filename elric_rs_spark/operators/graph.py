@@ -154,8 +154,13 @@ deg AS (
   GROUP BY node
 ),
 oriented AS (
+  -- dv = the HEAD's degree: the wedge pair below must order the two
+  -- out-neighbors by the SAME (degree, id) total order the orientation
+  -- uses, or the closing edge (always oriented smaller->larger in that
+  -- order) is probed backwards and the triangle is missed
   SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
-         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
   FROM edges e
   JOIN deg da ON da.node = e.a
   JOIN deg db ON db.node = e.b
@@ -163,7 +168,7 @@ oriented AS (
 tri AS (
   SELECT o1.u AS x, o1.v AS y, o2.v AS z
   FROM oriented o1
-  JOIN oriented o2 ON o2.u = o1.u AND o2.v > o1.v
+  JOIN oriented o2 ON o2.u = o1.u AND (o2.dv, o2.v) > (o1.dv, o1.v)
   JOIN oriented o3 ON o3.u = o1.v AND o3.v = o2.v
 ),
 members AS (
@@ -202,9 +207,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= TRI_MIN_W)
         .select("a", "b")
     )
-    # materialize once: degree, orientation, and all three join branches
-    # consume the edge list (the q_dedup_minhash ReusedExchange pattern)
-    edges = edges.repartition(spark.sparkContext.defaultParallelism, "a", "b")
+    return triangle_counts(spark, edges).select(
+        F.col("node").alias("s_suppkey"), "n_triangles"
+    )
+
+
+def oriented_edges(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of an undirected (a, b) edge list:
+    each edge points from its (degree, id)-smaller endpoint, bounding
+    every out-degree by O(sqrt(m)) — the invariant that keeps the wedge
+    join sub-quadratic (tested directly on a star graph in
+    tests/test_scale_patterns.py)."""
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -216,18 +229,38 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = (
+    # dv (the head's degree) rides along: wedge pairs must be ordered by
+    # the SAME (degree, id) total order the orientation uses — ordering
+    # them by raw id probes the closing edge backwards whenever the two
+    # orders disagree and silently drops those triangles (caught by the
+    # star-graph planted test, which both engine's id-ordered forms
+    # failed identically — parity alone could never see it)
+    return (
         edges.join(F.broadcast(da), "a")
         .join(F.broadcast(db), "b")
         .select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
         .repartition(spark.sparkContext.defaultParallelism, "u")
     )
-    o1 = oriented.select(F.col("u"), F.col("v").alias("y"))
-    o2 = oriented.select(F.col("u"), F.col("v").alias("z"))
-    wedges = o1.join(o2, "u").filter(F.col("z") > F.col("y"))
+
+
+def triangle_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts for an undirected (a, b) edge list:
+    wedge join at the orientation's common smallest vertex + closing
+    edge — each triangle exactly once. Returns (node, n_triangles)."""
+    # materialize once: degree, orientation, and all three join branches
+    # consume the edge list (the q_dedup_minhash ReusedExchange pattern)
+    edges = edges.repartition(spark.sparkContext.defaultParallelism, "a", "b")
+    oriented = oriented_edges(spark, edges)
+    o1 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("z"), F.col("dv").alias("dz"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dz") > F.col("dy"))
+        | ((F.col("dz") == F.col("dy")) & (F.col("z") > F.col("y")))
+    )
     closing = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
     tri = wedges.join(closing, ["y", "z"]).select(
         F.col("u").alias("x"), "y", "z"
@@ -237,6 +270,4 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("y").alias("node")))
         .unionAll(tri.select(F.col("z").alias("node")))
     )
-    return members.groupBy(F.col("node").alias("s_suppkey")).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -616,3 +616,37 @@ class TestSubstringDedupPlanted:
         # covering tokens 1..26
         assert (out[1]["n_tokens"], out[1]["n_dup_windows"], out[1]["covered_tokens"]) == (32, 14, 26)
         assert out[1]["coverage_ratio"] == round(26 / 32, 6)
+
+
+class TestTriangleOrientation:
+    """The scale property of q_graph_triangles: degree-ordered
+    orientation keeps wedge fan-out away from hubs. On a star graph the
+    naive wedge join at the hub is C(k, 2); oriented, every edge points
+    INTO the hub (spokes have lower degree), the hub's out-degree is 0,
+    and zero wedges materialize."""
+
+    def test_star_graph_orientation_and_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from elric_rs_spark.operators.graph import oriented_edges, triangle_counts
+
+        k = 50
+        star = spark.createDataFrame(
+            [(0, i) for i in range(1, k + 1)], "a long, b long"
+        )
+        o = oriented_edges(spark, star)
+        out_deg = o.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+        hub_out = out_deg.filter(F.col("u") == 0).collect()
+        assert hub_out == []  # every edge points INTO the hub
+        assert out_deg.agg(F.max("od")).collect()[0][0] == 1
+        assert triangle_counts(spark, star).count() == 0  # no triangles
+
+    def test_star_plus_one_closing_edge(self, spark):
+        from elric_rs_spark.operators.graph import triangle_counts
+
+        k = 50
+        rows = [(0, i) for i in range(1, k + 1)] + [(1, 2)]
+        g = spark.createDataFrame(rows, "a long, b long")
+        out = {r["node"]: r["n_triangles"] for r in triangle_counts(spark, g).collect()}
+        # exactly one triangle (0,1,2); each member counted once
+        assert out == {0: 1, 1: 1, 2: 1}
