@@ -650,3 +650,89 @@ class TestTriangleOrientation:
         out = {r["node"]: r["n_triangles"] for r in triangle_counts(spark, g).collect()}
         # exactly one triangle (0,1,2); each member counted once
         assert out == {0: 1, 1: 1, 2: 1}
+
+
+class TestRollingActivePlanted:
+    """q_rolling_active trailing-7-day boundary on a hand-built event
+    log: a (user, day) pair exactly 7 days back must NOT count — both
+    the Spark query and its oracle use the same contribution-explode
+    construction, so a shared off-by-one would pass the parity gate;
+    this pins the window arithmetic independently."""
+
+    def test_trailing_window_boundary(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.temporal import q_rolling_active
+
+        D0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ev(i, user, day_offset):
+            return (i, D0 + datetime.timedelta(days=day_offset), user, "t", 1.0, "{}")
+
+        rows = [
+            ev(0, 1, 0),   # user 1 on day 0
+            ev(1, 2, 0),   # user 2 on day 0
+            ev(2, 2, 6),   # user 2 again on day 6
+            ev(3, 4, 6),   # user 4 on day 6
+            ev(4, 3, 7),   # user 3 on day 7
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = {
+            str(r["window_day"]): r["active_users"]
+            for r in q_rolling_active(spark, str(tmp_path)).collect()
+        }
+        # day 0: {1, 2}; day 6: window [day0..day6] -> {1, 2, 4};
+        # day 7: window [day1..day7] — day-0 pairs are EXACTLY 7 days
+        # back and must be excluded -> {2, 3, 4}
+        assert out == {
+            "2024-01-01": 2,
+            "2024-01-07": 3,
+            "2024-01-08": 3,
+        }
+
+
+class TestMinhashPortablePlanted:
+    """q_dedup_minhash_portable on a planted corpus: exact duplicates
+    have identical minhash signatures, so every band matches and the
+    candidate pair is GUARANTEED (near-dups are only probabilistically
+    banded — only J=1 gives a deterministic recall assertion). An
+    unrelated doc must produce no pair. Pins the banding wiring and the
+    Jaccard verify independent of the oracle replay."""
+
+    def test_exact_duplicates_always_pair(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.dedup import q_dedup_minhash_portable
+
+        shared = " ".join(f"tok{i}" for i in range(20))
+        other = " ".join(f"zzz{i}" for i in range(20))
+        rows = [(0, shared), (1, shared), (2, other)]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        pairs = [
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in q_dedup_minhash_portable(spark, str(tmp_path)).collect()
+        ]
+        assert pairs == [(0, 1, 1.0)]
