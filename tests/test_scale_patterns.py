@@ -736,3 +736,43 @@ class TestMinhashPortablePlanted:
             for r in q_dedup_minhash_portable(spark, str(tmp_path)).collect()
         ]
         assert pairs == [(0, 1, 1.0)]
+
+
+class TestSessionizePlanted:
+    """q_sessionize 6-hour-gap boundary on a hand-built log: a gap of
+    EXACTLY 6h continues the session (the cut is strictly greater);
+    6h + 1us starts a new one. Query and oracle share the lag+cumsum
+    construction, so the parity gate cannot see a shared boundary bug."""
+
+    def test_gap_boundary(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.temporal import q_sessionize
+
+        T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        SIX_H = datetime.timedelta(hours=6)
+        US = datetime.timedelta(microseconds=1)
+        rows = [
+            (0, T0, 1),
+            (1, T0 + SIX_H, 1),               # exactly 6h -> same session
+            (2, T0 + SIX_H + SIX_H + US, 1),  # 6h + 1us -> NEW session
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["t"] * 3, pa.string()),
+                "value": pa.array([1.0] * 3, pa.float64()),
+                "props": pa.array(["{}"] * 3, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = sorted(
+            (r["session_id"], r["n_events"])
+            for r in q_sessionize(spark, str(tmp_path)).collect()
+        )
+        assert out == [(1, 2), (2, 1)]
