@@ -271,3 +271,114 @@ def triangle_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("z").alias("node")))
     )
     return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# LPA runs on a SPARSER strong-tie graph than triangles (>= 33 shared
+# orders): at >= 28 the graph is connected enough that every node
+# converges to one community in 3 rounds — correct but carries no
+# structure to check; at >= 33 multiple communities survive.
+LPA_MIN_W = 33
+LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    prev = "lab0"
+    iters = []
+    for i in range(1, LPA_ITERS + 1):
+        iters.append(
+            f"""votes{i} AS (
+  SELECT d.node, {prev}.lab, CAST(count(*) AS BIGINT) AS c
+  FROM dir d JOIN {prev} ON {prev}.node = d.nb
+  GROUP BY d.node, {prev}.lab
+),
+lab{i} AS (
+  SELECT node, lab
+  FROM (SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab) AS rn
+        FROM votes{i})
+  WHERE rn = 1
+)"""
+        )
+        prev = f"lab{i}"
+    return f"""
+WITH raw AS (
+  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b, count(*) AS w
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
+  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  GROUP BY l1.l_suppkey, l2.l_suppkey
+),
+edges AS (SELECT a, b FROM raw WHERE w >= {LPA_MIN_W}),
+dir AS (
+  SELECT a AS node, b AS nb FROM edges
+  UNION ALL SELECT b, a FROM edges
+),
+lab0 AS (SELECT DISTINCT node, node AS lab FROM dir),
+{",".join(iters)}
+SELECT lab AS community,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(node) AS BIGINT) AS min_member
+FROM lab{LPA_ITERS}
+GROUP BY lab
+"""
+
+
+@query("q_graph_labelprop", oracle=_lpa_oracle())
+def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007,
+    arXiv:0709.2938 — public method), 3 unrolled iterations over the
+    strong-tie co-purchase graph: every node starts as its own label
+    and repeatedly adopts its neighbors' plurality label, ties broken
+    on the SMALLEST label — fully deterministic (the asynchronous
+    random-order variant is not, so the synchronous form is the one an
+    oracle can replay). Output: per-community size and smallest member
+    after 3 rounds — the community-detection complement to connected
+    components (equivalence), PageRank (importance), and triangles
+    (density).
+
+    Scale shape per iteration: one join of the label vector against
+    the directed edge list + one (node, label) vote count + one
+    per-node argmax — all equi-joins and keyed aggregates, the same
+    join-aggregate-per-round shape as PageRank, with the same
+    localCheckpoint lineage truncation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
+    l2 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
+    edges = (
+        l1.join(l2, "k")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= LPA_MIN_W)
+        .select("a", "b")
+    )
+    direct = (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+        .localCheckpoint()
+    )
+    labels = direct.select("node").distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(LPA_ITERS):
+        votes = (
+            direct.join(
+                labels.select(F.col("node").alias("nb"), "lab"), "nb"
+            )
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg"))).alias("top")
+            )
+            .select("node", (-F.col("top.neg")).cast("long").alias("lab"))
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").cast("long").alias("min_member"),
+    )
