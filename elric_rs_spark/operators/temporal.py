@@ -978,3 +978,85 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_day")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# EWMA with alpha = 1/2, truncated at 8 lags: weights 2^(7-i) for lag i
+# are exact powers of two, so numerator/denominator are exact BIGINTs
+# and the smoothed value is one floor division — no float anywhere.
+EWMA_LAGS = 8
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE(lag(cents, {i}) OVER w * {2 ** (EWMA_LAGS - 1 - i)}, 0)"
+        for i in range(EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(cents, {i}) OVER w IS NOT NULL"
+        f" THEN {2 ** (EWMA_LAGS - 1 - i)} ELSE 0 END"
+        for i in range(EWMA_LAGS)
+    )
+    return num, den
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_terms_sql()
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+sm AS (
+  SELECT user_id, event_id,
+         CAST({_EWMA_NUM_SQL} AS BIGINT) AS num,
+         CAST({_EWMA_DEN_SQL} AS BIGINT) AS den
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id, event_id, num, den,
+       CAST(num // den AS BIGINT) AS ewma_cents
+FROM sm
+""",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) of each
+    user's metric stream, truncated at 8 lags — the smoothing pass
+    behind anomaly baselines and rate dashboards. The recursive EWMA
+    has no parallel window form; the truncated expansion is the
+    standard distributed equivalent (weights halve per lag, so 8 lags
+    carry all but 2^-8 of the mass) and, with power-of-two integer
+    weights over integer cents, it is EXACT: one BIGINT dot product
+    over the lag window and one floor division, replayed verbatim by
+    the oracle.
+
+    Scale shape: one keyed window (lag frame over user_id partitions,
+    the q_counter_rate shuffle class); everything else is row-local
+    integer arithmetic. Early rows renormalize over the lags that
+    exist (den shrinks), so no warm-up rows are dropped."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(_us("ts"), "event_id")
+    cents = _cents("value")
+    num = None
+    den = None
+    for i in range(EWMA_LAGS):
+        wt = 2 ** (EWMA_LAGS - 1 - i)
+        lag_i = F.lag(cents, i).over(w) if i else cents
+        t = F.coalesce(lag_i * wt, F.lit(0))
+        d = F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return ev.select(
+        "user_id",
+        "event_id",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+    ).select(
+        "user_id",
+        "event_id",
+        "num",
+        "den",
+        F.expr("num div den").alias("ewma_cents"),
+    )

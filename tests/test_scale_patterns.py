@@ -776,3 +776,36 @@ class TestSessionizePlanted:
             for r in q_sessionize(spark, str(tmp_path)).collect()
         )
         assert out == [(1, 2), (2, 1)]
+
+
+class TestEwmaPlanted:
+    """q_ewma hand-check: weights 128,64,... over integer cents; early
+    rows renormalize over existing lags. Query and oracle share the
+    lag construction, so the arithmetic is pinned here independently."""
+
+    def test_two_point_stream(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.temporal import q_ewma
+
+        T0 = datetime.datetime(2024, 1, 1)
+        rows = [(0, T0, 1, 1.0), (1, T0 + datetime.timedelta(minutes=1), 1, 2.0)]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["t"] * 2, pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * 2, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = {r["event_id"]: r for r in q_ewma(spark, str(tmp_path)).collect()}
+        # row 0: only itself -> num 100*128, den 128, ewma 100
+        assert (out[0]["num"], out[0]["den"], out[0]["ewma_cents"]) == (12800, 128, 100)
+        # row 1: 200*128 + 100*64 = 32000, den 192 -> floor(166.67) = 166
+        assert (out[1]["num"], out[1]["den"], out[1]["ewma_cents"]) == (32000, 192, 166)
