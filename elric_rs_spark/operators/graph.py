@@ -135,19 +135,41 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_MIN_W = 28
 
 
-@query(
-    "q_graph_triangles",
-    oracle=f"""
-WITH raw AS (
+def _strong_tie_ctes(min_w: int) -> str:
+    """Shared oracle CTEs: undirected strong-tie co-purchase edges
+    (a < b, weight-thresholded) — keep in lockstep with
+    _strong_tie_edges below."""
+    return f"""raw AS (
   SELECT l1.l_suppkey AS a, l2.l_suppkey AS b, count(*) AS w
   FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
   JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
   GROUP BY l1.l_suppkey, l2.l_suppkey
 ),
-edges AS (
-  SELECT a, b FROM raw WHERE w >= {TRI_MIN_W}
-),
+edges AS (SELECT a, b FROM raw WHERE w >= {min_w})"""
+
+
+def _strong_tie_edges(spark: SparkSession, sf_dir: str, min_w: int) -> DataFrame:
+    """Spark twin of _strong_tie_ctes: undirected (a, b) strong-tie
+    co-purchase edges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
+    l2 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
+    return (
+        l1.join(l2, "k")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_w)
+        .select("a", "b")
+    )
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+WITH {_strong_tie_ctes(TRI_MIN_W)},
 deg AS (
   SELECT node, CAST(count(*) AS BIGINT) AS d
   FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
@@ -195,18 +217,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are equi-joins on node keys (no theta join anywhere). Edge
     weights/degrees are exact integers, so the oracle replays the
     orientation tie-break (tuple compare on (degree, id)) verbatim."""
-    li = load_table(spark, sf_dir, "lineitem")
-    os_ = li.select("l_orderkey", "l_suppkey").distinct()
-    l1 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
-    l2 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
-    edges = (
-        l1.join(l2, "k")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= TRI_MIN_W)
-        .select("a", "b")
-    )
+    edges = _strong_tie_edges(spark, sf_dir, TRI_MIN_W)
     return triangle_counts(spark, edges).select(
         F.col("node").alias("s_suppkey"), "n_triangles"
     )
@@ -302,14 +313,7 @@ lab{i} AS (
         )
         prev = f"lab{i}"
     return f"""
-WITH raw AS (
-  SELECT l1.l_suppkey AS a, l2.l_suppkey AS b, count(*) AS w
-  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
-  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
-    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
-  GROUP BY l1.l_suppkey, l2.l_suppkey
-),
-edges AS (SELECT a, b FROM raw WHERE w >= {LPA_MIN_W}),
+WITH {_strong_tie_ctes(LPA_MIN_W)},
 dir AS (
   SELECT a AS node, b AS nb FROM edges
   UNION ALL SELECT b, a FROM edges
@@ -342,18 +346,7 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node argmax — all equi-joins and keyed aggregates, the same
     join-aggregate-per-round shape as PageRank, with the same
     localCheckpoint lineage truncation."""
-    li = load_table(spark, sf_dir, "lineitem")
-    os_ = li.select("l_orderkey", "l_suppkey").distinct()
-    l1 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
-    l2 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
-    edges = (
-        l1.join(l2, "k")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= LPA_MIN_W)
-        .select("a", "b")
-    )
+    edges = _strong_tie_edges(spark, sf_dir, LPA_MIN_W)
     direct = (
         edges.select(F.col("a").alias("node"), F.col("b").alias("nb"))
         .unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nb")))

@@ -982,7 +982,8 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # EWMA with alpha = 1/2, truncated at 8 lags: weights 2^(7-i) for lag i
 # are exact powers of two, so numerator/denominator are exact BIGINTs
-# and the smoothed value is one floor division — no float anywhere.
+# and the smoothed value is one integer division (trunc == floor for
+# the positive cents here) — no float anywhere.
 EWMA_LAGS = 8
 
 
@@ -1029,8 +1030,12 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard distributed equivalent (weights halve per lag, so 8 lags
     carry all but 2^-8 of the mass) and, with power-of-two integer
     weights over integer cents, it is EXACT: one BIGINT dot product
-    over the lag window and one floor division, replayed verbatim by
-    the oracle.
+    over the lag window and one integer division, replayed verbatim
+    by the oracle. Division note: Spark `div` and DuckDB `//` BOTH
+    truncate toward zero, which equals floor only for non-negative
+    numerators — fine here (event values are positive cents), but a
+    stream with negative values needs the pmod pre-subtraction form
+    (see q_kmeans_assign) for true floor semantics.
 
     Scale shape: one keyed window (lag frame over user_id partitions,
     the q_counter_rate shuffle class); everything else is row-local
