@@ -81,3 +81,82 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection — a hash aggregate with no aggregates."""
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+SKYLINE_BUCKETS = 32
+
+
+def _skyline_pass(df: DataFrame, bucketed: bool) -> DataFrame:
+    """One skyline pass over (p_partkey, cents, p_size): keep rows not
+    dominated WITHIN the (optional) bucket. A strictly-cheaper point
+    with size <= mine dominates me (RANGE frame min over cents < mine);
+    a same-price point with strictly smaller size dominates me (group
+    min). Equal (cents, size) duplicates dominate neither way — kept."""
+    from pyspark.sql import Window
+
+    part_cols = ["bucket"] if bucketed else []
+    w_cheap = (
+        Window.partitionBy(*part_cols)
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy(*part_cols, "cents")
+    return (
+        df.withColumn("min_cheap", F.min("p_size").over(w_cheap))
+        .withColumn("min_grp", F.min("p_size").over(w_grp))
+        .filter(
+            (F.col("min_cheap").isNull() | (F.col("p_size") < F.col("min_cheap")))
+            & (F.col("p_size") == F.col("min_grp"))
+        )
+        .drop("min_cheap", "min_grp")
+    )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+WITH pts AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+         p_size
+  FROM part
+)
+SELECT p.p_partkey, p.cents, CAST(p.p_size AS INTEGER) AS p_size
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.cents <= p.cents AND q.p_size <= p.p_size
+    AND (q.cents < p.cents OR q.p_size < p.p_size)
+)
+""",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (Börzsönyi et al. 2001, ICDE —
+    public method): the parts no other part dominates on
+    (retail price, size), both minimized — the multi-criteria
+    shortlist shape ("no cheaper-and-smaller alternative exists").
+    Exact-cents prices so dominance never touches a float.
+
+    Scale shape — skyline-of-skylines, NOT the O(n²) pairwise test the
+    oracle runs: phase 1 computes a local skyline inside each of 32
+    hash buckets (keyed windows: a sort per bucket; any globally
+    non-dominated point is also locally non-dominated, so the union of
+    local skylines is a correct candidate superset); phase 2 re-runs
+    the identical pass globally over ONLY the candidates (bounded by
+    buckets x per-bucket frontier size — the one unpartitioned window
+    runs on that small set by construction, same stance as
+    q_pack_shards' offset table). The strictly-cheaper dominance probe
+    is a RANGE frame over integer cents, never a self-join."""
+    p = load_table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        "p_size",
+    )
+    local = _skyline_pass(
+        pts.withColumn("bucket", F.col("p_partkey") % SKYLINE_BUCKETS),
+        bucketed=True,
+    ).drop("bucket")
+    return _skyline_pass(local, bucketed=False).select(
+        "p_partkey", "cents", "p_size"
+    )
