@@ -809,3 +809,48 @@ class TestEwmaPlanted:
         assert (out[0]["num"], out[0]["den"], out[0]["ewma_cents"]) == (12800, 128, 100)
         # row 1: 200*128 + 100*64 = 32000, den 192 -> floor(166.67) = 166
         assert (out[1]["num"], out[1]["den"], out[1]["ewma_cents"]) == (32000, 192, 166)
+
+
+class TestFunnelPlanted:
+    """q_funnel strict-order boundaries on a hand-built log: a click AT
+    the signup timestamp must not advance (strict >), and a purchase
+    BEFORE the click must not reach stage 3. Query and oracle share the
+    min-chain construction, so the parity gate cannot see a shared
+    strictness bug."""
+
+    def test_strict_order(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.temporal import q_funnel
+
+        T0 = datetime.datetime(2024, 1, 1)
+        M = datetime.timedelta(minutes=1)
+        rows = [
+            # user 1: full ordered funnel
+            (0, T0, 1, "signup"),
+            (1, T0 + M, 1, "click"),
+            (2, T0 + 2 * M, 1, "purchase"),
+            # user 2: click at EXACTLY the signup ts -> no advance
+            (3, T0, 2, "signup"),
+            (4, T0, 2, "click"),
+            # user 3: purchase BEFORE click -> stops at click
+            (5, T0, 3, "signup"),
+            (6, T0 + 2 * M, 3, "click"),
+            (7, T0 + M, 3, "purchase"),
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = {r["stage"]: r["n_users"] for r in q_funnel(spark, str(tmp_path)).collect()}
+        assert out == {"1_signup": 3, "2_click": 2, "3_purchase": 1}
