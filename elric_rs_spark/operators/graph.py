@@ -129,16 +129,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Co-purchase edges thinned to STRONG ties (>= 28 shared orders at the
-# graded scale) so the graph is sparse and triangle membership varies;
-# the complete graph below any threshold makes every count identical.
-TRI_MIN_W = 28
+# Co-purchase edges thinned to STRONG ties. The threshold is a
+# FRACTION of the max edge weight, not a constant: weights scale with
+# the order count (max 180 / 42 / 12 at sf0.001/0.01/0.1), so any
+# fixed cut is empty at one scale and the complete graph at another.
+# 2/3 of max reproduces the calibrated >= 28 exactly at the graded
+# sf0.01 and keeps the graph sparse-and-varied at every scale; the
+# exact integer (num*max) div den replays bit-for-bit in the oracle.
+TRI_W_FRAC = (2, 3)
 
 
-def _strong_tie_ctes(min_w: int) -> str:
+def _strong_tie_ctes(frac: tuple[int, int]) -> str:
     """Shared oracle CTEs: undirected strong-tie co-purchase edges
-    (a < b, weight-thresholded) — keep in lockstep with
+    (a < b, weight >= (num*max_w) div den) — keep in lockstep with
     _strong_tie_edges below."""
+    num, den = frac
     return f"""raw AS (
   SELECT l1.l_suppkey AS a, l2.l_suppkey AS b, count(*) AS w
   FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
@@ -146,22 +151,30 @@ def _strong_tie_ctes(min_w: int) -> str:
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
   GROUP BY l1.l_suppkey, l2.l_suppkey
 ),
-edges AS (SELECT a, b FROM raw WHERE w >= {min_w})"""
+mw AS (SELECT max(w) AS mw FROM raw),
+edges AS (SELECT a, b FROM raw, mw WHERE w >= ({num} * mw.mw) // {den})"""
 
 
-def _strong_tie_edges(spark: SparkSession, sf_dir: str, min_w: int) -> DataFrame:
+def _strong_tie_edges(
+    spark: SparkSession, sf_dir: str, frac: tuple[int, int]
+) -> DataFrame:
     """Spark twin of _strong_tie_ctes: undirected (a, b) strong-tie
-    co-purchase edges."""
+    co-purchase edges, weight >= (num*max_w) div den."""
+    num, den = frac
     li = load_table(spark, sf_dir, "lineitem")
     os_ = li.select("l_orderkey", "l_suppkey").distinct()
     l1 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
     l2 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
-    return (
+    raw = (
         l1.join(l2, "k")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= min_w)
+    )
+    mw = raw.agg(F.max("w").alias("mw"))
+    return (
+        raw.crossJoin(F.broadcast(mw))
+        .filter(F.col("w") >= F.expr(f"({num} * mw) div {den}"))
         .select("a", "b")
     )
 
@@ -169,7 +182,7 @@ def _strong_tie_edges(spark: SparkSession, sf_dir: str, min_w: int) -> DataFrame
 @query(
     "q_graph_triangles",
     oracle=f"""
-WITH {_strong_tie_ctes(TRI_MIN_W)},
+WITH {_strong_tie_ctes(TRI_W_FRAC)},
 deg AS (
   SELECT node, CAST(count(*) AS BIGINT) AS d
   FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
@@ -217,7 +230,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are equi-joins on node keys (no theta join anywhere). Edge
     weights/degrees are exact integers, so the oracle replays the
     orientation tie-break (tuple compare on (degree, id)) verbatim."""
-    edges = _strong_tie_edges(spark, sf_dir, TRI_MIN_W)
+    edges = _strong_tie_edges(spark, sf_dir, TRI_W_FRAC)
     return triangle_counts(spark, edges).select(
         F.col("node").alias("s_suppkey"), "n_triangles"
     )
@@ -284,11 +297,12 @@ def triangle_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
     return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-# LPA runs on a SPARSER strong-tie graph than triangles (>= 33 shared
-# orders): at >= 28 the graph is connected enough that every node
-# converges to one community in 3 rounds — correct but carries no
-# structure to check; at >= 33 multiple communities survive.
-LPA_MIN_W = 33
+# LPA runs on a SPARSER strong-tie graph than triangles (4/5 of max
+# weight vs 2/3): at the triangle cut the graph is connected enough
+# that every node converges to one community in 3 rounds — correct but
+# carries no structure to check; at 4/5 multiple communities survive
+# (the fraction reproduces the calibrated >= 33 at the graded sf0.01).
+LPA_W_FRAC = (4, 5)
 LPA_ITERS = 3
 
 
@@ -313,7 +327,7 @@ lab{i} AS (
         )
         prev = f"lab{i}"
     return f"""
-WITH {_strong_tie_ctes(LPA_MIN_W)},
+WITH {_strong_tie_ctes(LPA_W_FRAC)},
 dir AS (
   SELECT a AS node, b AS nb FROM edges
   UNION ALL SELECT b, a FROM edges
@@ -346,7 +360,7 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node argmax — all equi-joins and keyed aggregates, the same
     join-aggregate-per-round shape as PageRank, with the same
     localCheckpoint lineage truncation."""
-    edges = _strong_tie_edges(spark, sf_dir, LPA_MIN_W)
+    edges = _strong_tie_edges(spark, sf_dir, LPA_W_FRAC)
     direct = (
         edges.select(F.col("a").alias("node"), F.col("b").alias("nb"))
         .unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nb")))
