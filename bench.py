@@ -80,6 +80,14 @@ HEADLINE = [
     "q_substring_dedup",
     "q_bm25",
     "q_bigram_pmi",
+    # round-4 third-wave appends (same contract)
+    "q_c4_filter",
+    "q_unpivot",
+    "q_sketch_cms",
+    "q_graph_triangles",
+    "q_graph_labelprop",
+    "q_ewma",
+    "q_skyline",
 ]
 
 
