@@ -134,8 +134,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the order count (max 180 / 42 / 12 at sf0.001/0.01/0.1), so any
 # fixed cut is empty at one scale and the complete graph at another.
 # 2/3 of max reproduces the calibrated >= 28 exactly at the graded
-# sf0.01 and keeps the graph sparse-and-varied at every scale; the
-# exact integer (num*max) div den replays bit-for-bit in the oracle.
+# sf0.01 and keeps the graph sparse-and-varied there and at sf0.1
+# (1628 of 453k edges); sf0.001 has only 10 suppliers, so its
+# complete co-purchase graph stays complete under ANY usable cut —
+# degenerate by fixture size, not by threshold. The exact integer
+# (num*max) div den replays bit-for-bit in the oracle.
 TRI_W_FRAC = (2, 3)
 
 
@@ -170,6 +173,10 @@ def _strong_tie_edges(
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
+        # materialize: BOTH the max-weight scalar and the threshold
+        # probe consume raw — without this the dominant co-purchase
+        # self-join executes twice (4 lineitem scans in the AQE plan)
+        .localCheckpoint()
     )
     mw = raw.agg(F.max("w").alias("mw"))
     return (
