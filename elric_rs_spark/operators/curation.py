@@ -730,3 +730,116 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_int(no_brace).alias("r_no_brace"),
         as_int(terminal & min_words & no_lorem & no_brace).alias("c4_keep"),
     )
+
+
+# q_curation_v2 trim threshold: drop docs with >= 50% of tokens inside
+# corpus-duplicated 13-token spans (the ExactSubstr cut applied at doc
+# granularity).
+V2_TRIM_COVERAGE = 0.5
+
+
+def _v2_oracle() -> str:
+    from elric_rs_spark.operators.dedup import (
+        _portable_pair_ctes,
+        _substring_cov_ctes,
+    )
+
+    return f"""
+WITH {_substring_cov_ctes("documents")},
+surv AS (
+  SELECT d.* FROM documents d
+  LEFT JOIN cov ON cov.doc_id = d.doc_id
+  WHERE cov.doc_id IS NULL OR cov.coverage_ratio < {V2_TRIM_COVERAGE}
+),
+{_portable_pair_ctes("surv")},
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+kept AS (
+  SELECT s.* FROM surv s
+  LEFT JOIN drops ON drops.doc_id = s.doc_id
+  WHERE drops.doc_id IS NULL
+),
+i AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_in FROM documents GROUP BY lang),
+t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_trim FROM surv GROUP BY lang),
+k AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+               AS tokens_kept
+      FROM kept GROUP BY lang)
+SELECT i.lang, i.n_in,
+       CAST(coalesce(t.n_trim, 0) AS BIGINT) AS n_trim,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+FROM i
+LEFT JOIN t ON t.lang = i.lang
+LEFT JOIN k ON k.lang = i.lang
+"""
+
+
+@query("q_curation_v2", oracle=_v2_oracle())
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 curation cascade, composed in ONE plan (the Lee et al.
+    2021 recipe: exact-substring dedup, THEN near-dup dedup): documents
+    whose duplicated-13-token-span coverage reaches 50% are trimmed
+    out; the SURVIVORS (composition matters — candidates are generated
+    after the trim) run the md5-portable MinHash banding, and every
+    doc that near-duplicates a lower-id survivor drops. The report is
+    the per-language funnel: docs in, after trim, after near-dup, and
+    kept token mass — the numbers a 100 TB curation run publishes per
+    stage.
+
+    Scale shape: composition of independently-graded parts
+    (q_substring_dedup's window-frequency pass, q_dedup_minhash's
+    bucket-banding pass) with cheap stages first — the span trim
+    shrinks the doc set before any signature work, exactly the stage
+    ordering q_curation_pipeline documents; no stage adds a shuffle
+    class the parts don't already carry."""
+    from elric_rs_spark.functions.hashing import word_ngrams as _wng
+    from elric_rs_spark.operators.dedup import (
+        _portable_candidates,
+        substring_coverage,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cov = substring_coverage(d).select("doc_id", "coverage_ratio")
+    surv = (
+        d.join(cov, "doc_id", "left")
+        .filter(
+            F.col("coverage_ratio").isNull()
+            | (F.col("coverage_ratio") < V2_TRIM_COVERAGE)
+        )
+        .select(d.columns)
+    )
+    grams = surv.select(
+        "doc_id", F.array_distinct(_wng(F.col("text"), 3)).alias("g")
+    ).filter(F.size("g") > 0)
+    cand = _portable_candidates(spark, grams)
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
+        F.array_union("ga", "gb")
+    )
+    drops = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = surv.join(drops, "doc_id", "left_anti")
+    n_tok = F.size(F.split(F.trim(F.col("text")), " "))
+    i = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in"))
+    t = surv.groupBy("lang").agg(F.count(F.lit(1)).alias("n_trim"))
+    k = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(n_tok).alias("tokens_kept"),
+    )
+    return (
+        i.join(t, "lang", "left")
+        .join(k, "lang", "left")
+        .select(
+            "lang",
+            "n_in",
+            F.coalesce("n_trim", F.lit(0)).cast("long").alias("n_trim"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
+        )
+    )

@@ -653,9 +653,13 @@ def _portable_candidates(spark: SparkSession, grams: DataFrame) -> DataFrame:
     )
 
 
-_PORTABLE_PAIR_CTES = f"""toks AS (
+def _portable_pair_ctes(src: str = "documents") -> str:
+    """Oracle CTE chain for the md5-portable MinHash banding + Jaccard
+    verification, parameterized over the source relation so composed
+    pipelines (q_curation_v2) can run it on a filtered survivor set."""
+    return f"""toks AS (
   SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
-  FROM documents
+  FROM {src}
 ),
 grams AS (
   SELECT doc_id,
@@ -692,6 +696,9 @@ pairs AS (
   WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
         / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.5
 )"""
+
+
+_PORTABLE_PAIR_CTES = _portable_pair_ctes()
 
 
 @query(
@@ -1291,50 +1298,61 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_TOKENS = 13
 
 
-@query(
-    "q_substring_dedup",
-    oracle=f"""
-WITH toks AS (
+def _substring_cov_ctes(src: str = "documents") -> str:
+    """Oracle CTE chain for duplicated-13-token-span coverage (ends in a
+    `cov` relation), parameterized over the source relation — the SQL
+    twin of substring_coverage()."""
+    return f"""sc_toks AS (
   SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
-  FROM documents
+  FROM {src}
 ),
-ex AS (
+sc_ex AS (
   SELECT doc_id, t, len(t) AS n_tokens,
          unnest(range(1, len(t) - {SPAN_TOKENS} + 2)) AS i
-  FROM toks WHERE len(t) >= {SPAN_TOKENS}
+  FROM sc_toks WHERE len(t) >= {SPAN_TOKENS}
 ),
-w AS (
+sc_w AS (
   SELECT doc_id, n_tokens, i,
          array_to_string(
            t[CAST(i AS BIGINT) : CAST(i + {SPAN_TOKENS} - 1 AS BIGINT)],
            ' ') AS win
-  FROM ex
+  FROM sc_ex
 ),
-f AS (
-  SELECT win, CAST(count(*) AS BIGINT) AS n_occ FROM w GROUP BY win
+sc_f AS (
+  SELECT win, CAST(count(*) AS BIGINT) AS n_occ FROM sc_w GROUP BY win
 ),
-dup AS (
-  SELECT w.doc_id, w.n_tokens, w.i AS s,
-         w.i + {SPAN_TOKENS} - 1 AS e
-  FROM w JOIN f ON f.win = w.win
-  WHERE f.n_occ >= 2
+sc_dup AS (
+  SELECT sc_w.doc_id, sc_w.n_tokens, sc_w.i AS s,
+         sc_w.i + {SPAN_TOKENS} - 1 AS e
+  FROM sc_w JOIN sc_f ON sc_f.win = sc_w.win
+  WHERE sc_f.n_occ >= 2
 ),
-merged AS (
+sc_merged AS (
   SELECT doc_id, n_tokens, s, e,
          max(e) OVER (PARTITION BY doc_id ORDER BY s
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS prev_e
-  FROM dup
-)
-SELECT doc_id,
-       CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(count(*) AS BIGINT) AS n_dup_windows,
-       CAST(sum(greatest(0, e - greatest(s - 1, coalesce(prev_e, 0))))
-            AS BIGINT) AS covered_tokens,
-       round(CAST(sum(greatest(0, e - greatest(s - 1, coalesce(prev_e, 0))))
-                  AS DOUBLE) / n_tokens, 6) AS coverage_ratio
-FROM merged
-GROUP BY doc_id, n_tokens
+  FROM sc_dup
+),
+cov AS (
+  SELECT doc_id,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_dup_windows,
+         CAST(sum(greatest(0, e - greatest(s - 1, coalesce(prev_e, 0))))
+              AS BIGINT) AS covered_tokens,
+         round(CAST(sum(greatest(0, e - greatest(s - 1, coalesce(prev_e, 0))))
+                    AS DOUBLE) / n_tokens, 6) AS coverage_ratio
+  FROM sc_merged
+  GROUP BY doc_id, n_tokens
+)"""
+
+
+@query(
+    "q_substring_dedup",
+    oracle=f"""
+WITH {_substring_cov_ctes("documents")}
+SELECT doc_id, n_tokens, n_dup_windows, covered_tokens, coverage_ratio
+FROM cov
 """,
 )
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1360,6 +1378,15 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling raw strings — kept raw here so DuckDB replays it). The
     per-doc sweep window partitions on doc_id, never the corpus."""
     d = load_table(spark, sf_dir, "documents")
+    return substring_coverage(d)
+
+
+def substring_coverage(d: DataFrame) -> DataFrame:
+    """Per-doc duplicated-13-token-span coverage for a documents DF —
+    the q_substring_dedup kernel, factored so composed pipelines
+    (q_curation_v2) can run it on any document set. Returns (doc_id,
+    n_tokens, n_dup_windows, covered_tokens, coverage_ratio); docs
+    with no duplicated window produce no row."""
     toks = d.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("t")
     ).filter(F.size("t") >= SPAN_TOKENS)

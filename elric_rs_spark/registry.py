@@ -68,7 +68,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # q_embed_norm, q_passage_dedup, q_importance_weight,
 # q_substring_dedup, q_bm25, q_bigram_pmi, q_c4_filter, q_unpivot,
 # q_sketch_cms, q_graph_triangles, q_graph_labelprop, q_ewma,
-# q_skyline —
+# q_skyline, q_curation_v2 —
 # all full-oracle, zero ever driver-graded; then (b) stalest regrades by
 # last-graded round. That keeps the union at 100% with one round of lag
 # for new registrations.
