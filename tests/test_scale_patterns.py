@@ -854,3 +854,41 @@ class TestFunnelPlanted:
         pq.write_table(tbl, str(tmp_path / "events.parquet"))
         out = {r["stage"]: r["n_users"] for r in q_funnel(spark, str(tmp_path)).collect()}
         assert out == {"1_signup": 3, "2_click": 2, "3_purchase": 1}
+
+
+class TestWindowRangePlanted:
+    """q_window_range trailing-30-day RANGE frame boundary: an order
+    EXACTLY 30 days earlier is inside the frame (30 PRECEDING is
+    inclusive), 31 days is out. Spark uses a numeric epoch-days frame
+    while the oracle uses INTERVAL — this pins the agreed-on boundary
+    on a hand-built fixture."""
+
+    def test_frame_boundary(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.windows import q_window_range
+
+        D = lambda d: datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)  # noqa: E731
+        rows = [
+            (1, 7, 100.0, D(0)),
+            (2, 7, 10.0, D(30)),   # day 30: order 1 is exactly 30 days back -> IN
+            (3, 7, 1.0, D(61)),    # day 61: order 2 is 31 days back -> OUT
+        ]
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+                "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+                "o_orderdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+        out = {r["o_orderkey"]: r for r in q_window_range(spark, str(tmp_path)).collect()}
+        assert (out[1]["n_30d"], out[1]["cents_30d"]) == (1, 10000)
+        assert (out[2]["n_30d"], out[2]["cents_30d"]) == (2, 11000)  # includes day-0
+        assert (out[3]["n_30d"], out[3]["cents_30d"]) == (1, 100)    # day-30 is 31 back
