@@ -892,3 +892,37 @@ class TestWindowRangePlanted:
         assert (out[1]["n_30d"], out[1]["cents_30d"]) == (1, 10000)
         assert (out[2]["n_30d"], out[2]["cents_30d"]) == (2, 11000)  # includes day-0
         assert (out[3]["n_30d"], out[3]["cents_30d"]) == (1, 100)    # day-30 is 31 back
+
+
+class TestDecontaminatePlanted:
+    """q_decontaminate 4-gram granularity on a hand-built corpus: a doc
+    sharing a full 4-gram with a benchmark doc is flagged; a doc whose
+    overlap tops out at 3 consecutive tokens is NOT — pins the gram
+    width both engines share."""
+
+    def test_four_gram_boundary(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.curation import q_decontaminate
+
+        rows = [
+            (0, "a b c d e"),      # benchmark (0 % 97 == 0)
+            (1, "z a b c d"),      # shares the 4-gram 'a b c d' -> flagged
+            (2, "x b c d y"),      # only 3 consecutive shared tokens -> clean
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = {
+            r["doc_id"]: (r["n_shared_grams"], r["n_benchmarks"])
+            for r in q_decontaminate(spark, str(tmp_path)).collect()
+        }
+        assert out == {1: (1, 1)}
