@@ -794,7 +794,7 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     class the parts don't already carry."""
     from elric_rs_spark.functions.hashing import word_ngrams as _wng
     from elric_rs_spark.operators.dedup import (
-        _portable_candidates,
+        portable_pairs,
         substring_coverage,
     )
 
@@ -807,20 +807,17 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("coverage_ratio") < V2_TRIM_COVERAGE)
         )
         .select(d.columns)
+        # surv feeds FIVE branches (candidate chain, both pair sides,
+        # the trim count, the kept rollup); without materialization the
+        # substring-coverage subtree (13x window explode + corpus
+        # window-frequency groupBy) re-executes per branch
+        .localCheckpoint()
     )
     grams = surv.select(
         "doc_id", F.array_distinct(_wng(F.col("text"), 3)).alias("g")
     ).filter(F.size("g") > 0)
-    cand = _portable_candidates(spark, grams)
-    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
-    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
-    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
-        F.array_union("ga", "gb")
-    )
     drops = (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .filter(jac >= 0.5)
+        portable_pairs(spark, grams)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -726,6 +726,16 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams_arr = F.array_distinct(_word_ngrams(F.col("text"), 3))
     grams = d.select("doc_id", grams_arr.alias("g")).filter(F.size("g") > 0)
+    return portable_pairs(spark, grams)
+
+
+def portable_pairs(spark: SparkSession, grams: DataFrame) -> DataFrame:
+    """Verified near-dup pairs (doc_a, doc_b, jaccard) from a
+    (doc_id, g) gram-set DF via the md5-portable banding — the single
+    Spark copy of the `pairs` CTE in _portable_pair_ctes; callers:
+    q_dedup_minhash_portable and q_curation_v2. The threshold compares
+    the UNROUNDED Jaccard (matching the oracle CTE's WHERE); the
+    rounded value is only the output column."""
     cand = _portable_candidates(spark, grams)
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
@@ -734,12 +744,12 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
+        .filter(inter / union >= 0.5)
         .select(
             "doc_a",
             "doc_b",
             F.round(inter / union, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.5)
     )
 
 
