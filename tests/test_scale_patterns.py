@@ -926,3 +926,81 @@ class TestDecontaminatePlanted:
             for r in q_decontaminate(spark, str(tmp_path)).collect()
         }
         assert out == {1: (1, 1)}
+
+
+class TestCounterRatePlanted:
+    """q_counter_rate PromQL-increase semantics hand-checked: a counter
+    reset (delta < 0) contributes the post-reset VALUE, an equal sample
+    (delta = 0) is not a reset, and the first sample contributes
+    nothing. Query and oracle share the lag construction."""
+
+    def test_reset_semantics(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.temporal import q_counter_rate
+
+        T0 = datetime.datetime(2024, 1, 1)
+        M = datetime.timedelta(minutes=1)
+        # counter: 1.00 -> 3.00 (+200) -> 3.00 (0, NOT a reset)
+        #          -> 0.50 (reset: contributes 50) -> 2.50 (+200)
+        vals = [1.0, 3.0, 3.0, 0.5, 2.5]
+        rows = [(i, T0 + i * M, 1, "t", v, "{}") for i, v in enumerate(vals)]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        [r] = q_counter_rate(spark, str(tmp_path)).collect()
+        assert (r["n_samples"], r["increase_cents"], r["n_resets"]) == (5, 450, 1)
+
+
+class TestGapFillPlanted:
+    """q_gap_fill calendar bounds hand-checked: the dense day spine runs
+    from each user's FIRST to LAST event day inclusive; interior days
+    with no events appear as zero-count gap rows, days outside the
+    bounds do not."""
+
+    def test_bounds_and_gaps(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.temporal import q_gap_fill
+
+        D = lambda d, h=12: datetime.datetime(2024, 1, 1 + d, h)  # noqa: E731
+        rows = [
+            (0, D(0), 1),  # day 0
+            (1, D(0, 13), 1),  # day 0 again (2 events)
+            (2, D(3), 1),  # day 3 -> days 1, 2 are gaps
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["t"] * 3, pa.string()),
+                "value": pa.array([1.0] * 3, pa.float64()),
+                "props": pa.array(["{}"] * 3, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = {
+            str(r["day"]): (r["n_events"], r["is_gap"])
+            for r in q_gap_fill(spark, str(tmp_path)).collect()
+        }
+        assert out == {
+            "2024-01-01": (2, 0),
+            "2024-01-02": (0, 1),
+            "2024-01-03": (0, 1),
+            "2024-01-04": (1, 0),
+        }
