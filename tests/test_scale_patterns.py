@@ -1004,3 +1004,73 @@ class TestGapFillPlanted:
             "2024-01-03": (0, 1),
             "2024-01-04": (1, 0),
         }
+
+
+class TestOhlcPlanted:
+    """q_ohlc open/close tie-break hand-checked: two samples at the SAME
+    timestamp resolve by event_id (open = lowest id, close = highest id
+    at the last ts), and high/low are independent of order."""
+
+    def test_same_timestamp_tiebreak(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.temporal import q_ohlc
+
+        T0 = datetime.datetime(2024, 1, 1, 9, 0, 0)
+        rows = [
+            (0, T0, 1.0),                                    # open (ts tie, lower id)
+            (1, T0, 5.0),                                    # same ts, higher id
+            (2, T0 + datetime.timedelta(minutes=30), 0.5),   # low
+            (3, T0 + datetime.timedelta(minutes=59), 2.0),   # close
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * 4, pa.int64()),
+                "event_type": pa.array(["t"] * 4, pa.string()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        [r] = q_ohlc(spark, str(tmp_path)).collect()
+        assert (
+            r["open_cents"], r["high_cents"], r["low_cents"], r["close_cents"]
+        ) == (100, 500, 50, 200)
+
+
+class TestRetentionPlanted:
+    """q_retention day-7 boundary hand-checked: activity on EXACTLY
+    cohort_day + 7 retains; day 6 or 8 does not."""
+
+    def test_day7_boundary(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.temporal import q_retention
+
+        D = lambda d: datetime.datetime(2024, 1, 1 + d, 12)  # noqa: E731
+        rows = [
+            (0, D(0), 1), (1, D(7), 1),    # user 1: day-7 return -> retained
+            (2, D(0), 2), (3, D(6), 2),    # user 2: day 6 -> NOT retained
+            (4, D(0), 3), (5, D(8), 3),    # user 3: day 8 -> NOT retained
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["t"] * 6, pa.string()),
+                "value": pa.array([1.0] * 6, pa.float64()),
+                "props": pa.array(["{}"] * 6, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        [r] = q_retention(spark, str(tmp_path)).collect()
+        assert (r["cohort_size"], r["retained_d7"], r["retained_d14"]) == (3, 1, 0)
