@@ -1074,3 +1074,77 @@ class TestRetentionPlanted:
         pq.write_table(tbl, str(tmp_path / "events.parquet"))
         [r] = q_retention(spark, str(tmp_path)).collect()
         assert (r["cohort_size"], r["retained_d7"], r["retained_d14"]) == (3, 1, 0)
+
+
+class TestAsofPlanted:
+    """q_join_asof inclusive boundary hand-checked: a click exactly AT a
+    purchase timestamp matches that purchase (>= bound); a click before
+    any purchase matches nothing (left join, NULL purchase)."""
+
+    def test_at_boundary_and_no_match(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.temporal import q_join_asof
+
+        T0 = datetime.datetime(2024, 1, 1, 12)
+        M = datetime.timedelta(minutes=1)
+        rows = [
+            (0, T0 - M, 1, "click", 1.0),       # before any purchase -> NULL
+            (1, T0, 1, "purchase", 50.0),
+            (2, T0, 1, "click", 2.0),           # exactly AT purchase -> match
+            (3, T0 + 2 * M, 1, "purchase", 70.0),
+            (4, T0 + 3 * M, 1, "click", 3.0),   # most RECENT purchase (70), not first
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = {r["event_id"]: r for r in q_join_asof(spark, str(tmp_path)).collect()}
+        assert out[0]["purchase_cents"] is None
+        assert (out[2]["purchase_cents"], out[2]["gap_us"]) == (5000, 0)
+        assert (out[4]["purchase_cents"], out[4]["gap_us"]) == (7000, 60_000_000)
+
+
+class TestHistogramPlanted:
+    """q_histogram bucket edges hand-checked: a price exactly at a
+    $5,000 edge lands in the UPPER bucket (integer division), and
+    prices past bucket 19 clamp into it."""
+
+    def test_edges_and_clamp(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.sampling import q_histogram
+
+        prices = [4999.99, 5000.00, 5000.01, 999999.0]
+        tbl = pa.table(
+            {
+                "l_orderkey": pa.array(range(4), pa.int64()),
+                "l_partkey": pa.array([1] * 4, pa.int64()),
+                "l_suppkey": pa.array([1] * 4, pa.int64()),
+                "l_quantity": pa.array([1.0] * 4, pa.float64()),
+                "l_extendedprice": pa.array(prices, pa.float64()),
+                "l_discount": pa.array([0.0] * 4, pa.float64()),
+                "l_tax": pa.array([0.0] * 4, pa.float64()),
+                "l_returnflag": pa.array(["N"] * 4, pa.string()),
+                "l_linestatus": pa.array(["O"] * 4, pa.string()),
+                "l_shipdate": pa.array(
+                    [__import__("datetime").datetime(2024, 1, 1)] * 4,
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+        out = {r["bucket"]: r["n_items"] for r in q_histogram(spark, str(tmp_path)).collect()}
+        # 4999.99 -> bucket 0; 5000.00 and 5000.01 -> bucket 1; huge -> clamp 19
+        assert out == {0: 1, 1: 2, 19: 1}
