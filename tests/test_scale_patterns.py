@@ -1148,3 +1148,38 @@ class TestHistogramPlanted:
         out = {r["bucket"]: r["n_items"] for r in q_histogram(spark, str(tmp_path)).collect()}
         # 4999.99 -> bucket 0; 5000.00 and 5000.01 -> bucket 1; huge -> clamp 19
         assert out == {0: 1, 1: 2, 19: 1}
+
+
+class TestOutlierIqrPlanted:
+    """q_outlier_iqr Tukey-fence boundary hand-checked: with quartiles
+    Q1=200, Q3=400 cents the high fence is Q3 + 1.5*IQR = 700; a value
+    exactly AT the fence is NOT an outlier (strict >), one cent past
+    it is."""
+
+    def test_fence_boundary(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.temporal import q_outlier_iqr
+
+        T0 = datetime.datetime(2024, 1, 1)
+        M = datetime.timedelta(minutes=1)
+        a_vals = [1.0, 2.0, 3.0, 4.0, 7.00]   # max exactly at fence -> clean
+        b_vals = [1.0, 2.0, 3.0, 4.0, 7.01]   # one cent past -> outlier
+        rows = [(i, T0 + i * M, 1, "a", v) for i, v in enumerate(a_vals)]
+        rows += [(10 + i, T0 + i * M, 1, "b", v) for i, v in enumerate(b_vals)]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = [(r["event_id"], r["side"]) for r in q_outlier_iqr(spark, str(tmp_path)).collect()]
+        assert out == [(14, "high")]
