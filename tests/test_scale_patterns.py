@@ -1183,3 +1183,36 @@ class TestOutlierIqrPlanted:
         pq.write_table(tbl, str(tmp_path / "events.parquet"))
         out = [(r["event_id"], r["side"]) for r in q_outlier_iqr(spark, str(tmp_path)).collect()]
         assert out == [(14, "high")]
+
+
+class TestFuzzyMatchPlanted:
+    """q_fuzzy_match Levenshtein threshold hand-checked: prefix distance
+    exactly 12 is kept (<=), 13 is dropped; blocking on (lang,
+    len_bucket) holds the pairs together."""
+
+    def test_distance_threshold(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.sampling import q_fuzzy_match
+
+        texts = [
+            "a" * 20,              # doc 0
+            "b" * 12 + "a" * 8,    # doc 1: dist(0,1) = 12 -> kept
+            "b" * 13 + "a" * 7,    # doc 2: dist(0,2) = 13 -> dropped; dist(1,2) = 1
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "n_chars": pa.array([20] * 3, pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = {
+            (r["doc_a"], r["doc_b"]): r["dist"]
+            for r in q_fuzzy_match(spark, str(tmp_path)).collect()
+        }
+        assert out == {(0, 1): 12, (1, 2): 1}
