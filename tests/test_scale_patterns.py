@@ -1216,3 +1216,63 @@ class TestFuzzyMatchPlanted:
             for r in q_fuzzy_match(spark, str(tmp_path)).collect()
         }
         assert out == {(0, 1): 12, (1, 2): 1}
+
+
+class TestPackShardsPlanted:
+    """q_pack_shards boundary hand-checked: a doc whose exclusive
+    token offset is EXACTLY the 4,000 budget starts shard 1 (integer
+    division on the offset); the budget-filling doc itself stays in
+    shard 0."""
+
+    def test_exact_budget_boundary(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.sampling import q_pack_shards
+
+        texts = ["t " * 3999 + "t", "x", "y " * 3999 + "y"]  # 4000, 1, 4000 tokens
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = {
+            r["shard_id"]: (r["n_docs"], r["sum_tokens"], r["first_doc"], r["last_doc"])
+            for r in q_pack_shards(spark, str(tmp_path)).collect()
+        }
+        assert out == {0: (1, 4000, 0, 0), 1: (2, 4001, 1, 2)}
+
+
+class TestQualityScorePlanted:
+    """q_quality_score keep-gate boundaries hand-checked: exactly 10
+    tokens is inside the length band (inclusive), a unique-token ratio
+    of exactly 0.3 fails the strictly-greater diversity gate."""
+
+    def test_gate_boundaries(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.text import q_quality_score
+
+        texts = [
+            "a b c d e f g h i j",   # 10 tokens, ratio 1.0 -> keep
+            "a a a a b b b c c c",   # 10 tokens, 3/10 = 0.3 exactly -> drop
+            "a b c d e f g h i",     # 9 tokens -> below band -> drop
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = {r["doc_id"]: r["quality_keep"] for r in q_quality_score(spark, str(tmp_path)).collect()}
+        assert out == {0: 1, 1: 0, 2: 0}
