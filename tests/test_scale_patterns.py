@@ -1276,3 +1276,29 @@ class TestQualityScorePlanted:
         pq.write_table(tbl, str(tmp_path / "documents.parquet"))
         out = {r["doc_id"]: r["quality_keep"] for r in q_quality_score(spark, str(tmp_path)).collect()}
         assert out == {0: 1, 1: 0, 2: 0}
+
+
+class TestPkMergePlanted:
+    """T3 composite-PK merge last-wins semantics (ref loader.rs:143-146,
+    HashMap::extend): when a field key COLLIDES with a PK key, the PK
+    value wins and non-colliding fields survive — the collision case the
+    fixture's disjoint key sets never exercise."""
+
+    def test_pk_shadows_colliding_field_key(self, spark):
+        from pyspark.sql import functions as F
+
+        from elric_rs_spark.operators.maps import fields_to_map
+
+        df = spark.createDataFrame([("field-val", "pk-val")], "a string, b string")
+        fields = fields_to_map(("k1", F.col("a")), ("shared", F.col("a")))
+        pk = fields_to_map(("shared", F.col("b")))
+        fields_clean = F.map_filter(
+            fields, lambda k, _v: ~F.map_contains_key(pk, k)
+        )
+        merged = F.map_concat(fields_clean, pk)
+        [row] = df.select(
+            merged.getItem("k1").alias("k1"),
+            merged.getItem("shared").alias("shared"),
+        ).collect()
+        assert row["k1"] == "field-val"
+        assert row["shared"] == "pk-val"  # PK wins the collision
