@@ -1302,3 +1302,64 @@ class TestPkMergePlanted:
         ).collect()
         assert row["k1"] == "field-val"
         assert row["shared"] == "pk-val"  # PK wins the collision
+
+
+class TestLatestPerKeyPlanted:
+    """q_latest_per_key tie-break hand-checked: two events at the SAME
+    timestamp resolve to the higher event_id (ts DESC, event_id DESC)."""
+
+    def test_same_timestamp_tiebreak(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.temporal import q_latest_per_key
+
+        T0 = datetime.datetime(2024, 1, 1, 12)
+        rows = [
+            (5, T0, 1, "t", 1.0),
+            (9, T0, 1, "t", 2.0),  # same ts, higher id -> wins
+            (7, T0 - datetime.timedelta(minutes=1), 1, "t", 3.0),
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * 3, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        [r] = q_latest_per_key(spark, str(tmp_path)).collect()
+        assert (r["latest_event_id"], r["latest_cents"]) == (9, 200)
+
+
+class TestLangIdPlanted:
+    """q_lang_id stopword-density threshold hand-checked: density of
+    exactly 0.05 guesses 'other' (strict >), just above guesses 'en'."""
+
+    def test_density_boundary(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.text import q_lang_id
+
+        texts = [
+            "the " + "x " * 18 + "y",   # 1 stopword / 20 tokens = 0.05 -> other
+            "the " + "x " * 17 + "y",   # 1 / 19 > 0.05 -> en
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(2), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 2, pa.string()),
+                "source": pa.array(["s"] * 2, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = {r["doc_id"]: r["lang_guess"] for r in q_lang_id(spark, str(tmp_path)).collect()}
+        assert out == {0: "other", 1: "en"}
