@@ -1363,3 +1363,64 @@ class TestLangIdPlanted:
         pq.write_table(tbl, str(tmp_path / "documents.parquet"))
         out = {r["doc_id"]: r["lang_guess"] for r in q_lang_id(spark, str(tmp_path)).collect()}
         assert out == {0: "other", 1: "en"}
+
+
+class TestArgMinMaxPlanted:
+    """q_agg_argminmax tie-break hand-checked: equal extreme values
+    resolve to the SMALLER event_id on both the max and min side."""
+
+    def test_value_tie_resolves_to_smaller_id(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.aggregates import q_agg_argminmax
+
+        T0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (3, 9.0),  # tied max, smaller id -> argmax
+            (8, 9.0),
+            (5, 1.0),  # tied min, smaller id -> argmin
+            (6, 1.0),
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([T0] * 4, pa.timestamp("us")),
+                "user_id": pa.array([1] * 4, pa.int64()),
+                "event_type": pa.array(["t"] * 4, pa.string()),
+                "value": pa.array([r[1] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        [r] = q_agg_argminmax(spark, str(tmp_path)).collect()
+        assert (r["max_value_event"], r["min_value_event"]) == (3, 5)
+
+
+class TestDomainCapPlanted:
+    """q_domain_cap hand-checked: a (lang, source) block one past the
+    cap keeps exactly DOMAIN_CAP docs; a block at the cap keeps all."""
+
+    def test_cap_boundary(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.curation import DOMAIN_CAP, q_domain_cap
+
+        n_over, n_at = DOMAIN_CAP + 1, DOMAIN_CAP
+        rows = [(i, "en", "big") for i in range(n_over)]
+        rows += [(1000 + i, "en", "ok") for i in range(n_at)]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array(["w " * 10] * len(rows), pa.string()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array([20] * len(rows), pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = {r["source"]: (r["n_total"], r["n_kept"]) for r in q_domain_cap(spark, str(tmp_path)).collect()}
+        assert out == {"big": (n_over, DOMAIN_CAP), "ok": (n_at, n_at)}
