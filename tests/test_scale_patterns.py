@@ -1424,3 +1424,32 @@ class TestDomainCapPlanted:
         pq.write_table(tbl, str(tmp_path / "documents.parquet"))
         out = {r["source"]: (r["n_total"], r["n_kept"]) for r in q_domain_cap(spark, str(tmp_path)).collect()}
         assert out == {"big": (n_over, DOMAIN_CAP), "ok": (n_at, n_at)}
+
+
+class TestDoclenTrimPlanted:
+    """q_doclen_trim percentile boundary hand-checked: percent_rank of
+    the largest of N docs is 1.0 (> 0.95, trimmed); with 21 docs the
+    20th has pr = 19/20 = 0.95 exactly and is KEPT (<=)."""
+
+    def test_p95_boundary(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.text import q_doclen_trim
+
+        # 21 docs with strictly increasing n_chars 10..30
+        n = 21
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["w"] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([10 + i for i in range(n)], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        [r] = q_doclen_trim(spark, str(tmp_path)).collect()
+        # ranks 0..20 over 20 -> pr = i/20; kept: pr <= 0.95 -> i <= 19
+        assert (r["n_kept"], r["max_chars"]) == (20, 29)
+        assert r["sum_chars"] == sum(10 + i for i in range(20))
