@@ -1453,3 +1453,32 @@ class TestDoclenTrimPlanted:
         # ranks 0..20 over 20 -> pr = i/20; kept: pr <= 0.95 -> i <= 19
         assert (r["n_kept"], r["max_chars"]) == (20, 29)
         assert r["sum_chars"] == sum(10 + i for i in range(20))
+
+
+class TestTemplateDetectPlanted:
+    """q_template_detect group floor hand-checked: an 8-token-prefix
+    group needs >= 5 docs to surface; 4 stays silent."""
+
+    def test_group_floor(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.text import q_template_detect
+
+        shared = "common prefix tokens one two three four five"  # 8 tokens
+        texts = [f"{shared} tail{i}" for i in range(5)]          # 5 docs -> surfaces
+        texts += [f"other start words a b c d e tail{i}" for i in range(4)]  # 4 -> silent
+        n = len(texts)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = q_template_detect(spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        assert (out[0]["n_docs"], out[0]["example_doc"]) == (5, 0)
