@@ -1482,3 +1482,34 @@ class TestTemplateDetectPlanted:
         out = q_template_detect(spark, str(tmp_path)).collect()
         assert len(out) == 1
         assert (out[0]["n_docs"], out[0]["example_doc"]) == (5, 0)
+
+
+class TestTopkPlanted:
+    """q_topk cut-line tie hand-checked: 11 orders tied on price keep
+    the 10 smallest orderkeys (price DESC, orderkey ASC) — membership
+    at the LIMIT boundary is key-deterministic, never arbitrary."""
+
+    def test_tie_at_cut_line(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.setops import q_topk
+
+        n = 11
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array(range(n), pa.int64()),
+                "o_custkey": pa.array([1] * n, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                "o_totalprice": pa.array([500.0] * n, pa.float64()),
+                "o_orderdate": pa.array(
+                    [datetime.datetime(2024, 1, 1)] * n, pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+        keys = [r["o_orderkey"] for r in q_topk(spark, str(tmp_path)).collect()]
+        assert keys == list(range(10))  # orderkey 10 is cut, 0..9 kept in order
