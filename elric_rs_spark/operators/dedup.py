@@ -1451,3 +1451,139 @@ def substring_coverage(d: DataFrame) -> DataFrame:
             ).alias("coverage_ratio"),
         )
     )
+
+
+# --- embedding-LSH dedup portable twin (round 5) -----------------------
+# q_dedup_embed_lsh's hyperplane buckets come from the engine-internal
+# float hash family (rows-only). This twin replays the SAME operator —
+# hyperplane-bucket blocking, exact cosine on candidates only, ranked
+# top-20 candidate output — with the md5 ±1-sign hyperplane family and
+# exact BIGINT micro-component arithmetic, so every stage is
+# bit-identical in DuckDB. It re-bands the shared 16-plane signature
+# into 4 tables x 4-bit keys (the q_sim_recall layout: near-orthogonal
+# synthetic vectors admit almost no candidates under the
+# high-precision 2x8 layout, and a dedup *ranking* wants recall).
+PDLSH_TABLES = 4
+PDLSH_BITS = 4
+
+
+@query(
+    "q_dedup_embed_lsh_portable",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, i AS d,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+w AS (
+  SELECT p, i AS d,
+         CASE WHEN strpos('01234567', substring(md5(p || '#' || i), 1, 1)) > 0
+              THEN 1 ELSE -1 END AS w
+  FROM range(0, 16) pp(p), range(1, 65) t(i)
+),
+dots AS (
+  SELECT c.vec_id, w.p, SUM(c.micro * w.w) AS dot
+  FROM comp c JOIN w ON w.d = c.d
+  GROUP BY c.vec_id, w.p
+),
+sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+  FROM dots GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, t, (sig >> ({PDLSH_BITS} * t)) & {(1 << PDLSH_BITS) - 1} AS key
+  FROM sig, range(0, {PDLSH_TABLES}) tt(t)
+),
+cand AS (
+  SELECT DISTINCT b1.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM bands b1
+  JOIN bands b2 ON b1.t = b2.t AND b1.key = b2.key AND b1.vec_id < b2.vec_id
+),
+prods AS (
+  SELECT c.vec_a, c.vec_b,
+         SUM(ca.micro * cb.micro) AS sab,
+         SUM(ca.micro * ca.micro) AS saa,
+         SUM(cb.micro * cb.micro) AS sbb
+  FROM cand c
+  JOIN comp ca ON ca.vec_id = c.vec_a
+  JOIN comp cb ON cb.vec_id = c.vec_b AND cb.d = ca.d
+  GROUP BY c.vec_a, c.vec_b
+)
+SELECT p.vec_a, p.vec_b, e.label,
+       round(CAST(sab AS DOUBLE)
+             / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 6)
+         AS cosine
+FROM prods p JOIN embeddings e ON e.vec_id = p.vec_a
+ORDER BY cosine DESC, p.vec_a, p.vec_b
+LIMIT 20
+""",
+)
+def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with LSH-bucket blocking and a FULL value
+    oracle — the value-checkable twin of q_dedup_embed_lsh (which keeps
+    the engine-internal float hyperplane family and stays rows-only).
+    Same contract: bucket-blocked candidate pairs (never a corpus
+    self-join), exact cosine on candidates only, output = the 20
+    strongest candidate pairs (a production dedup run thresholds the
+    same plan at >= 0.9; the synthetic corpus tops out ~0.47, so the
+    ranking is the checkable surface — same rationale as the rows-only
+    kernel, dedup.py:366).
+
+    Cross-engine exactness: ±1 md5-sign hyperplanes over BIGINT
+    micro-components (bit-identical bucket membership), integer
+    cross-products for the cosine, ties at the top-20 cut line broken
+    on (vec_a, vec_b). Scale shape mirrors the production kernel:
+    signature via broadcast weight join + one map-side-combined (vec,
+    plane) aggregate, candidates from (table, key) bucket groupBy,
+    exact cosine touches candidates only, final top-20 is TakeOrdered."""
+    from elric_rs_spark.operators.similarity import _micro_comp, _plsh_bands
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    comp = _micro_comp(e)
+    banded = _plsh_bands(spark, comp, tables=PDLSH_TABLES, bits=PDLSH_BITS)
+    ds = F.array_sort(F.collect_set("vec_id"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
+        )
+    )
+    cand = (
+        banded.groupBy("t", "key")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(pair_expr).alias("pr"))
+        .select("pr.vec_a", "pr.vec_b")
+        .distinct()
+    )
+    ca = comp.select(F.col("vec_id").alias("vec_a"), "d", F.col("micro").alias("ma"))
+    cb = comp.select(F.col("vec_id").alias("vec_b"), "d", F.col("micro").alias("mb"))
+    prods = (
+        cand.join(ca, "vec_a")
+        .join(cb, ["vec_b", "d"])
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("sab"),
+            F.sum(F.col("ma") * F.col("ma")).alias("saa"),
+            F.sum(F.col("mb") * F.col("mb")).alias("sbb"),
+        )
+    )
+    cosine = F.round(
+        F.col("sab").cast("double")
+        / (F.sqrt(F.col("saa").cast("double")) * F.sqrt(F.col("sbb").cast("double"))),
+        6,
+    )
+    return (
+        prods.withColumn("cosine", cosine)
+        .join(e.select(F.col("vec_id").alias("vec_a"), "label"), "vec_a")
+        .select("vec_a", "vec_b", "label", "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
+        .limit(20)
+    )

@@ -1520,3 +1520,190 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("head_energy_ratio"),
         )
     )
+
+
+# --- trained-IVF portable twin (round 5) -------------------------------
+# q_sim_ivf_trained's spark.ml KMeans is engine-internal (float Lloyd
+# iterations, seed-dependent init) and therefore rows-only. This twin
+# replays the SAME algorithm — Lloyd's k-means: assign to nearest
+# centroid by squared L2, recompute centroids as member means — in
+# exact BIGINT arithmetic that DuckDB reproduces bit-for-bit:
+# md5-derived integer init centroids, integer squared distances,
+# pmod-floor-divided integer centroid updates (the q_kmeans_assign
+# construction). Two full Lloyd iterations are UNROLLED (same stages as
+# CTEs on the oracle side); empty cells keep their previous centroid.
+KM_CELLS = 8
+KM_INIT_MOD = PIVF_MOD  # init components uniform in [-1e6, 1e6]
+
+
+def _km_assign(comp: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, c, sse): nearest centroid by exact-BIGINT squared L2,
+    tie to the smaller cell id. |micro - m| < 3e6, squared < 9e12, x64
+    dims < 6e14 — ANSI-safe. Centroids broadcast; the distance aggregate
+    is map-side combinable; argmin is one struct-max per vector."""
+    dists = (
+        comp.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "c")
+        .agg(
+            F.sum(
+                (F.col("micro") - F.col("m")) * (F.col("micro") - F.col("m"))
+            ).alias("sse")
+        )
+    )
+    best = dists.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                (-F.col("sse")).alias("neg_sse"),
+                (-F.col("c")).alias("neg_c"),
+                F.col("sse"),
+            )
+        ).alias("top")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("top.neg_c")).cast("long").alias("c"),
+        F.col("top.sse").alias("sse"),
+    )
+
+
+def _km_update(comp: DataFrame, assign: DataFrame, cent_prev: DataFrame) -> DataFrame:
+    """New centroid (c, d, m) = pmod-floor-divided integer mean of the
+    members' micro-components; cells with no members keep their previous
+    centroid (the COALESCE branch — standard empty-cluster handling)."""
+    sums = (
+        comp.join(assign.select("vec_id", "c"), "vec_id")
+        .groupBy("c", "d")
+        .agg(F.sum("micro").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    upd = sums.select(
+        "c", "d", F.expr("(s - pmod(s, n)) div n").alias("m_new")
+    )
+    return (
+        cent_prev.withColumnRenamed("m", "m_prev")
+        .join(upd, ["c", "d"], "left")
+        .select("c", "d", F.coalesce("m_new", "m_prev").alias("m"))
+    )
+
+
+_KM_CENT0_SQL = f"""
+h0 AS (
+  SELECT c, i AS d, md5('k' || c || '#' || i) AS hx
+  FROM range(0, {KM_CELLS}) cc(c), range(1, 65) t(i)
+),
+cent0 AS (SELECT c, d, ({_hex13_sql('hx')}) % {KM_INIT_MOD} - 1000000 AS m FROM h0)
+"""
+
+
+def _km_sql_iter(i: int) -> str:
+    """One unrolled Lloyd iteration as oracle CTEs: dists{i} / as{i}
+    (assignment under cent{i-1}) then sums{i} / cent{i} (update)."""
+    p = i - 1
+    return f"""
+dists{i} AS (
+  SELECT comp.vec_id, c{p}.c,
+         CAST(SUM((comp.micro - c{p}.m) * (comp.micro - c{p}.m)) AS BIGINT) AS sse
+  FROM comp JOIN cent{p} c{p} ON c{p}.d = comp.d
+  GROUP BY comp.vec_id, c{p}.c
+),
+as{i} AS (
+  SELECT vec_id, c, sse FROM (
+    SELECT vec_id, c, sse,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sse, c) AS rn
+    FROM dists{i}
+  ) WHERE rn = 1
+),
+sums{i} AS (
+  SELECT a.c, comp.d, CAST(SUM(comp.micro) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM comp JOIN as{i} a ON a.vec_id = comp.vec_id
+  GROUP BY a.c, comp.d
+),
+cent{i} AS (
+  SELECT c0.c, c0.d,
+         COALESCE((s.s - ((s.s % s.n + s.n) % s.n)) // s.n, c0.m) AS m
+  FROM cent{i-1} c0 LEFT JOIN sums{i} s ON s.c = c0.c AND s.d = c0.d
+)"""
+
+
+@query(
+    "q_sim_ivf_trained_portable",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, i AS d,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+{_KM_CENT0_SQL.strip().rstrip()},
+{_km_sql_iter(1).strip()},
+{_km_sql_iter(2).strip()},
+final AS (
+  SELECT vec_id, c, sse FROM (
+    SELECT comp2.vec_id, comp2.c, comp2.sse,
+           row_number() OVER (PARTITION BY comp2.vec_id
+                              ORDER BY comp2.sse, comp2.c) AS rn
+    FROM (
+      SELECT comp.vec_id, c2.c,
+             CAST(SUM((comp.micro - c2.m) * (comp.micro - c2.m)) AS BIGINT) AS sse
+      FROM comp JOIN cent2 c2 ON c2.d = comp.d
+      GROUP BY comp.vec_id, c2.c
+    ) comp2
+  ) WHERE rn = 1
+)
+SELECT CAST(c AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       (CAST(SUM(sse) AS BIGINT)
+        - ((CAST(SUM(sse) AS BIGINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
+       // COUNT(*) AS avg_sse
+FROM final
+GROUP BY c
+""",
+)
+def q_sim_ivf_trained_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF coarse quantizer with a FULL value oracle — the
+    value-checkable twin of q_sim_ivf_trained (which keeps spark.ml
+    KMeans and stays rows-only; ref README.md:12's ANN surface). Same
+    algorithm, engine-exact arithmetic: md5-seeded integer init
+    centroids, two UNROLLED Lloyd iterations (exact-BIGINT squared-L2
+    assignment with tie-to-smaller-cell, pmod-floor-divided integer
+    centroid means, empty cells keep their previous centroid), then a
+    final assignment under the trained centroids. Output is the per-cell
+    training summary (cell, n_vecs, avg_sse) — cell populations AND
+    within-cell distortion, so a wrong assignment OR a wrong centroid
+    update fails the value hash.
+
+    Scale shape: centroids are O(cells x dims) — always broadcast; each
+    assignment is one map-side-combinable (vec, cell) aggregate; each
+    update is one (cell, dim) aggregate over corpus rows. Iterations
+    are a fixed constant (2 here; production trains on a bounded sample
+    like q_sim_ivf_trained, so iteration cost is sample-sized, never
+    corpus-sized). avg_sse is floor-divided per cell — a per-cell MEAN,
+    not a raw sum, so the statistic stays in BIGINT range at any corpus
+    size (a raw SSE sum would overflow near ~3e4 vecs/cell x 6e14)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comp = _micro_comp(e)
+
+    cells = spark.range(KM_CELLS).select(F.col("id").cast("int").alias("c"))
+    dims = spark.range(1, EMB_DIM + 1).select(F.col("id").alias("d"))
+    hx = F.md5(
+        F.concat(F.lit("k"), F.col("c").cast("string"), F.lit("#"),
+                 F.col("d").cast("string"))
+    )
+    cent = cells.crossJoin(dims).select(
+        "c", "d",
+        (F.conv(F.substring(hx, 1, 13), 16, 10).cast("long") % KM_INIT_MOD
+         - 1000000).alias("m"),
+    )
+    for _ in range(2):  # unrolled on the oracle side as _km_sql_iter(1..2)
+        assign = _km_assign(comp, cent)
+        cent = _km_update(comp, assign, cent)
+    final = _km_assign(comp, cent)
+    return (
+        final.groupBy(F.col("c").cast("long").alias("cell"))
+        .agg(F.sum("sse").alias("ssum"), F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            "cell",
+            "n_vecs",
+            F.expr("(ssum - pmod(ssum, n_vecs)) div n_vecs").alias("avg_sse"),
+        )
+    )

@@ -31,30 +31,30 @@ def test_registry_iteration_leads_with_grading_order():
     assert ordered[:n] == registry.GRADING_ORDER
 
 
-def test_first_50_covers_fixed_and_never_graded():
-    """The round-4 grading window must contain every query without a
-    green driver row in ANY round (VERDICT r03 next-round #1 — "finish
-    the union"): the 2 round-3 harness ERRs (fixed), the 17 never-graded
-    keys, the 3 new portable twins, and the queries whose output
-    semantics changed this round."""
-    front = set(list(registry.QUERIES)[:50])
+def test_first_50_covers_never_graded_round4_additions():
+    """The round-5 grading window must contain every query without a
+    green driver row in ANY round (VERDICT r04 next-round #1 — the 33
+    round-4 additions that registered past the round-4 window), and
+    every slot must be oracle-backed (VERDICT r04 finding #2: no slots
+    on rows-only keys)."""
+    front = list(registry.QUERIES)[:50]
     must_grade = {
-        # round-3 harness ERRs, fixed (array -> comma-string)
-        "q_inverted_index", "q_dedup_clusters",
-        # never graded in rounds 1-3
-        "q_dedup_keep_best", "q_min_cost_supplier", "q_supplier_cnt",
-        "q_scalar_bitwise", "q_agg_argminmax", "q_grouping_id",
-        "q_gap_fill", "q_disjunctive_pred", "q_agg_corr", "q_scalar_null",
-        "q_rollup_multigrain", "q_subquery_lateral", "q_pq_encode",
-        "q_counter_rate", "q_mix_rebalance", "q_template_detect",
-        "q_dedup_simhash_portable",
-        # new in round 4
-        "q_agg_approx_portable", "q_sim_lsh_portable", "q_sim_ivf_portable",
-        # semantics changed in round 4 (cents lift / integer div)
-        "q_map_project", "q_map_concat", "q_map_explode", "q_kmeans_assign",
+        "q_revenue_forecast", "q_unpivot", "q_sketch_cms",
+        "q_volume_shipping", "q_market_share", "q_returned_items",
+        "q_join_interval", "q_rolling_active", "q_ewma",
+        "q_priority_waiting", "q_small_qty_revenue", "q_excess_supplier",
+        "q_waiting_suppliers", "q_skyline", "q_lm_score",
+        "q_ngram_novelty", "q_bm25", "q_bigram_pmi",
+        "q_dedup_containment", "q_dedup_semantic", "q_passage_dedup",
+        "q_substring_dedup", "q_sim_recall", "q_sim_ivf_curve",
+        "q_embed_norm", "q_pii_scrub", "q_url_dedup",
+        "q_importance_weight", "q_c4_filter", "q_curation_v2",
+        "q_pagerank", "q_graph_triangles", "q_graph_labelprop",
     }
-    evicted = must_grade - front
+    evicted = must_grade - set(front)
     assert not evicted, f"evicted from the 50-query grading window: {evicted}"
+    rows_only = [q for q in front if q not in registry.ORACLES]
+    assert not rows_only, f"rows-only keys occupy grading slots: {rows_only}"
 
 
 def test_every_query_has_callable_and_oracle_alignment():
