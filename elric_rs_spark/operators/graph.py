@@ -25,6 +25,52 @@ from elric_rs_spark.tables import load_table
 
 PR_SCALE = 10**12
 PR_ITERS = 3
+
+# The whole graph quartet (PageRank / triangles / label propagation —
+# plus connected components in dedup.py, which runs on documents, not
+# this graph) derives its edges from ONE expensive stage: the weighted
+# co-purchase pair table (a per-order supplier self-join over distinct
+# (order, supplier) rows + a pair-count aggregate). Each query used to
+# rebuild it (~60% of each query's wall time, VERDICT r04 next-round
+# #3); it is now built ONCE per (session, sf_dir), localCheckpoint-ed,
+# and memoized — the in-process stand-in for the production shape, an
+# explicit materialized edge table every graph job scans. The memo key
+# is (applicationId, sf_dir): a new SparkSession gets a fresh build
+# (checkpointed blocks die with the context), and different fixtures
+# never collide. _COPURCHASE_BUILDS is the test-visible build counter
+# (tests/test_plans.py proves one build serves the quartet).
+_COPURCHASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_COPURCHASE_BUILDS = 0
+
+
+def copurchase_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted undirected co-purchase pairs `(a, b, w)` with a < b:
+    suppliers a and b co-appear in w distinct orders. Built once per
+    (session, sf_dir) and reused by every graph query."""
+    global _COPURCHASE_BUILDS
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COPURCHASE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    os_ = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    l1 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
+    l2 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
+    raw = (
+        l1.join(l2, "k")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        # materialize: every downstream consumer (max-weight scalar,
+        # threshold probe, both PageRank directions, 3 iteration loops)
+        # reads these shuffle-free checkpointed blocks instead of
+        # re-running the dominant self-join
+        .localCheckpoint()
+    )
+    _COPURCHASE_CACHE[key] = raw
+    _COPURCHASE_BUILDS += 1
+    return raw
 # damping 0.85 as the integer pair (85, 100)
 _EDGES_SQL = """
   SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, count(*) AS w
@@ -88,19 +134,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     table instead. Ranks are BIGINTs at SCALE=1e12 with floor-division
     damping, identical on both engines — the oracle replays all three
     iterations bit-for-bit."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    ).distinct()
-    l2 = li.select(
-        F.col("l_orderkey"), F.col("l_suppkey").alias("dst_supp")
-    )
-    edges = (
-        li.join(l2, "l_orderkey")
-        .filter(F.col("l_suppkey") != F.col("dst_supp"))
-        .groupBy(F.col("l_suppkey").alias("src"), F.col("dst_supp").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()
-    )
+    # both directions of the shared undirected co-purchase fixture:
+    # pair (a, b) co-appears in w orders symmetrically, so the directed
+    # (src, dst, w) expansion is exactly the old per-query self-join
+    raw = copurchase_raw(spark, sf_dir)
+    edges = raw.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(raw.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = n.select(F.expr(f"(15 * ({PR_SCALE} div n)) div 100").alias("b"))
@@ -164,20 +204,7 @@ def _strong_tie_edges(
     """Spark twin of _strong_tie_ctes: undirected (a, b) strong-tie
     co-purchase edges, weight >= (num*max_w) div den."""
     num, den = frac
-    li = load_table(spark, sf_dir, "lineitem")
-    os_ = li.select("l_orderkey", "l_suppkey").distinct()
-    l1 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
-    l2 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
-    raw = (
-        l1.join(l2, "k")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-        # materialize: BOTH the max-weight scalar and the threshold
-        # probe consume raw — without this the dominant co-purchase
-        # self-join executes twice (4 lineitem scans in the AQE plan)
-        .localCheckpoint()
-    )
+    raw = copurchase_raw(spark, sf_dir)
     mw = raw.agg(F.max("w").alias("mw"))
     return (
         raw.crossJoin(F.broadcast(mw))
