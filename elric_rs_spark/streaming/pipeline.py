@@ -245,7 +245,21 @@ def run_pipeline(
     reads `spark.sql.shuffle.partitions` once at first query start and
     pins it in the checkpoint, so the conf is set around `.start()` and
     restored immediately — later batches use the checkpointed value;
-    batch queries on the session are unaffected."""
+    batch queries on the session are unaffected.
+
+    100x-state note: the default HDFS-backed state store keeps every
+    stream's buffer on the executor HEAP. At production state sizes
+    (many streams x deep finality windows), switch the session to the
+    RocksDB provider before the FIRST start — state then lives on local
+    disk with incremental checkpointing:
+      spark.sql.streaming.stateStore.providerClass =
+        org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+      spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled = true
+    The provider is pinned in the checkpoint like the shuffle-partition
+    count, so it must be chosen at topology birth, not on restart.
+    Crash-recovery contract (kill -> restart on the same checkpoint:
+    state restored, no loss, read-view exactly-once) is proven in
+    tests/test_pipeline.py::TestCheckpointRestart."""
     from elric_rs_spark.streaming.source import read_block_stream
 
     stream = read_block_stream(spark, landing_dir)

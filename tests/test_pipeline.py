@@ -346,3 +346,57 @@ class TestMalformedPayloadPolicy:
 
         df = self._frame(spark).filter("block_num <> 2")
         assert len(decode_changes(df, mode="strict").collect()) == 4
+
+
+class TestCheckpointRestart:
+    def test_kill_and_resume_no_loss_no_dup(self, spark, tmpdir):
+        """Crash-recovery engine-native (VERDICT r04 next-round #6; ref
+        main.rs:299-310): kill a run_pipeline stream mid-flight, restart
+        against the SAME checkpoint dir, and prove (a) the stateful
+        finality buffer resumes from checkpointed state — blocks that
+        were buffered-unfinalized at the kill flush after restart,
+        (b) the exactly-once read view has every finalized block EXACTLY
+        once (a replayed epoch may double raw rows; the read view must
+        collapse them), (c) cursor recovery returns the latest flushed
+        block of the SECOND run."""
+        import time
+
+        landing, ckpt, out = (f"{tmpdir}/{d}" for d in ("landing", "ckpt", "out"))
+        sink = TypedPerTableSink(out, {"approvals": APPROVALS_SCHEMA})
+
+        # phase 1: land 20 blocks, run live (processing-time trigger),
+        # kill as soon as the first flush proves mid-flight progress
+        land_blocks(spark, _blocks(20, reorg_depth=5), landing)
+        q = run_pipeline(spark, landing, ckpt, sink, available_now=False)
+        try:
+            import os
+
+            deadline = time.monotonic() + 90
+            while time.monotonic() < deadline and not os.path.exists(f"{out}/cursors"):
+                time.sleep(0.5)
+        finally:
+            q.stop()  # the kill: mid-stream, whatever epoch was in flight
+            q.awaitTermination(30)
+
+        # phase 2: more blocks arrive while the engine is down
+        land_blocks(
+            spark,
+            [dict(b, block_num=b["block_num"], cursor=b["cursor"])
+             for b in _blocks(40, reorg_depth=5)[20:]],
+            landing,
+        )
+
+        # phase 3: restart on the same checkpoint; drain everything
+        q2 = run_pipeline(spark, landing, ckpt, sink, available_now=True)
+        q2.awaitTermination(180)
+
+        # watermark at block 39 is 34 -> exactly blocks 0..34 finalized,
+        # each exactly once in the read view (owner is the approvals PK)
+        from elric_rs_spark.streaming.sink import read_exactly_once
+
+        rows = read_exactly_once(spark, out, "approvals", ["owner"]).collect()
+        assert sorted(r.block_num for r in rows) == list(range(35))
+        # state survived the kill: blocks buffered at the kill (15..19 at
+        # most) flushed in run 2, not re-ingested from scratch — the file
+        # source's checkpoint must not re-read run-1 files
+        assert load_persisted_cursor(spark, out, "s1") == "34"
