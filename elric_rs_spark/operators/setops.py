@@ -146,7 +146,18 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets x per-bucket frontier size — the one unpartitioned window
     runs on that small set by construction, same stance as
     q_pack_shards' offset table). The strictly-cheaper dominance probe
-    is a RANGE frame over integer cents, never a self-join."""
+    is a RANGE frame over integer cents, never a self-join.
+
+    Worst-case caveat (ADVICE r04): "small by construction" assumes a
+    benign distribution. On ANTI-CORRELATED data (price strictly
+    decreasing in size) every point is its bucket's local frontier, so
+    phase 2's single partition degrades to O(n) rows through one
+    window — correct, but the driver-side sort becomes the bottleneck.
+    The at-scale escape is to RECURSE: re-bucket the candidate set and
+    repeat phase 1 until the survivor count fits one partition (each
+    round shrinks benign data geometrically; truly anti-correlated
+    data is irreducible — its skyline IS O(n), and no algorithm
+    returns less than its output)."""
     p = load_table(spark, sf_dir, "part")
     pts = p.select(
         "p_partkey",

@@ -1018,7 +1018,7 @@ sm AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 )
 SELECT user_id, event_id, num, den,
-       CAST(num // den AS BIGINT) AS ewma_cents
+       CAST((num - ((num % den + den) % den)) // den AS BIGINT) AS ewma_cents
 FROM sm
 """,
 )
@@ -1031,11 +1031,13 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry all but 2^-8 of the mass) and, with power-of-two integer
     weights over integer cents, it is EXACT: one BIGINT dot product
     over the lag window and one integer division, replayed verbatim
-    by the oracle. Division note: Spark `div` and DuckDB `//` BOTH
-    truncate toward zero, which equals floor only for non-negative
-    numerators — fine here (event values are positive cents), but a
-    stream with negative values needs the pmod pre-subtraction form
-    (see q_kmeans_assign) for true floor semantics.
+    by the oracle. Division is the pmod pre-subtraction floor form
+    (the q_kmeans_assign construction): subtracting the non-negative
+    pmod makes the numerator exactly divisible, so Spark's truncating
+    `div` and DuckDB's flooring `//` agree for ANY sign — a stream
+    with negative metric values keeps exact cross-engine semantics
+    (ADVICE r04: the bare-div form was exact only because the fixture
+    happens to be non-negative).
 
     Scale shape: one keyed window (lag frame over user_id partitions,
     the q_counter_rate shuffle class); everything else is row-local
@@ -1063,5 +1065,5 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "num",
         "den",
-        F.expr("num div den").alias("ewma_cents"),
+        F.expr("(num - pmod(num, den)) div den").alias("ewma_cents"),
     )

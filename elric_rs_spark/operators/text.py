@@ -1031,9 +1031,14 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("b").cast("double") * F.col("c1") * F.col("c2"))
         )
     ).cast("long")
+    # u1/u2 are vocabulary-sized: no explicit broadcast hint (ADVICE
+    # r04 — a forced broadcast caps out at driver memory once the
+    # vocabulary outgrows the threshold; AQE broadcasts them while they
+    # fit and falls back to a shuffle join when they don't). The one-row
+    # total tables stay explicitly broadcast.
     return (
-        bcnt.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        bcnt.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(utot))
         .crossJoin(F.broadcast(btot))
         .select("w1", "w2", "c12", pmi.alias("pmi_mnat"))
