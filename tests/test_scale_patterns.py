@@ -1576,3 +1576,193 @@ class TestEwmaNegativeValues:
         for num, den, ew in hit:
             assert ew == num // den  # python // floors: the true floor
             assert ew != -((-num) // den)  # and truncation would differ
+
+
+def _planted_embeddings(tmp_path, vecs):
+    """Write a 64-dim embeddings fixture; returns the dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(len(vecs))], type=pa.int32()),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def _micro(vecs):
+    """(vec_id, d->micro) exact integer micro-components, 1-based dims —
+    the reference arithmetic both engines must reproduce. float32
+    round-trip first: the fixture stores float32, engines read float32."""
+    import struct
+
+    out = []
+    for e in vecs:
+        comps = {}
+        for i, x in enumerate(e):
+            x32 = struct.unpack("f", struct.pack("f", x))[0]
+            # Spark/DuckDB round() = half away from zero on doubles
+            v = x32 * 1_000_000
+            import decimal
+
+            comps[i + 1] = int(
+                decimal.Decimal(repr(v)).quantize(0, rounding=decimal.ROUND_HALF_UP)
+            ) if v >= 0 else -int(
+                decimal.Decimal(repr(-v)).quantize(0, rounding=decimal.ROUND_HALF_UP)
+            )
+        out.append(comps)
+    return out
+
+
+class TestTrainedIvfPortablePlanted:
+    """Third-implementation check for q_sim_ivf_trained_portable: the
+    Spark query and its DuckDB oracle share the md5-Lloyd construction,
+    so a shared bug passes parity (the triangle-counting lesson). This
+    pure-Python replay is independent of both engines."""
+
+    def test_matches_pure_python_lloyd(self, spark, tmp_path):
+        import hashlib
+
+        from elric_rs_spark.operators.similarity import (
+            KM_CELLS,
+            KM_INIT_MOD,
+            q_sim_ivf_trained_portable,
+        )
+
+        # 9 vectors in 3 tight direction-clusters (scaled differently so
+        # centroid updates move), 64 dims
+        base = []
+        for c in range(3):
+            proto = [(1.0 if (d % 3) == c else -0.5) * (0.3 + 0.2 * c)
+                     for d in range(64)]
+            for k in range(3):
+                base.append([x * (1 + 0.05 * k) for x in proto])
+        d = _planted_embeddings(tmp_path, base)
+
+        comp = _micro(base)
+
+        def h13(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+        cent = {
+            (c, dd): h13(f"k{c}#{dd}") % KM_INIT_MOD - 1_000_000
+            for c in range(KM_CELLS) for dd in range(1, 65)
+        }
+
+        def assign(cent):
+            out = {}
+            for vid, comps in enumerate(comp):
+                best = None
+                for c in range(KM_CELLS):
+                    sse = sum((comps[dd] - cent[(c, dd)]) ** 2 for dd in range(1, 65))
+                    if best is None or (sse, c) < best[:2]:
+                        best = (sse, c)
+                out[vid] = (best[1], best[0])
+            return out
+
+        def update(cent, asg):
+            new = dict(cent)
+            members = {}
+            for vid, (c, _) in asg.items():
+                members.setdefault(c, []).append(vid)
+            for c, vids in members.items():
+                for dd in range(1, 65):
+                    s = sum(comp[v][dd] for v in vids)
+                    n = len(vids)
+                    new[(c, dd)] = (s - ((s % n + n) % n)) // n
+            return new
+
+        for _ in range(2):
+            asg = assign(cent)
+            cent = update(cent, asg)
+        final = assign(cent)
+        expected = {}
+        for vid, (c, sse) in final.items():
+            expected.setdefault(c, []).append(sse)
+        expected = {
+            c: (len(v), (sum(v) - ((sum(v) % len(v) + len(v)) % len(v))) // len(v))
+            for c, v in expected.items()
+        }
+
+        got = {
+            r.cell: (r.n_vecs, r.avg_sse)
+            for r in q_sim_ivf_trained_portable(spark, d).collect()
+        }
+        assert got == expected
+
+
+class TestDedupEmbedLshPortablePlanted:
+    """Same triple-implementation stance for q_dedup_embed_lsh_portable:
+    pure-Python md5 hyperplanes + integer cosine, independent of both
+    engines."""
+
+    def test_matches_pure_python_lsh(self, spark, tmp_path):
+        import hashlib
+        import math
+
+        from elric_rs_spark.operators.dedup import (
+            PDLSH_BITS,
+            PDLSH_TABLES,
+            q_dedup_embed_lsh_portable,
+        )
+
+        # two near-dup pairs + noise vectors
+        import random
+
+        rng = random.Random(7)
+        vecs = []
+        for _ in range(2):
+            proto = [rng.uniform(-1, 1) for _ in range(64)]
+            vecs.append(proto)
+            vecs.append([x + rng.uniform(-0.01, 0.01) for x in proto])
+        for _ in range(6):
+            vecs.append([rng.uniform(-1, 1) for _ in range(64)])
+        d = _planted_embeddings(tmp_path, vecs)
+        comp = _micro(vecs)
+
+        def sign(p, dd):
+            return 1 if hashlib.md5(f"{p}#{dd}".encode()).hexdigest()[0] in "01234567" else -1
+
+        sigs = {}
+        for vid, comps in enumerate(comp):
+            s = 0
+            for p in range(16):
+                dot = sum(comps[dd] * sign(p, dd) for dd in range(1, 65))
+                if dot >= 0:
+                    s |= 1 << p
+            sigs[vid] = s
+        cand = set()
+        for t in range(PDLSH_TABLES):
+            mask = (1 << PDLSH_BITS) - 1
+            buckets = {}
+            for vid, s in sigs.items():
+                buckets.setdefault((s >> (PDLSH_BITS * t)) & mask, []).append(vid)
+            for vids in buckets.values():
+                vids = sorted(vids)
+                for i in range(len(vids)):
+                    for j in range(i + 1, len(vids)):
+                        cand.add((vids[i], vids[j]))
+        rows = []
+        for a, b in cand:
+            sab = sum(comp[a][dd] * comp[b][dd] for dd in range(1, 65))
+            saa = sum(comp[a][dd] ** 2 for dd in range(1, 65))
+            sbb = sum(comp[b][dd] ** 2 for dd in range(1, 65))
+            cos = float(sab) / (math.sqrt(float(saa)) * math.sqrt(float(sbb)))
+            rows.append((a, b, a % 3, round(cos, 6)))
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        expected = rows[:20]
+
+        got = [
+            (r.vec_a, r.vec_b, r.label, r.cosine)
+            for r in q_dedup_embed_lsh_portable(spark, d).collect()
+        ]
+        assert sorted(got) == sorted(expected)
+        # the planted near-dup pairs must surface as candidates
+        pairs = {(g[0], g[1]) for g in got}
+        assert (0, 1) in pairs and (2, 3) in pairs

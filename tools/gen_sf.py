@@ -1,0 +1,170 @@
+"""Generate a LOCAL sf1 decade (~6M lineitem) from the driver's sf0.1
+fixtures by 10x key-offset replication — for the BASELINE.md scaling
+curve only (VERDICT r04 next-round #5). Writes to .scratch/sfN (never
+/root/testdata, which is read-only driver property).
+
+Replication preserves the driver generator's value distributions,
+per-key fan-outs, and group cardinalities exactly (each replica is the
+original universe under a key shift). Two tables get a per-replica
+TRANSFORM so similarity structure scales instead of degenerating:
+
+- documents: replica r>0 applies a deterministic vocabulary
+  permutation (word -> vocab[(i + r*7) % V]). Word-frequency shape and
+  within-replica dup structure are preserved; across replicas the
+  permuted texts are far apart, so near-dup pair counts grow linearly
+  with the corpus (10 identical copies of every doc would instead grow
+  candidate pairs 45x and turn the dedup family into a different
+  benchmark).
+- embeddings: replica r>0 multiplies each dimension by an
+  (r, d)-derived ±1 sign. Norms and per-dim magnitude distributions
+  are exactly preserved; directions decorrelate across replicas.
+
+Usage: python tools/gen_sf.py [factor] [src_dir] [out_dir]
+Defaults: 10 /root/testdata/sf0.1 .scratch/sf1
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+import duckdb
+
+
+def _sign(r: int, d: int) -> int:
+    h = hashlib.md5(f"{r}:{d}".encode()).digest()[0]
+    return 1 if h % 2 == 0 else -1
+
+
+def generate(factor: int, src: str, out: str) -> None:
+    outp = Path(out)
+    outp.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    sizes = {}
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        sizes[t] = con.sql(
+            f"select count(*) from '{src}/{t}.parquet'"
+        ).fetchone()[0]
+    n_cust = con.sql(f"select max(c_custkey)+1 from '{src}/customer.parquet'").fetchone()[0]
+    n_supp = con.sql(f"select max(s_suppkey)+1 from '{src}/supplier.parquet'").fetchone()[0]
+    n_part = con.sql(f"select max(p_partkey)+1 from '{src}/part.parquet'").fetchone()[0]
+    n_ord = con.sql(f"select max(o_orderkey)+1 from '{src}/orders.parquet'").fetchone()[0]
+    n_user = con.sql(f"select max(user_id)+1 from '{src}/events.parquet'").fetchone()[0]
+    n_evt = con.sql(f"select max(event_id)+1 from '{src}/events.parquet'").fetchone()[0]
+    n_doc = con.sql(f"select max(doc_id)+1 from '{src}/documents.parquet'").fetchone()[0]
+    n_vec = con.sql(f"select max(vec_id)+1 from '{src}/embeddings.parquet'").fetchone()[0]
+
+    con.execute(f"CREATE TABLE reps AS SELECT * FROM range(0, {factor}) t(r)")
+
+    def copy(table: str, select_sql: str, plain: bool = False) -> None:
+        src_rel = f"read_parquet('{src}/{table}.parquet')"
+        q = (
+            f"COPY ({select_sql.format(src=src_rel)}) TO "
+            f"'{outp}/{table}.parquet' (FORMAT parquet)"
+        )
+        con.execute(q)
+        got = con.sql(f"select count(*) from '{outp}/{table}.parquet'").fetchone()[0]
+        want = sizes[table] * (1 if plain else factor)
+        assert got == want, (table, got, want)
+        print(f"{table}: {got} rows")
+
+    # fixed-size dims: copied as-is (they are fixed at every TPC-H sf)
+    copy("region", "SELECT * FROM {src}", plain=True)
+    copy("nation", "SELECT * FROM {src}", plain=True)
+
+    copy("customer", f"""
+      SELECT c_custkey + r*{n_cust} AS c_custkey, c_name, c_nationkey,
+             c_acctbal, c_mktsegment
+      FROM {{src}}, reps""")
+    copy("supplier", f"""
+      SELECT s_suppkey + r*{n_supp} AS s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM {{src}}, reps""")
+    copy("part", f"""
+      SELECT p_partkey + r*{n_part} AS p_partkey, p_name, p_brand, p_type,
+             p_size, p_retailprice
+      FROM {{src}}, reps""")
+    copy("orders", f"""
+      SELECT o_orderkey + r*{n_ord} AS o_orderkey,
+             o_custkey + r*{n_cust} AS o_custkey,
+             o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM {{src}}, reps""")
+    copy("lineitem", f"""
+      SELECT l_orderkey + r*{n_ord} AS l_orderkey,
+             l_partkey + r*{n_part} AS l_partkey,
+             l_suppkey + r*{n_supp} AS l_suppkey,
+             l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+             l_returnflag, l_linestatus, l_shipdate
+      FROM {{src}}, reps""")
+    copy("events", f"""
+      SELECT event_id + r*{n_evt} AS event_id, ts,
+             user_id + r*{n_user} AS user_id,
+             event_type, value, props
+      FROM {{src}}, reps""")
+
+    # documents: per-replica vocabulary permutation (see module doc)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dtbl = pq.read_table(f"{src}/documents.parquet")
+    texts = dtbl.column("text").to_pylist()
+    vocab = sorted({w for t in texts for w in t.split(" ")})
+    v = len(vocab)
+    idx = {w: i for i, w in enumerate(vocab)}
+    doc_ids, out_texts, langs, srcs, n_chars = [], [], [], [], []
+    base_doc = dtbl.column("doc_id").to_pylist()
+    base_lang = dtbl.column("lang").to_pylist()
+    base_src = dtbl.column("source").to_pylist()
+    for r in range(factor):
+        if r == 0:
+            perm = None
+        else:
+            perm = {w: vocab[(i + r * 7) % v] for w, i in idx.items()}
+        for did, t, lg, sc in zip(base_doc, texts, base_lang, base_src):
+            nt = t if perm is None else " ".join(perm[w] for w in t.split(" "))
+            doc_ids.append(did + r * n_doc)
+            out_texts.append(nt)
+            langs.append(lg)
+            srcs.append(sc)
+            n_chars.append(len(nt))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "text": out_texts,
+            "lang": langs,
+            "source": srcs,
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+        }),
+        f"{outp}/documents.parquet",
+    )
+    assert len(doc_ids) == sizes["documents"] * factor
+    print(f"documents: {len(doc_ids)} rows (vocab {v})")
+
+    # embeddings: per-replica ±1 sign flip per dimension
+    tbl = pq.read_table(f"{src}/embeddings.parquet")
+    dim = len(tbl.column("embedding")[0])
+    vec_ids, embs, labels = [], [], []
+    base_ids = tbl.column("vec_id").to_pylist()
+    base_emb = tbl.column("embedding").to_pylist()
+    base_lab = tbl.column("label").to_pylist()
+    for r in range(factor):
+        signs = [_sign(r, d) for d in range(dim)] if r else None
+        for vid, e, lab in zip(base_ids, base_emb, base_lab):
+            vec_ids.append(vid + r * n_vec)
+            embs.append(e if r == 0 else [x * s for x, s in zip(e, signs)])
+            labels.append(lab)
+    out_tbl = pa.table({
+        "vec_id": pa.array(vec_ids, type=pa.int64()),
+        "embedding": pa.array(embs, type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    })
+    pq.write_table(out_tbl, f"{outp}/embeddings.parquet")
+    print(f"embeddings: {len(vec_ids)} rows")
+
+
+if __name__ == "__main__":
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = sys.argv[3] if len(sys.argv) > 3 else ".scratch/sf1"
+    generate(factor, src, out)
