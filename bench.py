@@ -88,6 +88,9 @@ HEADLINE = [
     "q_graph_labelprop",
     "q_ewma",
     "q_skyline",
+    # round-5 appends (same contract: never interleave into the prefix)
+    "q_sim_ivf_trained_portable",
+    "q_dedup_embed_lsh_portable",
 ]
 
 

@@ -840,3 +840,99 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
         )
     )
+
+
+# --- hashed linear quality classifier (round 5) ------------------------
+# The modern curation stack filters on MODEL scores, not just heuristics
+# (FineWeb-Edu / DCLM-style classifier filtering: a cheap linear model
+# over hashed features scores every page; public method — Penedo et al.
+# 2024, arXiv:2406.17557; Li et al. 2024, arXiv:2406.11794). This is
+# that APPLY stage with an engine-portable stand-in model: 256 hashed
+# token buckets (the q_importance_weight feature space) with md5-derived
+# integer milli-nat weights. Training happens offline; what a 100 TB
+# pass needs from the engine is exactly this shape — broadcast a small
+# weight table, score every document in one map-side-combinable pass.
+QLOGIT_BUCKETS = 256
+QLOGIT_SPAN = 2001  # weights uniform in [-1000, 1000] milli-nats
+
+
+def _qlogit_hex13(expr: str) -> str:
+    from elric_rs_spark.operators.similarity import _hex13_sql
+
+    return _hex13_sql(expr)
+
+
+@query(
+    "q_quality_logit",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+),
+w AS (
+  SELECT printf('%02x', i) AS bucket,
+         ({_qlogit_hex13("md5('w' || printf('%02x', i))")}) % {QLOGIT_SPAN}
+           - 1000 AS w_mnat
+  FROM range(0, {QLOGIT_BUCKETS}) t(i)
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(w.w_mnat) AS BIGINT) AS logit_sum
+  FROM toks t JOIN w ON w.bucket = substr(md5(t.tok), 1, 2)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_toks,
+       (logit_sum - ((logit_sum % n_toks + n_toks) % n_toks)) // n_toks
+         AS mean_logit_mnat,
+       CASE WHEN (logit_sum - ((logit_sum % n_toks + n_toks) % n_toks))
+                 // n_toks >= 0
+            THEN 1 ELSE 0 END AS keep
+FROM scored
+""",
+)
+def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter APPLY stage: every document scored by
+    a hashed linear classifier — mean milli-nat weight of its tokens
+    under a broadcast 256-bucket weight table, kept when the mean logit
+    is non-negative. Weights are md5-derived integers, so the whole
+    score (sum, pmod-floor-divided mean, keep decision) is exact BIGINT
+    arithmetic, bit-identical in the oracle — no float anywhere.
+
+    Scale shape: token explode (row-local), ONE broadcast join against
+    the O(1) weight table, one map-side-combinable groupBy(doc_id).
+    Swapping the stand-in weights for a trained model's real
+    coefficients changes numbers, not the plan — at 100 TB this is the
+    same single-pass scan FineWeb-style classifier filtering runs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    )
+    w = spark.range(QLOGIT_BUCKETS).select(
+        F.lpad(F.lower(F.hex(F.col("id"))), 2, "0").alias("bucket")
+    ).select(
+        "bucket",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w"), F.col("bucket"))), 1, 13),
+                16, 10,
+            ).cast("long") % QLOGIT_SPAN - 1000
+        ).alias("w_mnat"),
+    )
+    scored = (
+        toks.select("doc_id", F.substring(F.md5("tok"), 1, 2).alias("bucket"))
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("w_mnat").alias("logit_sum"),
+        )
+    )
+    mean = F.expr("(logit_sum - pmod(logit_sum, n_toks)) div n_toks")
+    return scored.select(
+        "doc_id",
+        "n_toks",
+        mean.alias("mean_logit_mnat"),
+        F.when(mean >= 0, 1).otherwise(0).cast("int").alias("keep"),
+    )

@@ -1017,6 +1017,24 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BOTH engines with no HUGEINT widening).
 SEMANTIC_T_NUM_SQ = 49    # t^2 = 49/400  (t = 7/20 = 0.35)
 SEMANTIC_T_DEN_SQ = 400
+# Oversized-cell guard (the standard SemDeDup production cap, now
+# IMPLEMENTED rather than documented — the r5 sf1 decade run measured
+# the uncapped audit growing 21x per 10x of corpus under a fixed
+# cluster count): clusters larger than the cap are hash-split into
+# ceil(n/CAP) sub-cells via an md5-derived uniform key and the pairwise
+# stage runs within (cluster, sub-cell). Per-cluster pair work drops
+# from n^2/2 to ~n*CAP/2 — linear in corpus size. At every driver scale
+# (sf0.001/0.01/0.1: cluster sizes <= ~200) no cluster exceeds the cap,
+# so sub = 0 everywhere and results are bit-identical to the uncapped
+# form. Cross-sub-cell duplicate pairs are the sanctioned approximation
+# (SemDeDup itself already accepts cross-CLUSTER misses by design).
+SEMANTIC_CELL_CAP = 512
+
+
+def _semantic_hex13(expr: str) -> str:
+    from elric_rs_spark.operators.similarity import _hex13_sql
+
+    return _hex13_sql(expr)
 
 
 @query(
@@ -1054,15 +1072,24 @@ norms AS (
   SELECT vec_id, CAST(sum(mil * mil) AS BIGINT) AS nsq
   FROM comp GROUP BY vec_id
 ),
+csize AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_c FROM assign GROUP BY cluster
+),
+subs AS (
+  SELECT a.vec_id, a.cluster,
+         ({_semantic_hex13("md5('s' || a.vec_id)")})
+           % ((c.n_c + {SEMANTIC_CELL_CAP - 1}) // {SEMANTIC_CELL_CAP}) AS sub
+  FROM assign a JOIN csize c ON c.cluster = a.cluster
+),
 dots AS (
-  SELECT aa.cluster, a.vec_id AS ida, b.vec_id AS idb,
+  SELECT sa.cluster, a.vec_id AS ida, b.vec_id AS idb,
          CAST(sum(a.mil * b.mil) AS BIGINT) AS dot
   FROM comp a
-  JOIN assign aa ON aa.vec_id = a.vec_id
-  JOIN assign ab ON ab.cluster = aa.cluster
-  JOIN comp b ON b.vec_id = ab.vec_id AND b.dim = a.dim
+  JOIN subs sa ON sa.vec_id = a.vec_id
+  JOIN subs sb ON sb.cluster = sa.cluster AND sb.sub = sa.sub
+  JOIN comp b ON b.vec_id = sb.vec_id AND b.dim = a.dim
   WHERE a.vec_id < b.vec_id
-  GROUP BY aa.cluster, a.vec_id, b.vec_id
+  GROUP BY sa.cluster, a.vec_id, b.vec_id
 ),
 dropped AS (
   SELECT DISTINCT d.cluster, d.idb AS vec_id
@@ -1103,11 +1130,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: centroids are O(k x dims) — broadcast; assignment is
     map-side-combinable per-vector argmax (no shuffle before it); the
-    only quadratic is WITHIN a cluster, which at 100 TB is bounded by
-    capping cluster population (re-cluster oversized cells with a finer
-    k, or hash-split them — the standard SemDeDup production guard;
-    documented, not needed at sf). No window over the corpus, no
-    cross join: the pair generation is an equi-join on (cluster, dim)."""
+    only quadratic is WITHIN a cluster, and that is now BOUNDED by the
+    SEMANTIC_CELL_CAP hash-split guard (see the constant's comment):
+    clusters above the cap are md5-split into sub-cells, making
+    per-cluster pair work linear in cluster size — the r5 sf1 decade
+    measured the uncapped form growing 21x per 10x corpus under a fixed
+    k, the capped form scales linearly. At every driver scale no
+    cluster exceeds the cap, so results are bit-identical to the
+    uncapped construction. No window over the corpus, no cross join:
+    the pair generation is an equi-join on (cluster, sub, dim)."""
     e = load_table(spark, sf_dir, "embeddings")
     # comp feeds FIVE plan branches (centroid sums, assignment scores,
     # norms, both pair sides). A repartition exchange placed after the
@@ -1153,21 +1184,44 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     norms = comp.groupBy("vec_id").agg(F.sum(F.col("mil") * F.col("mil")).alias("nsq"))
-    side = comp.join(assign, "vec_id")
+    # oversized-cell guard: hash-split clusters above SEMANTIC_CELL_CAP
+    # into ceil(n/CAP) md5-keyed sub-cells; the pairwise stage joins on
+    # (cluster, sub) so per-cluster work is linear in cluster size.
+    # csize is O(k) rows — always broadcast.
+    csize = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
+    subs = assign.join(F.broadcast(csize), "cluster").select(
+        "vec_id",
+        "cluster",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("s"), F.col("vec_id").cast("string"))),
+                    1, 13,
+                ),
+                16, 10,
+            ).cast("long")
+            % F.expr(
+                f"(n_c + {SEMANTIC_CELL_CAP - 1}) div {SEMANTIC_CELL_CAP}"
+            )
+        ).alias("sub"),
+    )
+    side = comp.join(subs, "vec_id")
     a = side.select(
         F.col("cluster"),
+        F.col("sub"),
         F.col("vec_id").alias("ida"),
         F.col("dim"),
         F.col("mil").alias("mil_a"),
     )
     b = side.select(
         F.col("cluster"),
+        F.col("sub"),
         F.col("vec_id").alias("idb"),
         F.col("dim"),
         F.col("mil").alias("mil_b"),
     )
     dots = (
-        a.join(b, ["cluster", "dim"])
+        a.join(b, ["cluster", "sub", "dim"])
         .filter(F.col("ida") < F.col("idb"))
         .groupBy("cluster", "ida", "idb")
         .agg(F.sum(F.col("mil_a") * F.col("mil_b")).alias("dot"))
