@@ -91,6 +91,12 @@ HEADLINE = [
     # round-5 appends (same contract: never interleave into the prefix)
     "q_sim_ivf_trained_portable",
     "q_dedup_embed_lsh_portable",
+    # round-5 second-wave appends (same contract)
+    "q_quality_logit",
+    "q_quality_calibration",
+    "q_token_budget_mix",
+    "q_pack_padding",
+    "q_mmr_diversify",
 ]
 
 

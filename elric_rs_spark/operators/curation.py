@@ -936,3 +936,216 @@ def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_logit_mnat"),
         F.when(mean >= 0, 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+# --- classifier calibration curve (round 5) ----------------------------
+# Before a model-score threshold ships to a 100 TB filter pass, you
+# check CALIBRATION: bucket the classifier score, measure an independent
+# quality signal per bucket, and look for monotone agreement (the
+# FineWeb-Edu recipe publishes exactly this curve before choosing its
+# keep threshold, Penedo et al. 2024, arXiv:2406.17557). The engine op
+# is a one-pass score + bucket + rate rollup; the "label" here is the
+# cheap independent heuristic (length + distinct-token ratio), which is
+# what you'd have at curation time before human evals exist.
+CALIB_BUCKETS = 10
+CALIB_WIDTH = 200  # mean logit in [-1000, 1000] -> 10 buckets of 200
+
+
+@query(
+    "q_quality_calibration",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+),
+w AS (
+  SELECT printf('%02x', i) AS bucket,
+         ({_qlogit_hex13("md5('w' || printf('%02x', i))")}) % {QLOGIT_SPAN}
+           - 1000 AS w_mnat
+  FROM range(0, {QLOGIT_BUCKETS}) t(i)
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(count(DISTINCT t.tok) AS BIGINT) AS n_distinct,
+         CAST(sum(w.w_mnat) AS BIGINT) AS logit_sum
+  FROM toks t JOIN w ON w.bucket = substr(md5(t.tok), 1, 2)
+  GROUP BY t.doc_id
+),
+feat AS (
+  SELECT doc_id, n_toks, n_distinct,
+         (logit_sum - ((logit_sum % n_toks + n_toks) % n_toks)) // n_toks
+           AS mean_logit,
+         CASE WHEN n_toks >= 10 AND 2 * n_distinct >= n_toks
+              THEN 1 ELSE 0 END AS label
+  FROM scored
+)
+SELECT
+  CAST(least(greatest((mean_logit + 1000) // {CALIB_WIDTH}, 0),
+             {CALIB_BUCKETS - 1}) AS BIGINT) AS score_bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(label) AS BIGINT) AS n_pos,
+  CAST((1000 * sum(label)) // count(*) AS BIGINT) AS pos_permille
+FROM feat
+GROUP BY 1
+""",
+)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the hashed linear classifier
+    (q_quality_logit) against an independent cheap heuristic label
+    (>= 10 tokens and distinct-token ratio >= 1/2): per score decile,
+    document count and label-positive rate in permille. A monotone
+    curve justifies thresholding the score; a flat one says the model
+    adds nothing over the heuristic — the decision this table feeds.
+
+    All-integer: md5-derived weights, pmod-floor mean logit, permille
+    rates by plain non-negative division. Scale shape: the q_quality_logit
+    single pass (explode -> broadcast weight join -> map-side-combinable
+    groupBy(doc_id) carrying an extra count(DISTINCT tok)) followed by a
+    10-row rollup — nothing new shuffles at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    )
+    w = spark.range(QLOGIT_BUCKETS).select(
+        F.lpad(F.lower(F.hex(F.col("id"))), 2, "0").alias("bucket")
+    ).select(
+        "bucket",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w"), F.col("bucket"))), 1, 13),
+                16, 10,
+            ).cast("long") % QLOGIT_SPAN - 1000
+        ).alias("w_mnat"),
+    )
+    scored = (
+        toks.select(
+            "doc_id", "tok", F.substring(F.md5("tok"), 1, 2).alias("bucket")
+        )
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.countDistinct("tok").alias("n_distinct"),
+            F.sum("w_mnat").alias("logit_sum"),
+        )
+    )
+    feat = scored.select(
+        F.expr("(logit_sum - pmod(logit_sum, n_toks)) div n_toks").alias(
+            "mean_logit"
+        ),
+        F.when(
+            (F.col("n_toks") >= 10)
+            & (2 * F.col("n_distinct") >= F.col("n_toks")),
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    bucket = F.least(
+        F.greatest(
+            F.expr(f"(mean_logit + 1000) div {CALIB_WIDTH}"), F.lit(0)
+        ),
+        F.lit(CALIB_BUCKETS - 1),
+    ).cast("long")
+    return (
+        feat.groupBy(bucket.alias("score_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label").alias("n_pos"),
+        )
+        .select(
+            "score_bucket",
+            "n_docs",
+            "n_pos",
+            F.expr("(1000 * n_pos) div n_docs").alias("pos_permille"),
+        )
+    )
+
+
+# --- dedup-aware token-budget mix accounting (round 5) -----------------
+# The step between curation and training: given a token budget, how many
+# epochs of each source does the mix imply once exact duplicates stop
+# contributing new tokens? (The Gopher/Chinchilla-style mixing tables
+# and the data-constrained scaling analysis of Muennighoff et al. 2023,
+# arXiv:2305.16264, both consume exactly this per-source accounting.)
+MIX_TOKEN_BUDGET = 4_000_000
+
+
+@query(
+    "q_token_budget_mix",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, source, text,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens
+  FROM docs GROUP BY source
+),
+uniq AS (
+  SELECT source, md5(text) AS h, min(n_toks) AS n_toks
+  FROM docs GROUP BY source, md5(text)
+),
+eff AS (
+  SELECT source, CAST(sum(n_toks) AS BIGINT) AS effective_tokens
+  FROM uniq GROUP BY source
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM per_source)
+SELECT p.source, p.n_docs, p.total_tokens, e.effective_tokens,
+       CAST({MIX_TOKEN_BUDGET} // ns.n_sources AS BIGINT) AS quota,
+       CAST((1000 * ({MIX_TOKEN_BUDGET} // ns.n_sources))
+            // e.effective_tokens AS BIGINT) AS epochs_permille
+FROM per_source p JOIN eff e USING (source), ns
+""",
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware token-budget mix accounting: per source, raw token
+    mass, EFFECTIVE token mass (exact-duplicate texts counted once —
+    repeated epochs of a duplicate add no new tokens), the per-source
+    quota under an even split of MIX_TOKEN_BUDGET, and the implied
+    epochs over the effective tokens in permille (1000 = one full
+    pass; 4000 = the 4-epoch repetition ceiling the data-constrained
+    scaling literature flags).
+
+    Scale shape: two map-side-combinable aggregations over one scan
+    (per-source totals; per-(source, md5) exact-dedup collapse feeding
+    the effective rollup) and a one-row source-count aggregate
+    broadcast back. All integer arithmetic; no windows, no self-joins —
+    the same plan prices a 100 TB mix."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_toks"),
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+    )
+    eff = (
+        docs.groupBy("source", "h")
+        .agg(F.min("n_toks").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").alias("effective_tokens"))
+    )
+    ns = per_source.agg(F.count(F.lit(1)).alias("n_sources"))
+    return (
+        per_source.join(eff, "source")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "effective_tokens",
+            F.expr(f"{MIX_TOKEN_BUDGET} div n_sources").alias("quota"),
+            F.expr(
+                f"(1000 * ({MIX_TOKEN_BUDGET} div n_sources))"
+                " div effective_tokens"
+            ).alias("epochs_permille"),
+        )
+    )

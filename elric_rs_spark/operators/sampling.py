@@ -358,3 +358,83 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --- sequence-packing padding accounting (round 5) ---------------------
+# The cost model for the packing policy decision: if each document is
+# chunked alone into MAX_LEN-token training sequences (no cross-doc
+# packing), how much of the token grid is padding? Per length bucket —
+# short-doc buckets waste most, which is exactly the evidence that
+# justifies cross-doc packing (q_pack_shards) or best-fit batching.
+PAD_MAX_LEN = 512
+PAD_BUCKETS = 8
+
+
+@query(
+    "q_pack_padding",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+seqs AS (
+  SELECT doc_id, n_toks,
+         (n_toks + {PAD_MAX_LEN - 1}) // {PAD_MAX_LEN} AS n_seqs
+  FROM docs
+)
+SELECT
+  CAST(least(n_toks // {PAD_MAX_LEN}, {PAD_BUCKETS - 1}) AS BIGINT)
+    AS len_bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+  CAST(sum(n_seqs) AS BIGINT) AS sum_seqs,
+  CAST(sum(n_seqs * {PAD_MAX_LEN} - n_toks) AS BIGINT) AS sum_padding,
+  CAST((1000 * sum(n_seqs * {PAD_MAX_LEN} - n_toks))
+       // (sum(n_seqs) * {PAD_MAX_LEN}) AS BIGINT) AS waste_permille
+FROM seqs
+GROUP BY 1
+""",
+)
+def q_pack_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for document-isolated sequence packing
+    at MAX_LEN=512: each doc occupies ceil(n_toks/512) sequences; waste
+    is the unfilled tail of its last sequence. Rolled up per length
+    bucket (floor(n_toks/512), clamped) with a permille waste ratio —
+    the table that prices switching to cross-document packing.
+
+    Scale shape: one scan, row-local integer arithmetic (ceil via
+    (n + 511) div 512 on non-negative counts), one 8-row
+    map-side-combinable rollup. No shuffle beyond the tiny final
+    aggregate at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    seqs = d.select(
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_toks")
+    ).select(
+        "n_toks",
+        F.expr(f"(n_toks + {PAD_MAX_LEN - 1}) div {PAD_MAX_LEN}").alias("n_seqs"),
+    )
+    bucket = F.least(
+        F.expr(f"n_toks div {PAD_MAX_LEN}"), F.lit(PAD_BUCKETS - 1)
+    ).cast("long")
+    return (
+        seqs.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("sum_tokens"),
+            F.sum("n_seqs").alias("sum_seqs"),
+            F.sum(F.col("n_seqs") * PAD_MAX_LEN - F.col("n_toks")).alias(
+                "sum_padding"
+            ),
+        )
+        .select(
+            "len_bucket",
+            "n_docs",
+            "sum_tokens",
+            "sum_seqs",
+            "sum_padding",
+            F.expr(
+                f"(1000 * sum_padding) div (sum_seqs * {PAD_MAX_LEN})"
+            ).alias("waste_permille"),
+        )
+    )

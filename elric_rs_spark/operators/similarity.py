@@ -1707,3 +1707,216 @@ def q_sim_ivf_trained_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(ssum - pmod(ssum, n_vecs)) div n_vecs").alias("avg_sse"),
         )
     )
+
+
+# --- MMR diversified rerank (round 5) ----------------------------------
+# Retrieval that feeds training-data selection or RAG wants relevant AND
+# non-redundant results; Maximal Marginal Relevance (Carbonell &
+# Goldstein 1998, SIGIR — public method) greedily picks
+# argmax_x [ lambda*rel(q,x) - (1-lambda)*max_{s in S} sim(x,s) ].
+# With lambda = 1/2 the argmax is equivalently over rel - max_sim in one
+# shared integer unit. Retrieval stage: exact top-M candidates per query
+# (swap in the IVF/LSH path at scale); rerank stage: k=3 greedy steps
+# unrolled as deterministic window-argmax rounds over the M candidates.
+MMR_QUERIES = 4   # query vectors: vec_id 0..3
+MMR_CAND = 8      # candidates reranked per query
+MMR_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+q AS (SELECT vec_id AS qid, dim, micro AS qmicro FROM comp
+      WHERE vec_id < {MMR_QUERIES}),
+rel AS (
+  SELECT q.qid, c.vec_id, CAST(sum(c.micro * q.qmicro) AS BIGINT) AS rel
+  FROM comp c JOIN q ON c.dim = q.dim
+  WHERE c.vec_id != q.qid
+  GROUP BY q.qid, c.vec_id
+),
+cand AS (
+  SELECT qid, vec_id, rel FROM (
+    SELECT qid, vec_id, rel,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, vec_id) AS rn
+    FROM rel
+  ) WHERE rn <= {MMR_CAND}
+),
+ids AS (SELECT DISTINCT vec_id FROM cand),
+pd AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(sum(a.micro * b.micro) AS BIGINT) AS d
+  FROM comp a JOIN comp b ON a.dim = b.dim
+  WHERE a.vec_id IN (SELECT vec_id FROM ids)
+    AND b.vec_id IN (SELECT vec_id FROM ids)
+    AND a.vec_id != b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+s1 AS (
+  SELECT qid, vec_id AS s1_id, rel AS s1_score FROM (
+    SELECT qid, vec_id, rel,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT qid, vec_id AS s2_id, score AS s2_score FROM (
+    SELECT c.qid, c.vec_id, c.rel - pd.d AS score,
+           row_number() OVER (PARTITION BY c.qid
+                              ORDER BY c.rel - pd.d DESC, c.vec_id) AS rn
+    FROM cand c
+    JOIN s1 ON s1.qid = c.qid AND c.vec_id != s1.s1_id
+    JOIN pd ON pd.a = c.vec_id AND pd.b = s1.s1_id
+  ) WHERE rn = 1
+),
+s3 AS (
+  SELECT qid, vec_id AS s3_id, score AS s3_score FROM (
+    SELECT c.qid, c.vec_id,
+           c.rel - greatest(p1.d, p2.d) AS score,
+           row_number() OVER (
+             PARTITION BY c.qid
+             ORDER BY c.rel - greatest(p1.d, p2.d) DESC, c.vec_id) AS rn
+    FROM cand c
+    JOIN s1 ON s1.qid = c.qid
+    JOIN s2 ON s2.qid = c.qid
+      AND c.vec_id != s1.s1_id AND c.vec_id != s2.s2_id
+    JOIN pd p1 ON p1.a = c.vec_id AND p1.b = s1.s1_id
+    JOIN pd p2 ON p2.a = c.vec_id AND p2.b = s2.s2_id
+  ) WHERE rn = 1
+)
+SELECT qid, CAST(pick AS BIGINT) AS pick, vec_id, mmr_score FROM (
+  SELECT qid, 1 AS pick, s1_id AS vec_id, s1_score AS mmr_score FROM s1
+  UNION ALL
+  SELECT qid, 2, s2_id, s2_score FROM s2
+  UNION ALL
+  SELECT qid, 3, s3_id, s3_score FROM s3
+)
+"""
+
+
+@query("q_mmr_diversify", oracle=MMR_ORACLE)
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified rerank: for each of 4 query vectors, the exact
+    top-8 candidates by micro-int dot product are greedily reranked into
+    3 picks maximizing marginal relevance (lambda = 1/2, so each step's
+    objective is rel - max dot-to-selected in one shared integer unit).
+    Ties break on vec_id; every quantity is exact BIGINT (micro-int
+    components, |micro| < 2^21, 64-dim dots < 2^48), so Spark and the
+    oracle agree bit-for-bit.
+
+    Scale shape: the retrieval stage is the q_sim_topk pattern (a
+    broadcast O(queries x dim) table against one corpus scan, map-side
+    combinable per-(qid, vec) dot aggregation, per-query top-M window
+    over M<<corpus rows); at 100 TB you swap in the IVF probe for the
+    scan without touching the rerank. The rerank stage only ever sees
+    queries x M rows and a <= (queries*M)^2-row pairwise-dot table —
+    corpus-independent, and each greedy step is a keyed window over M
+    rows, not an iterative driver loop."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "val"),
+    ).select(
+        "vec_id", "dim",
+        F.round(F.col("val") * 1000000).cast("long").alias("micro"),
+    )
+    qcomp = (
+        comp.filter(F.col("vec_id") < MMR_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"), "dim",
+            F.col("micro").alias("qmicro"),
+        )
+    )
+    rel = (
+        comp.join(F.broadcast(qcomp), "dim")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("micro") * F.col("qmicro")).alias("rel"))
+    )
+    w_rel = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "vec_id")
+    cand = (
+        rel.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= MMR_CAND)
+        .drop("rn")
+    )
+    # pairwise dots over the union candidate set: <= (queries*M)^2 rows
+    ids = cand.select("vec_id").distinct()
+    cc = comp.join(F.broadcast(ids), "vec_id")
+    pd = (
+        cc.select(F.col("vec_id").alias("a"), "dim", F.col("micro").alias("ma"))
+        .join(
+            F.broadcast(
+                cc.select(
+                    F.col("vec_id").alias("b"), "dim",
+                    F.col("micro").alias("mb"),
+                )
+            ),
+            "dim",
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("d"))
+    )
+    s1 = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("s1_id"), F.col("rel").alias("s1_score"))
+    )
+    step2 = (
+        cand.join(F.broadcast(s1), "qid")
+        .filter(F.col("vec_id") != F.col("s1_id"))
+        .join(
+            F.broadcast(pd),
+            (F.col("vec_id") == F.col("a")) & (F.col("s1_id") == F.col("b")),
+        )
+        .select("qid", "vec_id", (F.col("rel") - F.col("d")).alias("score"))
+    )
+    w_sc = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    s2 = (
+        step2.withColumn("rn", F.row_number().over(w_sc))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("s2_id"), F.col("score").alias("s2_score"))
+    )
+    pd1 = pd.select(F.col("a").alias("a1"), F.col("b").alias("b1"), F.col("d").alias("d1"))
+    pd2 = pd.select(F.col("a").alias("a2"), F.col("b").alias("b2"), F.col("d").alias("d2"))
+    step3 = (
+        cand.join(F.broadcast(s1), "qid")
+        .join(F.broadcast(s2), "qid")
+        .filter(
+            (F.col("vec_id") != F.col("s1_id"))
+            & (F.col("vec_id") != F.col("s2_id"))
+        )
+        .join(
+            F.broadcast(pd1),
+            (F.col("vec_id") == F.col("a1")) & (F.col("s1_id") == F.col("b1")),
+        )
+        .join(
+            F.broadcast(pd2),
+            (F.col("vec_id") == F.col("a2")) & (F.col("s2_id") == F.col("b2")),
+        )
+        .select(
+            "qid", "vec_id",
+            (F.col("rel") - F.greatest(F.col("d1"), F.col("d2"))).alias("score"),
+        )
+    )
+    s3 = (
+        step3.withColumn("rn", F.row_number().over(w_sc))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("s3_id"), F.col("score").alias("s3_score"))
+    )
+    one = lambda n: F.lit(n).cast("long")  # noqa: E731
+    return (
+        s1.select("qid", one(1).alias("pick"), F.col("s1_id").alias("vec_id"),
+                  F.col("s1_score").alias("mmr_score"))
+        .unionAll(
+            s2.select("qid", one(2).alias("pick"), F.col("s2_id").alias("vec_id"),
+                      F.col("s2_score").alias("mmr_score"))
+        )
+        .unionAll(
+            s3.select("qid", one(3).alias("pick"), F.col("s3_id").alias("vec_id"),
+                      F.col("s3_score").alias("mmr_score"))
+        )
+    )

@@ -1766,3 +1766,176 @@ class TestDedupEmbedLshPortablePlanted:
         # the planted near-dup pairs must surface as candidates
         pairs = {(g[0], g[1]) for g in got}
         assert (0, 1) in pairs and (2, 3) in pairs
+
+
+class TestMmrDiversifyPlanted:
+    """q_mmr_diversify greedy hand-check on unit-norm planted vectors:
+    pick 1 is the most relevant candidate; pick 2 must be the DIVERSE
+    candidate (the near-duplicate of pick 1 scores rel - sim lower
+    despite higher raw relevance); the near-duplicate only enters at
+    pick 3. Exact micro-int products make every score hand-computable."""
+
+    def test_query0_picks_and_scores(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.similarity import q_mmr_diversify
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),    # query 0
+            (1, [0.0, 1.0, 0.0, 0.0]),    # query 1
+            (2, [0.0, 0.0, 1.0, 0.0]),    # query 2
+            (3, [0.0, 0.0, 0.0, 1.0]),    # query 3
+            (10, [0.9, 0.2, 0.0, 0.0]),   # most relevant to q0
+            (11, [0.88, 0.22, 0.0, 0.0]), # near-dup of 10
+            (12, [0.7, 0.0, 0.7, 0.0]),   # diverse, mid relevance
+            (13, [0.2, 0.0, 0.0, 0.9]),   # diverse, low relevance
+        ]
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+                "label": pa.array([0] * len(rows), pa.int32()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+        out = q_mmr_diversify(spark, str(tmp_path)).collect()
+        assert len(out) == 12  # 4 queries x 3 picks
+        assert len({(r["qid"], r["pick"]) for r in out}) == 12
+        q0 = {r["pick"]: r for r in out if r["qid"] == 0}
+        # pick 1: raw argmax rel = 10 (rel 0.9 in micro^2 units)
+        assert (q0[1]["vec_id"], q0[1]["mmr_score"]) == (10, 900000 * 1000000)
+        # pick 2: 12 wins on rel - dot(x, 10): 0.70 - 0.63 = 0.07 beats
+        # the near-dup 11's 0.88 - 0.836 = 0.044
+        assert (q0[2]["vec_id"], q0[2]["mmr_score"]) == (12, 70000 * 1000000)
+        # pick 3: 11 finally enters; max dot to selected is still vs 10
+        assert (q0[3]["vec_id"], q0[3]["mmr_score"]) == (11, 44000 * 1000000)
+
+
+class TestPackPaddingPlanted:
+    """q_pack_padding ceil/bucket boundaries: 512 tokens fills one
+    sequence exactly (zero waste, bucket 1), 513 spills into a second
+    sequence (511 padding, bucket 1), 1 token wastes 511 in bucket 0."""
+
+    def test_boundaries(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.sampling import q_pack_padding
+
+        texts = ["t", "w " * 511 + "w", "x " * 512 + "x"]  # 1, 512, 513 toks
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = {
+            r["len_bucket"]: (r["n_docs"], r["sum_seqs"], r["sum_padding"], r["waste_permille"])
+            for r in q_pack_padding(spark, str(tmp_path)).collect()
+        }
+        # bucket 0: the 1-token doc -> 1 seq, 511 padding, 998 permille
+        # bucket 1: 512 toks (1 seq, 0 pad) + 513 toks (2 seqs, 511 pad)
+        #           -> 3 seqs, 511 pad, 1000*511 // 1536 = 332
+        assert out == {0: (1, 1, 511, 998), 1: (2, 3, 511, 332)}
+
+
+class TestTokenBudgetMixPlanted:
+    """q_token_budget_mix dedup-aware accounting: a source whose corpus
+    is one text repeated collapses to a single effective doc; quota is
+    an even split; epochs are measured over EFFECTIVE tokens."""
+
+    def test_duplicate_collapse(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.curation import (
+            MIX_TOKEN_BUDGET,
+            q_token_budget_mix,
+        )
+
+        dup = "a b c d"                       # 4 tokens
+        uniq = " ".join(f"u{i}" for i in range(10))  # 10 tokens
+        rows = [(0, dup, "sa"), (1, dup, "sa"), (2, dup, "sa"), (3, uniq, "sb")]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = {r["source"]: r for r in q_token_budget_mix(spark, str(tmp_path)).collect()}
+        quota = MIX_TOKEN_BUDGET // 2
+        sa, sb = out["sa"], out["sb"]
+        assert (sa["n_docs"], sa["total_tokens"], sa["effective_tokens"]) == (3, 12, 4)
+        assert (sb["n_docs"], sb["total_tokens"], sb["effective_tokens"]) == (1, 10, 10)
+        assert sa["quota"] == sb["quota"] == quota
+        assert sa["epochs_permille"] == (1000 * quota) // 4
+        assert sb["epochs_permille"] == (1000 * quota) // 10
+
+
+class TestQualityCalibrationPlanted:
+    """q_quality_calibration vs a pure-Python third implementation of
+    the full pipeline (md5 weight table, md5 token bucketing, pmod-floor
+    mean, heuristic label, decile rollup) on a tiny corpus."""
+
+    def test_matches_pure_python(self, spark, tmp_path):
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.curation import (
+            CALIB_BUCKETS,
+            CALIB_WIDTH,
+            QLOGIT_SPAN,
+            q_quality_calibration,
+        )
+
+        texts = [
+            "alpha beta gamma delta",                      # short: label 0
+            " ".join(f"w{i}" for i in range(12)),          # 12 distinct: label 1
+            " ".join(["dup"] * 20),                        # 20 toks 1 distinct: label 0
+            " ".join(f"v{i % 8}" for i in range(16)),      # 16 toks 8 distinct: label 1
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+        def weight(tok: str) -> int:
+            bucket = hashlib.md5(tok.encode()).hexdigest()[:2]
+            h = int(hashlib.md5(f"w{bucket}".encode()).hexdigest()[:13], 16)
+            return h % QLOGIT_SPAN - 1000
+
+        expect: dict[int, list[int]] = {}
+        for t in texts:
+            toks = t.lower().strip().split(" ")
+            n, nd = len(toks), len(set(toks))
+            s = sum(weight(tok) for tok in toks)
+            mean = (s - (s % n + n) % n) // n
+            label = 1 if n >= 10 and 2 * nd >= n else 0
+            b = min(max((mean + 1000) // CALIB_WIDTH, 0), CALIB_BUCKETS - 1)
+            expect.setdefault(b, []).append(label)
+        want = {
+            b: (len(ls), sum(ls), (1000 * sum(ls)) // len(ls))
+            for b, ls in expect.items()
+        }
+        got = {
+            r["score_bucket"]: (r["n_docs"], r["n_pos"], r["pos_permille"])
+            for r in q_quality_calibration(spark, str(tmp_path)).collect()
+        }
+        assert got == want
