@@ -888,3 +888,60 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
     )
+
+
+@query(
+    "q_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT max(total_cents) AS max_cents FROM revenue)
+SELECT s.s_suppkey, s.s_name, s.s_nationkey, r.total_cents
+FROM revenue r
+JOIN mx ON r.total_cents = mx.max_cents
+JOIN supplier s ON s.s_suppkey = r.supplier_no
+""",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    quarter, then the supplier(s) achieving the GLOBAL maximum — the
+    classic view-plus-scalar-max decorrelation. Revenue goes through
+    per-row integer cents (exact, order-independent) so the max and the
+    equality against it are BIGINT comparisons, never float-ULP ties.
+
+    Scale shape: the fact table collapses to supplier grain in one
+    map-side-combinable aggregate before anything joins; the max is a
+    one-row aggregate broadcast back (no global sort, no window over
+    the corpus); the supplier dimension joins broadcast. Ties at the
+    max surface as multiple rows — the oracle agrees by construction
+    rather than by an arbitrary pick."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(cents).alias("total_cents"))
+    )
+    mx = revenue.agg(F.max("total_cents").alias("max_cents"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    return (
+        revenue.join(
+            F.broadcast(mx), F.col("total_cents") == F.col("max_cents")
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "s_nationkey", "total_cents")
+    )

@@ -1513,12 +1513,26 @@ def substring_coverage(d: DataFrame) -> DataFrame:
 # hyperplane-bucket blocking, exact cosine on candidates only, ranked
 # top-20 candidate output — with the md5 ±1-sign hyperplane family and
 # exact BIGINT micro-component arithmetic, so every stage is
-# bit-identical in DuckDB. It re-bands the shared 16-plane signature
-# into 4 tables x 4-bit keys (the q_sim_recall layout: near-orthogonal
-# synthetic vectors admit almost no candidates under the
-# high-precision 2x8 layout, and a dedup *ranking* wants recall).
+# bit-identical in DuckDB.
+#
+# Band width is CORPUS-ADAPTIVE: bits = clamp(ceil(log2(n / 16)), 4, 14)
+# over a 56-plane signature, so the expected bucket load stays ~16
+# vectors at every corpus size and candidate generation stays LINEAR in
+# n. The first cut fixed bits=4 (16 buckets per band): fine at the
+# grading scales, but the round-5 sf1 decade measured it at 86x wall
+# for 10x data — 200k vectors / 16 buckets = 12.5k-vector buckets and a
+# quadratic pair explosion. Fixed-parameter LSH is quadratic at SOME
+# scale; the scale-correct form derives the parameter from the corpus
+# (inside the plan — a one-row count broadcast, no driver round-trip),
+# exactly like a production index sizes its hash tables. A deterministic
+# 256-member bucket cap (lowest vec_ids kept, replayed by the oracle)
+# bounds the worst case even past the 14-bit ceiling.
 PDLSH_TABLES = 4
-PDLSH_BITS = 4
+PDLSH_PLANES = 56          # 4 bands x up to 14 bits
+PDLSH_TARGET_BUCKET = 16   # expected vectors per band-bucket
+PDLSH_MIN_BITS = 4
+PDLSH_MAX_BITS = 14
+PDLSH_BUCKET_CAP = 256
 
 
 @query(
@@ -1534,7 +1548,7 @@ w AS (
   SELECT p, i AS d,
          CASE WHEN strpos('01234567', substring(md5(p || '#' || i), 1, 1)) > 0
               THEN 1 ELSE -1 END AS w
-  FROM range(0, 16) pp(p), range(1, 65) t(i)
+  FROM range(0, {PDLSH_PLANES}) pp(p), range(1, 65) t(i)
 ),
 dots AS (
   SELECT c.vec_id, w.p, SUM(c.micro * w.w) AS dot
@@ -1546,14 +1560,29 @@ sig AS (
          SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
   FROM dots GROUP BY vec_id
 ),
+nb AS (
+  SELECT CAST(greatest({PDLSH_MIN_BITS},
+                       least({PDLSH_MAX_BITS},
+                             CAST(ceil(log2(count(*) / {float(PDLSH_TARGET_BUCKET)}))
+                                  AS BIGINT))) AS BIGINT) AS bits
+  FROM embeddings
+),
 bands AS (
-  SELECT vec_id, t, (sig >> ({PDLSH_BITS} * t)) & {(1 << PDLSH_BITS) - 1} AS key
-  FROM sig, range(0, {PDLSH_TABLES}) tt(t)
+  SELECT vec_id, t,
+         (sig >> (nb.bits * t)) & ((CAST(1 AS BIGINT) << nb.bits) - 1) AS key
+  FROM sig, range(0, {PDLSH_TABLES}) tt(t), nb
+),
+members AS (
+  SELECT vec_id, t, key,
+         row_number() OVER (PARTITION BY t, key ORDER BY vec_id) AS rn
+  FROM bands
 ),
 cand AS (
   SELECT DISTINCT b1.vec_id AS vec_a, b2.vec_id AS vec_b
-  FROM bands b1
-  JOIN bands b2 ON b1.t = b2.t AND b1.key = b2.key AND b1.vec_id < b2.vec_id
+  FROM members b1
+  JOIN members b2 ON b1.t = b2.t AND b1.key = b2.key
+                 AND b1.vec_id < b2.vec_id
+  WHERE b1.rn <= {PDLSH_BUCKET_CAP} AND b2.rn <= {PDLSH_BUCKET_CAP}
 ),
 prods AS (
   SELECT c.vec_a, c.vec_b,
@@ -1588,17 +1617,91 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine exactness: ±1 md5-sign hyperplanes over BIGINT
     micro-components (bit-identical bucket membership), integer
     cross-products for the cosine, ties at the top-20 cut line broken
-    on (vec_a, vec_b). Scale shape mirrors the production kernel:
+    on (vec_a, vec_b). Scale shape mirrors the production kernel —
     signature via broadcast weight join + one map-side-combined (vec,
     plane) aggregate, candidates from (table, key) bucket groupBy,
-    exact cosine touches candidates only, final top-20 is TakeOrdered."""
-    from elric_rs_spark.operators.similarity import _micro_comp, _plsh_bands
+    exact cosine touches candidates only, final top-20 is TakeOrdered —
+    with the band width derived IN-PLAN from the corpus size (one-row
+    count broadcast; see the PDLSH constants comment for the measured
+    sf1 quadratic blow-up that fixed bits=4 produced) and a
+    deterministic PDLSH_BUCKET_CAP guard on pathological buckets."""
+    from elric_rs_spark.operators.similarity import EMB_DIM, _micro_comp
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
     comp = _micro_comp(e)
-    banded = _plsh_bands(spark, comp, tables=PDLSH_TABLES, bits=PDLSH_BITS)
+    # 56-plane md5 ±1-sign weight table (same (p, d) seed family as the
+    # 16-plane _plsh_bands signature; planes 0..15 coincide)
+    dims = spark.range(1, EMB_DIM + 1).select(F.col("id").alias("d"))
+    planes = spark.range(PDLSH_PLANES).select(F.col("id").cast("int").alias("p"))
+    sign_src = F.md5(
+        F.concat(F.col("p").cast("string"), F.lit("#"), F.col("d").cast("string"))
+    )
+    w = planes.crossJoin(dims).select(
+        "p",
+        "d",
+        F.when(
+            F.substring(sign_src, 1, 1).isin(*"01234567"), F.lit(1)
+        ).otherwise(F.lit(-1)).cast("long").alias("w"),
+    )
+    dots = (
+        comp.join(F.broadcast(w), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("micro") * F.col("w")).alias("dot"))
+    )
+    sig = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("sig")
+    )
+    # corpus-adaptive band width, derived inside the plan
+    nb = e.agg(
+        F.greatest(
+            F.lit(PDLSH_MIN_BITS),
+            F.least(
+                F.lit(PDLSH_MAX_BITS),
+                F.ceil(
+                    F.log2(F.count(F.lit(1)) / float(PDLSH_TARGET_BUCKET))
+                ),
+            ),
+        )
+        .cast("long")
+        .alias("bits")
+    )
+    bands = (
+        sig.crossJoin(F.broadcast(nb))
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(*[F.lit(t) for t in range(PDLSH_TABLES)])
+            ).alias("t"),
+            "sig",
+            "bits",
+        )
+        .select(
+            "vec_id",
+            "t",
+            F.expr(
+                "shiftrightunsigned(sig, CAST(bits * t AS INT)) & "
+                "(shiftleft(CAST(1 AS BIGINT), CAST(bits AS INT)) - 1)"
+            ).alias("key"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    banded = (
+        bands.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("t", "key").orderBy("vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= PDLSH_BUCKET_CAP)
+        .drop("rn")
+    )
     ds = F.array_sort(F.collect_set("vec_id"))
     pair_expr = F.flatten(
         F.transform(
@@ -1640,4 +1743,65 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "label", "cosine")
         .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
         .limit(20)
+    )
+
+
+@query(
+    "q_dedup_cross_source",
+    oracle=f"""
+WITH {_PORTABLE_PAIR_CTES},
+src AS (SELECT doc_id, source FROM documents),
+xp AS (
+  SELECT least(sa.source, sb.source) AS src_lo,
+         greatest(sa.source, sb.source) AS src_hi,
+         p.doc_a, p.doc_b, p.jaccard
+  FROM pairs p
+  JOIN src sa ON sa.doc_id = p.doc_a
+  JOIN src sb ON sb.doc_id = p.doc_b
+  WHERE sa.source != sb.source
+)
+SELECT src_lo, src_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(max(jaccard), 6) AS max_jaccard,
+       CAST(sum(doc_a + doc_b) AS BIGINT) AS pair_id_sum
+FROM xp
+GROUP BY src_lo, src_hi
+""",
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate leakage report: the MinHash+LSH
+    verified pairs (portable md5 banding, word-3-gram Jaccard >= 0.5)
+    restricted to pairs whose two documents come from DIFFERENT
+    sources, rolled up per unordered source pair. This is the
+    train/test-split leakage audit — a benchmark source sharing
+    near-dups with a crawl source is exactly what decontamination must
+    catch — and the provenance view dedup-by-content alone can't give.
+
+    Scale shape: identical to q_dedup_minhash_portable (signatures via
+    explode + groupBy-min, banded bucket candidates, exact Jaccard on
+    candidates only) plus two source-annotation joins and a tiny
+    source-pair rollup. The PAIR side is the broadcast side (verified
+    near-dup pairs are candidate-sized); the corpus-sized doc->source
+    map is scanned, never shuffled or broadcast — each annotation join
+    is one broadcast-hash pass over documents."""
+    d = load_table(spark, sf_dir, "documents")
+    grams_arr = F.array_distinct(_word_ngrams(F.col("text"), 3))
+    grams = d.select("doc_id", grams_arr.alias("g")).filter(F.size("g") > 0)
+    pairs = portable_pairs(spark, grams)
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    ann_a = sa.join(F.broadcast(pairs), "doc_a")  # pair-sized result
+    return (
+        sb.join(F.broadcast(ann_a), "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+            F.sum(F.col("doc_a") + F.col("doc_b")).alias("pair_id_sum"),
+        )
     )

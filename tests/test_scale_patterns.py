@@ -1707,8 +1707,12 @@ class TestDedupEmbedLshPortablePlanted:
         import math
 
         from elric_rs_spark.operators.dedup import (
-            PDLSH_BITS,
+            PDLSH_BUCKET_CAP,
+            PDLSH_MAX_BITS,
+            PDLSH_MIN_BITS,
+            PDLSH_PLANES,
             PDLSH_TABLES,
+            PDLSH_TARGET_BUCKET,
             q_dedup_embed_lsh_portable,
         )
 
@@ -1732,19 +1736,27 @@ class TestDedupEmbedLshPortablePlanted:
         sigs = {}
         for vid, comps in enumerate(comp):
             s = 0
-            for p in range(16):
+            for p in range(PDLSH_PLANES):
                 dot = sum(comps[dd] * sign(p, dd) for dd in range(1, 65))
                 if dot >= 0:
                     s |= 1 << p
             sigs[vid] = s
+        # corpus-adaptive band width (10 vectors -> the MIN_BITS floor)
+        bits = max(
+            PDLSH_MIN_BITS,
+            min(
+                PDLSH_MAX_BITS,
+                math.ceil(math.log2(len(vecs) / PDLSH_TARGET_BUCKET)),
+            ),
+        )
         cand = set()
         for t in range(PDLSH_TABLES):
-            mask = (1 << PDLSH_BITS) - 1
+            mask = (1 << bits) - 1
             buckets = {}
             for vid, s in sigs.items():
-                buckets.setdefault((s >> (PDLSH_BITS * t)) & mask, []).append(vid)
+                buckets.setdefault((s >> (bits * t)) & mask, []).append(vid)
             for vids in buckets.values():
-                vids = sorted(vids)
+                vids = sorted(vids)[:PDLSH_BUCKET_CAP]
                 for i in range(len(vids)):
                     for j in range(i + 1, len(vids)):
                         cand.add((vids[i], vids[j]))
@@ -1939,3 +1951,97 @@ class TestQualityCalibrationPlanted:
             for r in q_quality_calibration(spark, str(tmp_path)).collect()
         }
         assert got == want
+
+
+class TestTopSupplierPlanted:
+    """q_top_supplier (TPC-H Q15 shape): a revenue TIE at the global max
+    must surface BOTH suppliers (the view-plus-max construction keeps
+    ties, unlike an arbitrary top-1 pick), and rows outside the quarter
+    window must not contribute."""
+
+    def test_tie_at_max_and_window(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.aggregates import q_top_supplier
+
+        IN = datetime.datetime(1996, 2, 1)
+        OUT = datetime.datetime(1997, 2, 1)
+        # (suppkey, extprice, discount, shipdate)
+        items = [
+            (1, 100.0, 0.1, IN),   # 9000 cents
+            (1, 100.0, 0.1, IN),   # 9000 cents -> supplier 1: 18000
+            (2, 180.0, 0.0, IN),   # supplier 2: 18000 -> TIE at max
+            (3, 50.0, 0.0, IN),    # supplier 3: 5000
+            (3, 999.0, 0.0, OUT),  # outside the quarter -> ignored
+        ]
+        li = pa.table(
+            {
+                "l_orderkey": pa.array(range(len(items)), pa.int64()),
+                "l_partkey": pa.array([1] * len(items), pa.int64()),
+                "l_suppkey": pa.array([r[0] for r in items], pa.int64()),
+                "l_linenumber": pa.array([1] * len(items), pa.int64()),
+                "l_quantity": pa.array([1.0] * len(items), pa.float64()),
+                "l_extendedprice": pa.array([r[1] for r in items], pa.float64()),
+                "l_discount": pa.array([r[2] for r in items], pa.float64()),
+                "l_tax": pa.array([0.0] * len(items), pa.float64()),
+                "l_returnflag": pa.array(["N"] * len(items), pa.string()),
+                "l_linestatus": pa.array(["O"] * len(items), pa.string()),
+                "l_shipdate": pa.array([r[3] for r in items], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+        sup = pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["Supplier#1", "Supplier#2", "Supplier#3"], pa.string()),
+                "s_nationkey": pa.array([0, 1, 2], pa.int64()),
+                "s_acctbal": pa.array([0.0, 0.0, 0.0], pa.float64()),
+            }
+        )
+        pq.write_table(sup, str(tmp_path / "supplier.parquet"))
+        out = sorted(
+            (r["s_suppkey"], r["total_cents"])
+            for r in q_top_supplier(spark, str(tmp_path)).collect()
+        )
+        assert out == [(1, 18000), (2, 18000)]
+
+
+class TestCrossSourceDedupPlanted:
+    """q_dedup_cross_source: identical texts across THREE docs in two
+    sources produce three verified pairs; only the two cross-source
+    pairs survive the provenance filter, rolled up into one unordered
+    source-pair row. The same-source duplicate pair must not leak in."""
+
+    def test_cross_source_only(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.dedup import q_dedup_cross_source
+
+        shared = " ".join(f"tok{i}" for i in range(20))
+        other = " ".join(f"zzz{i}" for i in range(20))
+        rows = [
+            (0, shared, "crawl"),
+            (1, shared, "bench"),
+            (2, other, "crawl"),
+            (3, shared, "crawl"),
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = q_dedup_cross_source(spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        r = out[0]
+        # pairs (0,1) and (1,3) cross bench<->crawl; (0,3) is same-source
+        assert (r["src_lo"], r["src_hi"], r["n_pairs"], r["max_jaccard"],
+                r["pair_id_sum"]) == ("bench", "crawl", 2, 1.0, 5)
