@@ -97,6 +97,9 @@ HEADLINE = [
     "q_token_budget_mix",
     "q_pack_padding",
     "q_mmr_diversify",
+    # round-5 third-wave appends (same contract)
+    "q_top_supplier",
+    "q_dedup_cross_source",
 ]
 
 

@@ -1138,10 +1138,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, the capped form scales linearly. At every driver scale no
     cluster exceeds the cap, so results are bit-identical to the
     uncapped construction. No window over the corpus, no cross join:
-    the pair generation is an equi-join on (cluster, sub, dim)."""
+    the pair generation is an equi-join on (cluster, sub) over member
+    rows carrying their milli-int ARRAYS, with each pair's dot computed
+    in place (see the pair-stage comment for the measured decade cost
+    of the exploded per-dim form it replaces)."""
     e = load_table(spark, sf_dir, "embeddings")
-    # comp feeds FIVE plan branches (centroid sums, assignment scores,
-    # norms, both pair sides). A repartition exchange placed after the
+    # comp feeds the centroid sums and the assignment scores (the pair
+    # stage uses the array form below). A repartition exchange after the
     # explode materializes it once (ReusedExchange — the q_dedup_minhash
     # pattern; .persist() would pin the plan and disable AQE), and
     # vec_id partitioning satisfies every downstream vec_id-led groupBy
@@ -1183,7 +1186,6 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rollup); same ReusedExchange treatment
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
-    norms = comp.groupBy("vec_id").agg(F.sum(F.col("mil") * F.col("mil")).alias("nsq"))
     # oversized-cell guard: hash-split clusters above SEMANTIC_CELL_CAP
     # into ceil(n/CAP) md5-keyed sub-cells; the pairwise stage joins on
     # (cluster, sub) so per-cluster work is linear in cluster size.
@@ -1205,30 +1207,61 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sub"),
     )
-    side = comp.join(subs, "vec_id")
+    # pair stage in ARRAY form: one milli-int array + norm per vector
+    # (row-local transform — no explode), members join on (cluster, sub)
+    # ONLY, and each pair row computes its dot in place via zip_with.
+    # The first cut exploded per-dim and joined on (cluster, sub, dim):
+    # a pair's 64 dim-products then land in 64 different partitions, so
+    # the (cluster, ida, idb) dot aggregate re-shuffles the FULL join
+    # output (pairs x dims rows — 3.3B at the sf1 decade; measured 25x
+    # wall per 10x data, pure shuffle+spill). Array form shuffles only
+    # the N member rows; everything after the (cluster, sub) join is
+    # partition-local, and the decade is linear.
+    zero = F.lit(0).cast("long")
+    marr = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("m"),
+    ).select(
+        "vec_id",
+        "m",
+        F.aggregate("m", zero, lambda acc, x: acc + x * x).alias("nsq"),
+    )
+    side = subs.join(marr, "vec_id")
     a = side.select(
-        F.col("cluster"),
-        F.col("sub"),
+        "cluster",
+        "sub",
         F.col("vec_id").alias("ida"),
-        F.col("dim"),
-        F.col("mil").alias("mil_a"),
+        F.col("m").alias("ma"),
+        F.col("nsq").alias("nsq_a"),
     )
     b = side.select(
-        F.col("cluster"),
-        F.col("sub"),
+        "cluster",
+        "sub",
         F.col("vec_id").alias("idb"),
-        F.col("dim"),
-        F.col("mil").alias("mil_b"),
+        F.col("m").alias("mb"),
+        F.col("nsq").alias("nsq_b"),
     )
     dots = (
-        a.join(b, ["cluster", "sub", "dim"])
+        a.join(b, ["cluster", "sub"])
         .filter(F.col("ida") < F.col("idb"))
-        .groupBy("cluster", "ida", "idb")
-        .agg(F.sum(F.col("mil_a") * F.col("mil_b")).alias("dot"))
+        .select(
+            "cluster",
+            "ida",
+            "idb",
+            "nsq_a",
+            "nsq_b",
+            F.aggregate(
+                F.zip_with(F.col("ma"), F.col("mb"), lambda x, y: x * y),
+                zero,
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
     )
     dropped = (
-        dots.join(norms.select(F.col("vec_id").alias("ida"), F.col("nsq").alias("nsq_a")), "ida")
-        .join(norms.select(F.col("vec_id").alias("idb"), F.col("nsq").alias("nsq_b")), "idb")
+        dots
         # STRICT dot > 0: cos >= 0.35 implies a positive dot for nonzero
         # norms, and >= 0 would let an all-zero quantized vector (nsq=0,
         # dot=0 against everyone) mark its entire cluster as duplicates.
