@@ -945,3 +945,89 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "s_nationkey", "total_cents")
     )
+
+
+@query(
+    "q_sketch_union",
+    oracle=f"""
+WITH hashes AS (
+  SELECT DISTINCT l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS h
+  FROM lineitem
+),
+bottom AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM hashes
+),
+kept AS (SELECT l_returnflag, h FROM bottom WHERE rn <= {KMV_K}),
+per_group AS (
+  SELECT l_returnflag AS scope, CAST(count(*) AS BIGINT) AS k_used,
+         max(h) AS kth_hash
+  FROM kept GROUP BY l_returnflag
+),
+uh AS (SELECT DISTINCT h FROM kept),
+mrn AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM uh),
+merged AS (
+  SELECT 'ALL' AS scope, CAST(count(*) AS BIGINT) AS k_used,
+         max(h) AS kth_hash
+  FROM mrn WHERE rn <= {KMV_K}
+),
+allrows AS (
+  SELECT * FROM per_group UNION ALL SELECT * FROM merged
+)
+SELECT scope, k_used, kth_hash,
+       CAST(CASE WHEN k_used < {KMV_K} THEN k_used
+            ELSE {_KMV_NUM} // ({_KMV_HEX_V})
+            END AS BIGINT) AS est_distinct
+FROM allrows
+""",
+)
+def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE (the property that makes sketches the at-scale
+    distinct-count answer): per-group bottom-K sketches estimate each
+    l_returnflag's distinct orders, and the GLOBAL estimate is computed
+    by merging the sketches alone — bottom-K of the union of the
+    retained hashes, never a rescan of the data. That is exactly how a
+    1000-shard deployment counts global distincts: each shard ships K
+    hashes, the combiner merges K x shards rows. Output: one row per
+    group plus the merged 'ALL' row, same estimator arithmetic as
+    q_agg_approx_portable (exact BIGINT, floor-division-safe).
+
+    Merge correctness (bottom-K of a union of bottom-Ks == bottom-K of
+    the union) is pinned by a property test against the direct global
+    sketch. Scale shape: one hash-distinct shuffle, per-group windows
+    over K rows each, and a merge stage whose input is K x groups rows
+    — the global window runs over a sketch-sized set, not the corpus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hashes = li.select(
+        "l_returnflag", F.md5(F.col("l_orderkey").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    kept = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    per_group = kept.groupBy(F.col("l_returnflag").alias("scope")).agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth_hash")
+    )
+    # merge: bottom-K of the union of retained hashes — K x groups rows,
+    # so the unpartitioned window is sketch-sized by construction
+    mrn = (
+        kept.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    )
+    merged = (
+        mrn.filter(F.col("rn") <= KMV_K)
+        .agg(F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth_hash"))
+        .select(F.lit("ALL").alias("scope"), "k_used", "kth_hash")
+    )
+    allrows = per_group.unionByName(merged)
+    v = F.conv(F.substring(F.col("kth_hash"), 1, 13), 16, 10).cast("long")
+    est = F.when(F.col("k_used") < KMV_K, F.col("k_used").cast("long")).otherwise(
+        F.expr(f"{_KMV_NUM} div v")
+    )
+    return allrows.withColumn("v", v).select(
+        "scope", "k_used", "kth_hash", est.alias("est_distinct")
+    )

@@ -2045,3 +2045,37 @@ class TestCrossSourceDedupPlanted:
         # pairs (0,1) and (1,3) cross bench<->crawl; (0,3) is same-source
         assert (r["src_lo"], r["src_hi"], r["n_pairs"], r["max_jaccard"],
                 r["pair_id_sum"]) == ("bench", "crawl", 2, 1.0, 5)
+
+
+class TestSketchUnionMergeProperty:
+    """q_sketch_union's 'ALL' row must equal the DIRECT global bottom-K
+    sketch (bottom-K of a union of per-group bottom-Ks == bottom-K of
+    the union — the KMV merge property), computed here in pure Python
+    over the raw parquet, independent of both engines."""
+
+    def test_merged_equals_direct_global(self, spark):
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.aggregates import KMV_K, q_sketch_union
+
+        sf = "/root/testdata/sf0.001"
+        keys = pq.read_table(
+            f"{sf}/lineitem.parquet", columns=["l_orderkey"]
+        )["l_orderkey"].to_pylist()
+        hashes = sorted({hashlib.md5(str(k).encode()).hexdigest() for k in keys})
+        bottom = hashes[:KMV_K]
+        k_used = len(bottom)
+        if k_used < KMV_K:
+            want = k_used
+        else:
+            v = int(bottom[-1][:13], 16)
+            want = ((KMV_K - 1) * (1 << 52)) // v
+        rows = {r["scope"]: r for r in q_sketch_union(spark, sf).collect()}
+        assert rows["ALL"]["est_distinct"] == want
+        assert rows["ALL"]["k_used"] == k_used
+        assert rows["ALL"]["kth_hash"] == bottom[-1]
+        # sanity: the estimate lands near the exact global distinct count
+        exact = len(set(keys))
+        assert abs(rows["ALL"]["est_distinct"] - exact) / exact < 0.40
