@@ -2079,3 +2079,48 @@ class TestSketchUnionMergeProperty:
         # sanity: the estimate lands near the exact global distinct count
         exact = len(set(keys))
         assert abs(rows["ALL"]["est_distinct"] - exact) / exact < 0.40
+
+
+class TestCompaction:
+    """plans/compaction.py: a directory of tiny files compacts to the
+    byte-budgeted count, preserves every row, and (with a sort column)
+    produces DISJOINT per-file min/max ranges — verified against the
+    parquet footers, the stats the scan's file skipping consumes."""
+
+    def test_compact_preserves_and_clusters(self, spark, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.plans.compaction import compact, dir_parquet_bytes
+        from pyspark.sql import functions as F
+
+        src = str(tmp_path / "small")
+        out = str(tmp_path / "compacted")
+        # 64 tiny files
+        spark.range(0, 64_000).select(
+            F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+        ).repartition(64).write.parquet(src)
+        n_src = sum(1 for n in os.listdir(src) if n.endswith(".parquet"))
+        assert n_src == 64
+        total = dir_parquet_bytes(src)
+        n_out = compact(spark, src, out, target_bytes=total // 4 + 1, sort_col="k")
+        assert n_out <= 4
+        assert spark.read.parquet(out).count() == 64_000
+        # footer check: per-file k-ranges must not overlap
+        ranges = []
+        for name in os.listdir(out):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(out, name)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == "k" and c.statistics is not None:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
