@@ -1031,3 +1031,105 @@ def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allrows.withColumn("v", v).select(
         "scope", "k_used", "kth_hash", est.alias("est_distinct")
     )
+
+
+# Equi-width histogram sketch for mergeable quantiles: B buckets of
+# QSK_WIDTH cents over o_totalprice. The histogram IS the sketch — B
+# integers per group, mergeable by vector addition, the same
+# shard-and-combine contract as q_sketch_union but for quantiles (the
+# fixed-bucket cousin of t-digest/KLL; bucket granularity is the
+# documented accuracy tradeoff).
+QSK_BUCKETS = 256
+QSK_WIDTH = 250_000  # cents -> $2,500 buckets
+
+
+@query(
+    "q_sketch_quantile",
+    oracle=f"""
+WITH cents AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+hist AS (
+  SELECT o_orderpriority,
+         least(c // {QSK_WIDTH}, {QSK_BUCKETS - 1}) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM cents GROUP BY 1, 2
+),
+grp AS (
+  SELECT o_orderpriority AS scope, bucket, cnt FROM hist
+  UNION ALL
+  SELECT 'ALL', bucket, CAST(sum(cnt) AS BIGINT) FROM hist GROUP BY bucket
+),
+cum AS (
+  SELECT scope, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY scope ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY scope) AS n
+  FROM grp
+),
+med AS (
+  SELECT scope, CAST(min(bucket) AS BIGINT) AS med_bucket,
+         CAST(min(n) AS BIGINT) AS n
+  FROM cum WHERE cum >= (n + 1) // 2 GROUP BY scope
+)
+SELECT scope, n, med_bucket,
+       med_bucket * {QSK_WIDTH} + {QSK_WIDTH // 2} AS est_median_cents
+FROM med
+""",
+)
+def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: per-priority equi-width histograms of
+    order value (256 x $2,500 buckets), with the global median estimated
+    from the MERGED histogram — merged by vector addition of the group
+    sketches, never a rescan or a global sort. This is the quantile
+    sibling of q_sketch_union's distinct-count merge: a 1000-shard
+    deployment ships B integers per shard and the combiner adds them.
+    Median rule: smallest bucket whose cumulative count reaches
+    ceil(n/2); estimate = bucket midpoint (bucket granularity is the
+    sketch's documented accuracy bound — halve the width to halve it).
+
+    All-integer arithmetic (cents, counts, floor divisions), identical
+    in the oracle. Scale shape: one map-side-combinable histogram
+    groupBy over the scan; every window after it runs over at most
+    B x (groups + 1) sketch rows — corpus-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = (
+        o.select(
+            "o_orderpriority",
+            F.least(
+                F.expr(f"CAST(round(o_totalprice * 100) AS BIGINT) div {QSK_WIDTH}"),
+                F.lit(QSK_BUCKETS - 1),
+            ).cast("long").alias("bucket"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grp = hist.select(
+        F.col("o_orderpriority").alias("scope"), "bucket", "cnt"
+    ).unionByName(
+        hist.groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("ALL").alias("scope"), "bucket", "cnt")
+    )
+    wcum = Window.partitionBy("scope").orderBy("bucket")
+    wall = Window.partitionBy("scope")
+    cum = grp.select(
+        "scope",
+        "bucket",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    med = (
+        cum.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("scope")
+        .agg(F.min("bucket").alias("med_bucket"), F.min("n").alias("n"))
+    )
+    return med.select(
+        "scope",
+        "n",
+        "med_bucket",
+        (F.col("med_bucket") * QSK_WIDTH + QSK_WIDTH // 2).alias(
+            "est_median_cents"
+        ),
+    )

@@ -2124,3 +2124,45 @@ class TestCompaction:
         ranges.sort()
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 < lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+class TestSketchQuantileMergeProperty:
+    """q_sketch_quantile's 'ALL' row must equal a DIRECT pure-Python
+    global median-bucket computation over the raw parquet (merging the
+    per-group histograms by addition reproduces the global histogram
+    exactly — the property the sketch's shard-and-combine contract
+    rests on), and the bucket estimate must bracket the true median
+    within one bucket width."""
+
+    def test_merged_matches_direct(self, spark):
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.aggregates import (
+            QSK_BUCKETS,
+            QSK_WIDTH,
+            q_sketch_quantile,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        prices = pq.read_table(
+            f"{sf}/orders.parquet", columns=["o_totalprice"]
+        )["o_totalprice"].to_pylist()
+        cents = sorted(round(p * 100) for p in prices)
+        buckets = sorted(min(c // QSK_WIDTH, QSK_BUCKETS - 1) for c in cents)
+        n = len(buckets)
+        target = (n + 1) // 2
+        # smallest bucket whose cumulative count reaches target
+        seen, med_bucket = 0, None
+        from collections import Counter
+
+        for b, cnt in sorted(Counter(buckets).items()):
+            seen += cnt
+            if seen >= target:
+                med_bucket = b
+                break
+        rows = {r["scope"]: r for r in q_sketch_quantile(spark, sf).collect()}
+        assert rows["ALL"]["n"] == n
+        assert rows["ALL"]["med_bucket"] == med_bucket
+        est = rows["ALL"]["est_median_cents"]
+        true_median = cents[target - 1]
+        assert abs(est - true_median) <= QSK_WIDTH
