@@ -667,3 +667,71 @@ class TestSummingMart:
             for k, (s, c) in expect.items()
         }
         assert got5 == expect5
+
+
+class TestStreamStreamIntervalJoin:
+    """Stream-stream INNER join with watermarks + a time-range condition
+    (the attribution join: each purchase matches clicks by the same user
+    in the preceding 5 minutes). Spark buffers both sides in state and
+    expires rows past the watermark — the engine-native form of the
+    batch q_join_asof/q_join_range family, and the shape a streaming
+    enrichment of two live feeds takes at scale. Pins that the session's
+    config allows stream-stream state joins and that the time-range
+    predicate bounds state (no unconstrained cross-buffer)."""
+
+    def test_attribution_join(self, spark, tmpdir):
+        import datetime
+
+        clicks_dir = f"{tmpdir}/clicks"
+        purchases_dir = f"{tmpdir}/purchases"
+        T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+        M = datetime.timedelta(minutes=1)
+        clicks = [
+            (1, T0, 100),            # matches purchase at +3m
+            (1, T0 + 10 * M, 101),   # no purchase within 5m after
+            (2, T0, 102),            # matches purchase at +5m (inclusive)
+            (3, T0 + 2 * M, 103),    # purchase BEFORE click -> no match
+        ]
+        purchases = [
+            (1, T0 + 3 * M, 50.0),
+            (2, T0 + 5 * M, 70.0),
+            (3, T0 + 1 * M, 99.0),
+        ]
+        spark.createDataFrame(
+            clicks, "user_id long, ts timestamp, click_id long"
+        ).write.parquet(clicks_dir)
+        spark.createDataFrame(
+            purchases, "user_id long, ts timestamp, amount double"
+        ).write.parquet(purchases_dir)
+
+        c = (
+            spark.readStream.schema("user_id long, ts timestamp, click_id long")
+            .parquet(clicks_dir)
+            .withWatermark("ts", "10 minutes")
+            .select("user_id", F.col("ts").alias("click_ts"), "click_id")
+        )
+        p = (
+            spark.readStream.schema("user_id long, ts timestamp, amount double")
+            .parquet(purchases_dir)
+            .withWatermark("ts", "10 minutes")
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "amount")
+        )
+        joined = c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("attr_join")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt_ss")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.click_id, r.amount) for r in spark.table("attr_join").collect()
+        )
+        assert got == [(100, 50.0), (102, 70.0)]
