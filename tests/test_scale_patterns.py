@@ -2166,3 +2166,37 @@ class TestSketchQuantileMergeProperty:
         est = rows["ALL"]["est_median_cents"]
         true_median = cents[target - 1]
         assert abs(est - true_median) <= QSK_WIDTH
+
+
+class TestDynamicPartitionPruning:
+    """Join-driven partition pruning (DPP): a fact table partitioned by
+    day, joined to a dimension filtered on an attribute the fact never
+    stores — the scan must receive a runtime dynamicpruning subquery
+    (only the 3 qualifying day-partitions are read), not scan all 50
+    partitions and filter post-join. This is the static
+    TestPartitionPruning's at-scale sibling: at 100 TB the pruning
+    values are only known at runtime, and a conf regression that turns
+    DPP off silently multiplies every star-join scan by the partition
+    count."""
+
+    def test_join_prunes_fact_partitions(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        fact = spark.range(0, 100_000).select(
+            (F.col("id") % 50).alias("day"), F.col("id").alias("v")
+        )
+        fact.write.partitionBy("day").parquet(str(tmp_path / "fact"))
+        dim = spark.range(0, 50).select(
+            F.col("id").alias("day"),
+            F.when(F.col("id") < 3, "hot").otherwise("cold").alias("tag"),
+        )
+        dim.write.parquet(str(tmp_path / "dim"))
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        dm = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("tag") == "hot")
+        j = f.join(dm, "day").agg(F.sum("v").alias("sv"))
+        [row] = j.collect()
+        # days 0, 1, 2: ids congruent mod 50 -> sum over 3 residues
+        want = sum(i for i in range(100_000) if i % 50 < 3)
+        assert row["sv"] == want
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
