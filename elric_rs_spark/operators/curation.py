@@ -1149,3 +1149,114 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epochs_permille"),
         )
     )
+
+
+# --- curation v3: classifier -> dedup -> shard accounting (round 5) ----
+# The composition proof for the MODEL-era pipeline: where q_curation_v2
+# chains heuristic trim -> near-dup, v3 chains the classifier keep
+# (q_quality_logit), exact-duplicate collapse (keep-lowest-id), and the
+# per-source token/shard report a training run consumes — ONE Spark
+# plan, one oracle, demonstrating the operators compose without
+# materialization boundaries.
+V3_SHARD_TOKENS = 4000
+
+
+@query(
+    "q_curation_v3",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents
+),
+w AS (
+  SELECT printf('%02x', i) AS bucket,
+         ({_qlogit_hex13("md5('w' || printf('%02x', i))")}) % {QLOGIT_SPAN}
+           - 1000 AS w_mnat
+  FROM range(0, {QLOGIT_BUCKETS}) t(i)
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(w.w_mnat) AS BIGINT) AS logit_sum
+  FROM toks t JOIN w ON w.bucket = substr(md5(t.tok), 1, 2)
+  GROUP BY t.doc_id
+),
+keep AS (
+  SELECT doc_id, n_toks FROM scored
+  WHERE (logit_sum - ((logit_sum % n_toks + n_toks) % n_toks)) // n_toks >= 0
+),
+kept AS (
+  SELECT d.doc_id, d.source, md5(d.text) AS h, k.n_toks
+  FROM documents d JOIN keep k USING (doc_id)
+),
+uniq AS (
+  SELECT source, h, min(doc_id) AS keep_id, min(n_toks) AS n_toks
+  FROM kept GROUP BY source, h
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST((sum(n_toks) + {V3_SHARD_TOKENS - 1}) // {V3_SHARD_TOKENS}
+            AS BIGINT) AS n_shards,
+       CAST(sum(keep_id) AS BIGINT) AS keep_id_sum
+FROM uniq
+GROUP BY source
+""",
+)
+def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-era curation pipeline in ONE plan: hashed-classifier keep
+    (mean logit >= 0, the q_quality_logit rule), exact-duplicate
+    collapse per source (md5(text), keep-lowest-id survivor), then the
+    per-source training-shard report (docs, tokens, ceil-divided 4k
+    shard count, survivor-id checksum). The composition q_curation_v2
+    proves for heuristic filters, proved here for the classifier stage
+    — no materialization boundary anywhere; Catalyst sees the whole
+    DAG.
+
+    Scale shape: the classifier stage is the q_quality_logit single
+    pass (explode -> broadcast weight join -> map-side-combinable
+    groupBy); the keep-join is doc-grain; dedup collapse and the
+    source rollup are two more map-side-combinable groupBys. All
+    integer arithmetic; no windows, no self-joins."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    )
+    w = spark.range(QLOGIT_BUCKETS).select(
+        F.lpad(F.lower(F.hex(F.col("id"))), 2, "0").alias("bucket")
+    ).select(
+        "bucket",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w"), F.col("bucket"))), 1, 13),
+                16, 10,
+            ).cast("long") % QLOGIT_SPAN - 1000
+        ).alias("w_mnat"),
+    )
+    scored = (
+        toks.select("doc_id", F.substring(F.md5("tok"), 1, 2).alias("bucket"))
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("w_mnat").alias("logit_sum"),
+        )
+    )
+    keep = scored.filter(
+        F.expr("(logit_sum - pmod(logit_sum, n_toks)) div n_toks") >= 0
+    ).select("doc_id", "n_toks")
+    kept = d.select("doc_id", "source", F.md5("text").alias("h")).join(
+        keep, "doc_id"
+    )
+    uniq = kept.groupBy("source", "h").agg(
+        F.min("doc_id").alias("keep_id"), F.min("n_toks").alias("n_toks")
+    )
+    return uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.expr(
+            f"(sum(n_toks) + {V3_SHARD_TOKENS - 1}) div {V3_SHARD_TOKENS}"
+        ).alias("n_shards"),
+        F.sum("keep_id").alias("keep_id_sum"),
+    )

@@ -2200,3 +2200,55 @@ class TestDynamicPartitionPruning:
         assert row["sv"] == want
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "dynamicpruning" in plan.lower(), plan
+
+
+class TestCurationV3Planted:
+    """q_curation_v3 on a corpus where each stage's effect is known:
+    a doc the classifier rejects must not reach dedup; surviving exact
+    duplicates collapse to the lowest doc_id; shard count ceil-divides
+    the kept token mass."""
+
+    def test_stage_composition(self, spark, tmp_path):
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.curation import (
+            QLOGIT_SPAN,
+            V3_SHARD_TOKENS,
+            q_curation_v3,
+        )
+
+        def weight(tok):
+            b = hashlib.md5(tok.encode()).hexdigest()[:2]
+            return int(hashlib.md5(f"w{b}".encode()).hexdigest()[:13], 16) % QLOGIT_SPAN - 1000
+
+        # find a token with positive weight and one with negative weight
+        pos = next(f"p{i}" for i in range(1000) if weight(f"p{i}") > 0)
+        neg = next(f"n{i}" for i in range(1000) if weight(f"n{i}") < 0)
+        good = " ".join([pos] * 8)   # mean logit > 0 -> kept, 8 tokens
+        bad = " ".join([neg] * 8)    # mean logit < 0 -> rejected
+        rows = [
+            (0, good, "sa"),
+            (1, good, "sa"),   # exact dup of 0 -> collapses, keep_id 0
+            (2, bad, "sa"),    # classifier reject
+            (3, good, "sb"),   # same text, different source -> separate
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = {r["source"]: r for r in q_curation_v3(spark, str(tmp_path)).collect()}
+        assert set(out) == {"sa", "sb"}
+        sa = out["sa"]
+        assert (sa["n_docs"], sa["total_tokens"], sa["keep_id_sum"]) == (1, 8, 0)
+        assert sa["n_shards"] == (8 + V3_SHARD_TOKENS - 1) // V3_SHARD_TOKENS
+        sb = out["sb"]
+        assert (sb["n_docs"], sb["total_tokens"], sb["keep_id_sum"]) == (1, 8, 3)
