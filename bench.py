@@ -100,6 +100,10 @@ HEADLINE = [
     # round-5 third-wave appends (same contract)
     "q_top_supplier",
     "q_dedup_cross_source",
+    # round-5 fourth-wave appends (same contract)
+    "q_sketch_union",
+    "q_sketch_quantile",
+    "q_curation_v3",
 ]
 
 
