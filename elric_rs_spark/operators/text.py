@@ -1045,3 +1045,63 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+# GPT-2-style pretokenizer regex (contraction suffixes, letter runs,
+# digit runs, punctuation runs, each optionally space-prefixed) —
+# restricted to RE2-compatible syntax (no lookahead) so DuckDB replays
+# the exact same token stream; probed byte-identical across engines on
+# contractions, hyphens, digit runs, and doubled spaces/quotes.
+PRETOK_RE = "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@query(
+    "q_token_pretokenize",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         len(string_split(trim(text), ' ')) AS ws_tokens,
+         regexp_extract_all(lower(trim(text)),
+           '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(len(toks) AS BIGINT) AS re_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_re_tokens,
+       CAST((1000 * len(toks)) // ws_tokens AS BIGINT) AS fertility_permille
+FROM tok
+""",
+)
+def q_token_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pretokenization (the GPT-2 pretokenizer shape:
+    contraction suffixes, space-prefixed letter/digit runs, punctuation
+    runs) — the token accounting an LLM data pipeline runs when the
+    chars/4 estimate (q_token_count) is too coarse: per doc, whitespace
+    tokens, regex tokens, distinct regex tokens, and fertility (the
+    regex/whitespace ratio in permille). The merge loop itself belongs
+    to the trainer; what a 100 TB pass needs from the engine is exactly
+    this row-local extraction.
+
+    Scale shape: one scan, row-local regexp_extract_all + array
+    arithmetic — the whole query is a projection, no shuffle. The
+    pattern avoids lookahead so RE2 (DuckDB) and Java regex (Spark)
+    produce the identical token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.trim(F.col("text"))), F.lit(PRETOK_RE), 0
+    )
+    ws = F.size(F.split(F.trim(F.col("text")), " "))
+    base = d.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        F.size(toks).cast("long").alias("re_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_re_tokens"),
+    )
+    return base.select(
+        "doc_id",
+        "ws_tokens",
+        "re_tokens",
+        "distinct_re_tokens",
+        F.expr("(1000 * re_tokens) div ws_tokens").alias("fertility_permille"),
+    )

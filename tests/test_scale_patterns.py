@@ -2252,3 +2252,45 @@ class TestCurationV3Planted:
         assert sa["n_shards"] == (8 + V3_SHARD_TOKENS - 1) // V3_SHARD_TOKENS
         sb = out["sb"]
         assert (sb["n_docs"], sb["total_tokens"], sb["keep_id_sum"]) == (1, 8, 3)
+
+
+class TestPretokenizePlanted:
+    """q_token_pretokenize vs a pure-Python re replay on strings chosen
+    to stress the pattern: contractions, hyphens, digit runs, doubled
+    spaces and quotes."""
+
+    def test_matches_pure_python_re(self, spark, tmp_path):
+        import re
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.text import PRETOK_RE, q_token_pretokenize
+
+        texts = [
+            "It's a test-case, 42 tokens!  double  space",
+            "don't you'll we've i'm they're he'd",
+            "abc123def 10x10",
+            "a'b''c",
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = {r["doc_id"]: r for r in q_token_pretokenize(spark, str(tmp_path)).collect()}
+        for i, t in enumerate(texts):
+            # finditer whole matches == regexp_extract_all(.., 0); findall
+            # would return the capture GROUP for this pattern
+            toks = [m.group(0) for m in re.finditer(PRETOK_RE, t.lower().strip())]
+            ws = len(t.strip().split(" "))
+            r = out[i]
+            assert r["ws_tokens"] == ws
+            assert r["re_tokens"] == len(toks)
+            assert r["distinct_re_tokens"] == len(dict.fromkeys(toks))
+            assert r["fertility_permille"] == (1000 * len(toks)) // ws
