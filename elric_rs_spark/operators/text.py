@@ -1105,3 +1105,129 @@ def q_token_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_re_tokens",
         F.expr("(1000 * re_tokens) div ws_tokens").alias("fertility_permille"),
     )
+
+
+# Winnowing fingerprint parameters (Schleimer/Wilkerson/Aiken 2003,
+# SIGMOD — public method): k-token grams under an EXACT polynomial
+# rolling hash, then the minimum hash of each w-gram window is selected.
+# Token value < 10^6 and base 131 keep the largest term under 2^49 —
+# every hash is exact BIGINT in both engines, no modular arithmetic.
+WINNOW_K = 5    # gram width (tokens)
+WINNOW_W = 4    # winnowing window (grams)
+WINNOW_BASE = 131
+# DuckDB: first 13 hex chars of md5(tok) as BIGINT via integer-literal
+# positional weights (the q_agg_approx_portable construction)
+_WINNOW_HEX13 = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(tok), {i}, 1)) - 1)"
+    f" * {16 ** (13 - i)}"
+    for i in range(1, 14)
+)
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos,
+         t[i] AS tok
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        FROM documents), range(1, 100000) r(i)
+  WHERE i <= len(t)
+),
+vals AS (
+  SELECT doc_id, pos,
+         ({_WINNOW_HEX13}) % 1000000 AS v
+  FROM toks
+),
+h AS (
+  SELECT doc_id, pos,
+         v * {WINNOW_BASE ** 4}
+         + lead(v, 1) OVER w * {WINNOW_BASE ** 3}
+         + lead(v, 2) OVER w * {WINNOW_BASE ** 2}
+         + lead(v, 3) OVER w * {WINNOW_BASE}
+         + lead(v, 4) OVER w AS gh,
+         lead(v, 4) OVER w AS last_v
+  FROM vals
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+gh_rows AS (SELECT doc_id, pos, gh FROM h WHERE last_v IS NOT NULL),
+mins AS (
+  SELECT doc_id, pos,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS fp,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS wn
+  FROM gh_rows
+),
+sel AS (SELECT DISTINCT doc_id, fp FROM mins WHERE wn = {WINNOW_W})
+SELECT g.doc_id,
+       CAST(count(DISTINCT g.pos) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT s.fp) AS BIGINT) AS n_fingerprints,
+       CAST(sum(DISTINCT s.fp) AS BIGINT) AS fp_sum
+FROM gh_rows g JOIN sel s ON s.doc_id = g.doc_id
+GROUP BY g.doc_id
+""",
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash fingerprint
+    construction of MOSS): word 5-grams hashed with an exact polynomial
+    rolling hash (md5-derived token values < 10^6, base 131 — largest
+    term < 2^49, pure BIGINT), then each 4-gram window contributes its
+    MINIMUM gram hash and the distinct selected minima are the doc's
+    fingerprint set. Guarantees of the scheme: any shared token run of
+    length >= k + w - 1 produces at least one shared fingerprint, and
+    the selected density is ~2/(w+1) of grams — the sub-linear sketch a
+    plagiarism/overlap detector indexes instead of every gram.
+
+    Output per doc: gram count, fingerprint count, fingerprint checksum
+    (the value surface the oracle validates; the at-scale consumer
+    joins the (fp -> doc) posting list exactly like q_inverted_index).
+
+    Scale shape: posexplode -> two keyed window passes (lead-composed
+    rolling hash, windowed min — both partitioned by doc, never
+    global) -> per-doc distinct aggregate. Linear, shuffle keyed on
+    doc_id only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    vals = toks.select(
+        "doc_id",
+        "pos",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("long")
+            % 1000000
+        ).alias("v"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    gh = (
+        F.col("v") * WINNOW_BASE**4
+        + F.lead("v", 1).over(wdoc) * WINNOW_BASE**3
+        + F.lead("v", 2).over(wdoc) * WINNOW_BASE**2
+        + F.lead("v", 3).over(wdoc) * WINNOW_BASE
+        + F.lead("v", 4).over(wdoc)
+    )
+    h = vals.select(
+        "doc_id", "pos", gh.alias("gh"), F.lead("v", 4).over(wdoc).alias("last_v")
+    ).filter(F.col("last_v").isNotNull())
+    wmin = wdoc.rowsBetween(Window.currentRow, WINNOW_W - 1)
+    mins = h.select(
+        "doc_id",
+        "pos",
+        F.min("gh").over(wmin).alias("fp"),
+        F.count(F.lit(1)).over(wmin).alias("wn"),
+    )
+    sel = mins.filter(F.col("wn") == WINNOW_W).select("doc_id", "fp").distinct()
+    grams = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    fps = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum("fp").alias("fp_sum"),
+    )
+    return grams.join(fps, "doc_id").select(
+        "doc_id", "n_grams", "n_fingerprints", "fp_sum"
+    )

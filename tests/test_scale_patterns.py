@@ -2294,3 +2294,72 @@ class TestPretokenizePlanted:
             assert r["re_tokens"] == len(toks)
             assert r["distinct_re_tokens"] == len(dict.fromkeys(toks))
             assert r["fertility_permille"] == (1000 * len(toks)) // ws
+
+
+class TestWinnowFingerprintPlanted:
+    """q_winnow_fingerprint vs a pure-Python winnowing replay, plus the
+    scheme's coverage guarantee: two docs sharing a token run of length
+    >= k + w - 1 (= 8) must share at least one selected fingerprint."""
+
+    @staticmethod
+    def _fingerprints(text):
+        import hashlib
+
+        from elric_rs_spark.operators.text import (
+            WINNOW_BASE,
+            WINNOW_K,
+            WINNOW_W,
+        )
+
+        toks = text.lower().strip().split(" ")
+        vals = [
+            int(hashlib.md5(t.encode()).hexdigest()[:13], 16) % 1000000
+            for t in toks
+        ]
+        ghs = [
+            sum(
+                vals[i + j] * WINNOW_BASE ** (WINNOW_K - 1 - j)
+                for j in range(WINNOW_K)
+            )
+            for i in range(len(vals) - WINNOW_K + 1)
+        ]
+        sel = {
+            min(ghs[p : p + WINNOW_W])
+            for p in range(len(ghs) - WINNOW_W + 1)
+        }
+        return ghs, sel
+
+    def test_replay_and_shared_run_guarantee(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.text import q_winnow_fingerprint
+
+        shared_run = " ".join(f"s{i}" for i in range(8))  # k + w - 1 tokens
+        texts = [
+            f"aa bb cc {shared_run} dd ee",
+            f"xx yy {shared_run} zz ww vv uu",
+            " ".join(f"q{i}" for i in range(15)),  # unrelated
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = {r["doc_id"]: r for r in q_winnow_fingerprint(spark, str(tmp_path)).collect()}
+        fsets = {}
+        for i, t in enumerate(texts):
+            ghs, sel = self._fingerprints(t)
+            fsets[i] = sel
+            assert out[i]["n_grams"] == len(ghs)
+            assert out[i]["n_fingerprints"] == len(sel)
+            assert out[i]["fp_sum"] == sum(sel)
+        # the winnowing guarantee: docs 0 and 1 share the 8-token run
+        assert fsets[0] & fsets[1], "shared run produced no shared fingerprint"
+        assert not (fsets[0] & fsets[2])
+        assert not (fsets[1] & fsets[2])
