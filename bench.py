@@ -104,6 +104,10 @@ HEADLINE = [
     "q_sketch_union",
     "q_sketch_quantile",
     "q_curation_v3",
+    # round-5 fifth-wave appends (same contract)
+    "q_token_pretokenize",
+    "q_winnow_fingerprint",
+    "q_dedup_winnow",
 ]
 
 

@@ -1124,10 +1124,10 @@ _WINNOW_HEX13 = " + ".join(
 )
 
 
-@query(
-    "q_winnow_fingerprint",
-    oracle=f"""
-WITH toks AS (
+# Shared oracle CTE chain (toks -> vals -> h -> gh_rows -> mins -> sel):
+# the DuckDB replay of winnow_gram_hashes, used by q_winnow_fingerprint
+# and q_dedup_winnow.
+_WINNOW_CTES = f"""toks AS (
   SELECT doc_id, i - 1 AS pos,
          t[i] AS tok
   FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
@@ -1161,35 +1161,14 @@ mins AS (
            AS wn
   FROM gh_rows
 ),
-sel AS (SELECT DISTINCT doc_id, fp FROM mins WHERE wn = {WINNOW_W})
-SELECT g.doc_id,
-       CAST(count(DISTINCT g.pos) AS BIGINT) AS n_grams,
-       CAST(count(DISTINCT s.fp) AS BIGINT) AS n_fingerprints,
-       CAST(sum(DISTINCT s.fp) AS BIGINT) AS fp_sum
-FROM gh_rows g JOIN sel s ON s.doc_id = g.doc_id
-GROUP BY g.doc_id
-""",
-)
-def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (the rolling-hash fingerprint
-    construction of MOSS): word 5-grams hashed with an exact polynomial
-    rolling hash (md5-derived token values < 10^6, base 131 — largest
-    term < 2^49, pure BIGINT), then each 4-gram window contributes its
-    MINIMUM gram hash and the distinct selected minima are the doc's
-    fingerprint set. Guarantees of the scheme: any shared token run of
-    length >= k + w - 1 produces at least one shared fingerprint, and
-    the selected density is ~2/(w+1) of grams — the sub-linear sketch a
-    plagiarism/overlap detector indexes instead of every gram.
+sel AS (SELECT DISTINCT doc_id, fp FROM mins WHERE wn = {WINNOW_W})"""
 
-    Output per doc: gram count, fingerprint count, fingerprint checksum
-    (the value surface the oracle validates; the at-scale consumer
-    joins the (fp -> doc) posting list exactly like q_inverted_index).
 
-    Scale shape: posexplode -> two keyed window passes (lead-composed
-    rolling hash, windowed min — both partitioned by doc, never
-    global) -> per-doc distinct aggregate. Linear, shuffle keyed on
-    doc_id only."""
-    d = load_table(spark, sf_dir, "documents")
+def winnow_gram_hashes(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared winnowing stage: (gram-hash rows, selected fingerprints).
+    Returns (h: (doc_id, pos, gh), sel: (doc_id, fp) distinct) — the
+    single Spark copy of the gh_rows/sel oracle CTEs; callers:
+    q_winnow_fingerprint and q_dedup_winnow."""
     toks = d.select(
         "doc_id",
         F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
@@ -1223,6 +1202,42 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wmin).alias("wn"),
     )
     sel = mins.filter(F.col("wn") == WINNOW_W).select("doc_id", "fp").distinct()
+    return h.select("doc_id", "pos", "gh"), sel
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle=f"""
+WITH {_WINNOW_CTES}
+SELECT g.doc_id,
+       CAST(count(DISTINCT g.pos) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT s.fp) AS BIGINT) AS n_fingerprints,
+       CAST(sum(DISTINCT s.fp) AS BIGINT) AS fp_sum
+FROM gh_rows g JOIN sel s ON s.doc_id = g.doc_id
+GROUP BY g.doc_id
+""",
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash fingerprint
+    construction of MOSS): word 5-grams hashed with an exact polynomial
+    rolling hash (md5-derived token values < 10^6, base 131 — largest
+    term < 2^49, pure BIGINT), then each 4-gram window contributes its
+    MINIMUM gram hash and the distinct selected minima are the doc's
+    fingerprint set. Guarantees of the scheme: any shared token run of
+    length >= k + w - 1 produces at least one shared fingerprint, and
+    the selected density is ~2/(w+1) of grams — the sub-linear sketch a
+    plagiarism/overlap detector indexes instead of every gram.
+
+    Output per doc: gram count, fingerprint count, fingerprint checksum
+    (the value surface the oracle validates; the at-scale consumer
+    joins the (fp -> doc) posting list exactly like q_inverted_index).
+
+    Scale shape: posexplode -> two keyed window passes (lead-composed
+    rolling hash, windowed min — both partitioned by doc, never
+    global) -> per-doc distinct aggregate. Linear, shuffle keyed on
+    doc_id only."""
+    d = load_table(spark, sf_dir, "documents")
+    h, sel = winnow_gram_hashes(d)
     grams = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     fps = sel.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
@@ -1230,4 +1245,89 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return grams.join(fps, "doc_id").select(
         "doc_id", "n_grams", "n_fingerprints", "fp_sum"
+    )
+
+
+# Per-fingerprint posting cap for the winnow pair join (the
+# q_inverted_index POSTING_CAP pattern): a boilerplate fingerprint
+# shared by every doc would otherwise make the posting self-join
+# quadratic; capping to the lowest doc_ids keeps it linear and is
+# replayed deterministically by the oracle.
+WINNOW_POSTING_CAP = 256
+
+
+@query(
+    "q_dedup_winnow",
+    oracle=f"""
+WITH {_WINNOW_CTES},
+post AS (
+  SELECT doc_id, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM sel
+),
+capped AS (SELECT doc_id, fp FROM post WHERE rn <= {WINNOW_POSTING_CAP}),
+nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM sel GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM capped a JOIN capped b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       CAST((1000 * s.n_shared) // least(fa.n_fp, fb.n_fp) AS BIGINT)
+         AS overlap_permille
+FROM shared s
+JOIN nf fa ON fa.doc_id = s.doc_a
+JOIN nf fb ON fb.doc_id = s.doc_b
+WHERE s.n_shared >= 2
+""",
+)
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from winnowing fingerprints — the
+    posting-list join that makes the rolling-hash sketch useful at
+    scale: docs sharing >= 2 selected fingerprints, with the overlap
+    ratio (shared / smaller fingerprint set, permille) as the ranking
+    signal. This is the MOSS detection step and a third near-dup
+    family alongside MinHash (probabilistic grams) and SimHash
+    (hamming chunks): winnowing guarantees any shared run of
+    k + w - 1 tokens surfaces the pair — deterministic recall on
+    contiguous overlap, which MinHash can only promise in expectation.
+
+    Scale shape: the fingerprint stage shuffles on doc_id (window
+    passes); the pair stage is a groupBy-bucket posting join on fp with
+    a deterministic WINNOW_POSTING_CAP guard on boilerplate
+    fingerprints (the q_inverted_index hot-key treatment) — candidate
+    work is linear in corpus size, never a corpus self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    _, sel = winnow_gram_hashes(d)
+    wpost = Window.partitionBy("fp").orderBy("doc_id")
+    capped = (
+        sel.withColumn("rn", F.row_number().over(wpost))
+        .filter(F.col("rn") <= WINNOW_POSTING_CAP)
+        .drop("rn")
+    )
+    nf = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = capped.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    fa = nf.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("nfa"))
+    fb = nf.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nfb"))
+    return (
+        shared.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.expr("(1000 * n_shared) div least(nfa, nfb)").alias(
+                "overlap_permille"
+            ),
+        )
     )

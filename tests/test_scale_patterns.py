@@ -2363,3 +2363,45 @@ class TestWinnowFingerprintPlanted:
         assert fsets[0] & fsets[1], "shared run produced no shared fingerprint"
         assert not (fsets[0] & fsets[2])
         assert not (fsets[1] & fsets[2])
+
+
+class TestDedupWinnowPlanted:
+    """q_dedup_winnow on the winnowing fixture: the two docs sharing a
+    12-token run must surface as the ONLY pair, with n_shared equal to
+    the pure-Python fingerprint-set intersection and the overlap
+    permille replayed exactly; the unrelated doc pairs with no one."""
+
+    def test_shared_run_pairs(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.text import q_dedup_winnow
+
+        shared_run = " ".join(f"s{i}" for i in range(12))
+        texts = [
+            f"aa bb cc {shared_run} dd ee",
+            f"xx yy {shared_run} zz ww vv uu",
+            " ".join(f"q{i}" for i in range(15)),
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = [
+            (r["doc_a"], r["doc_b"], r["n_shared"], r["overlap_permille"])
+            for r in q_dedup_winnow(spark, str(tmp_path)).collect()
+        ]
+        assert len(out) == 1
+        doc_a, doc_b, n_shared, permille = out[0]
+        assert (doc_a, doc_b) == (0, 1)
+        # pure-python replay of the expected overlap
+        fa = TestWinnowFingerprintPlanted._fingerprints(texts[0])[1]
+        fb = TestWinnowFingerprintPlanted._fingerprints(texts[1])[1]
+        assert n_shared == len(fa & fb) >= 2
+        assert permille == (1000 * n_shared) // min(len(fa), len(fb))
