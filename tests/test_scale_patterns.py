@@ -2405,3 +2405,70 @@ class TestDedupWinnowPlanted:
         fb = TestWinnowFingerprintPlanted._fingerprints(texts[1])[1]
         assert n_shared == len(fa & fb) >= 2
         assert permille == (1000 * n_shared) // min(len(fa), len(fb))
+
+
+class TestIvfIndexPersistence:
+    """The DEPLOY.md claim made real: persist the IVF assignment
+    `partitionBy(cell)` and the probe semi-join becomes PARTITION
+    PRUNING on the stored index — the scan plans PartitionFilters on
+    cell and reads only the probed cells, and the top-10 from the
+    pruned index is identical to the in-memory q_sim_ivf answer."""
+
+    def test_partitioned_index_probe(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from elric_rs_spark.operators.similarity import (
+            IVF_NPROBE,
+            _anchors,
+            _as_double,
+            _dot,
+            _norm,
+            q_sim_ivf,
+        )
+        from elric_rs_spark.plans.inspect import formatted_plan
+        from elric_rs_spark.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        anchors = _anchors()
+        e = load_table(spark, sf, "embeddings").select(
+            "vec_id", "label", _as_double("embedding").alias("v")
+        )
+        dots = F.array(
+            *[_dot(F.col("v"), F.array(*[F.lit(x) for x in a])) for a in anchors]
+        )
+        cells = e.withColumn("dots", dots).select(
+            "vec_id",
+            "label",
+            "v",
+            "dots",
+            F.array_position(F.col("dots"), F.array_max("dots")).alias("cell"),
+        )
+        idx = str(tmp_path / "ivf_index")
+        cells.drop("dots").write.partitionBy("cell").parquet(idx)
+
+        # probe list for query vec 0 — k-sized driver math, like the
+        # trained-IVF path
+        [qrow] = cells.filter(F.col("vec_id") == 0).collect()
+        order = sorted(range(len(qrow["dots"])), key=lambda i: -qrow["dots"][i])
+        probe = [i + 1 for i in order[:IVF_NPROBE]]
+
+        index = spark.read.parquet(idx).filter(
+            F.col("cell").isin(probe) & (F.col("vec_id") != 0)
+        )
+        fp = formatted_plan(index)
+        pf = [ln for ln in fp.splitlines() if "PartitionFilters" in ln]
+        assert pf and "cell" in pf[0], fp
+
+        qv = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+        cosine = F.round(
+            _dot(F.col("v"), qv) / (_norm(F.col("v")) * _norm(qv)), 6
+        )
+        got = [
+            (r["vec_id"], r["cosine"])
+            for r in index.select("vec_id", cosine.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), "vec_id")
+            .limit(10)
+            .collect()
+        ]
+        want = [(r["vec_id"], r["cosine"]) for r in q_sim_ivf(spark, sf).collect()]
+        assert got == want
