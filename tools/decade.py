@@ -1,0 +1,72 @@
+"""Per-query decade-ratio report: run the bench suite at two scales in
+one JVM-per-scale chain and print wall ratios sorted worst-first.
+
+This is the measurement loop that caught round 5's two quadratic bugs
+(q_dedup_embed_lsh_portable 86x/decade from fixed-width LSH banding,
+q_dedup_semantic 25x/decade from a per-dim pair-join re-shuffle): a
+query whose ratio is far above its family's band is growing
+super-linearly and will not survive 100x. Family bands measured at the
+sf0.1 -> sf1 decade (BASELINE.md round-5 section): scan/join/agg
+1.1-2x, windowed/temporal 2-4x, corpus-proportional dedup/text
+(gram/signature shuffles) 3-8x.
+
+Usage: python tools/decade.py [small_dir] [big_dir]
+Defaults: /root/testdata/sf0.1 .scratch/sf1  (generate the latter with
+tools/gen_sf.py). One JSON summary line at the end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    with tempfile.NamedTemporaryFile(mode="w+", suffix=".json") as out:
+        subprocess.run(
+            [sys.executable, "bench.py"],
+            stdout=out,
+            stderr=subprocess.DEVNULL,
+            env=env,
+            check=True,
+        )
+        out.seek(0)
+        return json.loads(out.read().strip().splitlines()[-1])
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else ".scratch/sf1"
+    a = run_bench(small)
+    b = run_bench(big)
+    qa, qb = a["queries"], b["queries"]
+    rows = sorted(
+        ((qb[k] / max(qa[k], 0.01), k, qa[k], qb[k]) for k in qb if k in qa),
+        reverse=True,
+    )
+    for ratio, name, sa, sb in rows:
+        flag = " <-- SUPERLINEAR?" if ratio > 10 else ""
+        print(f"{name:32s} {sa:7.2f}s -> {sb:8.2f}s  x{ratio:5.1f}{flag}")
+    print(
+        json.dumps(
+            {
+                "metric": "decade_ratio",
+                "small": small,
+                "big": big,
+                "small_total": a["value"],
+                "big_total": b["value"],
+                "ratio": round(b["value"] / a["value"], 2),
+                "worst": [
+                    {"query": n, "ratio": round(r, 1)} for r, n, _, _ in rows[:5]
+                ],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
