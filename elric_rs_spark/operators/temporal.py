@@ -1067,3 +1067,118 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "den",
         F.expr("(num - pmod(num, den)) div den").alias("ewma_cents"),
     )
+
+
+ASOF_FWD_TOL_US = 600 * 1_000_000  # 10-minute forward tolerance
+
+
+@query(
+    "q_join_asof_forward",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, ts, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS purchase_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+c AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS click_cents
+  FROM events WHERE event_type = 'click'
+),
+u AS (
+  SELECT user_id, ts, event_id, click_cents, 1 AS is_click,
+         CAST(NULL AS BIGINT) AS purchase_cents
+  FROM c
+  UNION ALL
+  SELECT user_id, ts, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 0,
+         purchase_cents
+  FROM p
+),
+wnd AS (
+  SELECT user_id, ts, event_id, click_cents, is_click,
+         first_value(CASE WHEN is_click = 0 THEN ts END IGNORE NULLS)
+           OVER fwd AS next_ts,
+         first_value(CASE WHEN is_click = 0 THEN purchase_cents END
+                     IGNORE NULLS) OVER fwd AS next_cents
+  FROM u
+  WINDOW fwd AS (PARTITION BY user_id ORDER BY ts, is_click DESC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, click_cents,
+       CASE WHEN next_ts IS NOT NULL
+             AND epoch_us(next_ts) - epoch_us(ts) <= {ASOF_FWD_TOL_US}
+            THEN next_cents END AS next_purchase_cents,
+       CASE WHEN next_ts IS NOT NULL
+             AND epoch_us(next_ts) - epoch_us(ts) <= {ASOF_FWD_TOL_US}
+            THEN CAST(epoch_us(next_ts) - epoch_us(ts) AS BIGINT)
+            END AS gap_us
+FROM wnd WHERE is_click = 1
+""",
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (the conversion-attribution
+    direction, complementing q_join_asof's backward look): each click
+    gets the user's next purchase AT OR AFTER the click, but only
+    within a 10-minute tolerance — past it the click is an
+    unconverted NULL row. The at-or-after boundary comes from the
+    union's sort key (ts, is_click DESC): at an equal timestamp the
+    click sorts before the purchase, so the forward window sees it.
+
+    Same scale shape as the backward form: one union, each side
+    shuffled ONCE on user_id, a keyed forward-looking window — no
+    range self-join, and the tolerance is a row-local filter after the
+    window, costing nothing. Skewed users split under AQE."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.sum(_cents("value")).alias("purchase_cents"))
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", _cents("value").alias("click_cents")
+    )
+    u = c.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "click_cents",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("purchase_cents"),
+    ).unionByName(
+        p.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("click_cents"),
+            F.lit(0).alias("is_click"),
+            "purchase_cents",
+        )
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("is_click").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    wnd = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "click_cents",
+        "is_click",
+        F.first(
+            F.when(F.col("is_click") == 0, F.col("ts")), ignorenulls=True
+        ).over(fwd).alias("next_ts"),
+        F.first(
+            F.when(F.col("is_click") == 0, F.col("purchase_cents")),
+            ignorenulls=True,
+        ).over(fwd).alias("next_cents"),
+    ).filter(F.col("is_click") == 1)
+    gap = _us("next_ts") - _us("ts")
+    in_tol = F.col("next_ts").isNotNull() & (gap <= ASOF_FWD_TOL_US)
+    return wnd.select(
+        "event_id",
+        "user_id",
+        "click_cents",
+        F.when(in_tol, F.col("next_cents")).alias("next_purchase_cents"),
+        F.when(in_tol, gap.cast("long")).alias("gap_us"),
+    )

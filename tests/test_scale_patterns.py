@@ -2472,3 +2472,48 @@ class TestIvfIndexPersistence:
         ]
         want = [(r["vec_id"], r["cosine"]) for r in q_sim_ivf(spark, sf).collect()]
         assert got == want
+
+
+class TestAsofForwardPlanted:
+    """q_join_asof_forward boundaries: a purchase exactly AT the click
+    timestamp matches (at-or-after); a purchase exactly AT the 10-minute
+    tolerance is included (<=); one microsecond past it yields a NULL
+    unconverted row; a purchase BEFORE the click never matches."""
+
+    def test_boundaries(self, spark, tmp_path):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.temporal import q_join_asof_forward
+
+        T0 = datetime.datetime(2024, 1, 1, 12)
+        MIN10 = datetime.timedelta(minutes=10)
+        US = datetime.timedelta(microseconds=1)
+        rows = [
+            (0, T0, 1, "click", 1.0),              # purchase at same ts -> match
+            (1, T0, 1, "purchase", 50.0),
+            (2, T0 + US, 2, "click", 2.0),         # next purchase exactly 10m later
+            (3, T0 + US + MIN10, 2, "purchase", 70.0),
+            (4, T0, 3, "click", 3.0),              # purchase 10m + 1us -> NULL
+            (5, T0 + MIN10 + US, 3, "purchase", 99.0),
+            (6, T0 + MIN10, 4, "click", 4.0),      # purchase BEFORE click -> NULL
+            (7, T0, 4, "purchase", 11.0),
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = {r["event_id"]: r for r in q_join_asof_forward(spark, str(tmp_path)).collect()}
+        assert (out[0]["next_purchase_cents"], out[0]["gap_us"]) == (5000, 0)
+        assert (out[2]["next_purchase_cents"], out[2]["gap_us"]) == (7000, 600_000_000)
+        assert out[4]["next_purchase_cents"] is None and out[4]["gap_us"] is None
+        assert out[6]["next_purchase_cents"] is None
