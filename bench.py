@@ -108,6 +108,8 @@ HEADLINE = [
     "q_token_pretokenize",
     "q_winnow_fingerprint",
     "q_dedup_winnow",
+    # round-5 sixth-wave append (same contract)
+    "q_join_asof_forward",
 ]
 
 

@@ -69,8 +69,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # q_quality_calibration, q_token_budget_mix, q_pack_padding,
 # q_mmr_diversify, q_top_supplier, q_dedup_cross_source,
 # q_sketch_union, q_sketch_quantile, q_curation_v3,
-# q_token_pretokenize, q_winnow_fingerprint, q_dedup_winnow, plus any
-# further round-5 additions in registration order past slot 50);
+# q_token_pretokenize, q_winnow_fingerprint, q_dedup_winnow,
+# q_join_asof_forward, plus any further round-5 additions in
+# registration order past slot 50);
 # then (b) stalest regrades by
 # last-graded round (after this round that means the remaining
 # round-2-only keys: q_window_sliding, q_window_dist, q_agg_rollup,
