@@ -31,25 +31,21 @@ def test_registry_iteration_leads_with_grading_order():
     assert ordered[:n] == registry.GRADING_ORDER
 
 
-def test_first_50_covers_never_graded_round4_additions():
-    """The round-5 grading window must contain every query without a
-    green driver row in ANY round (VERDICT r04 next-round #1 — the 33
-    round-4 additions that registered past the round-4 window), and
-    every slot must be oracle-backed (VERDICT r04 finding #2: no slots
-    on rows-only keys)."""
+def test_first_50_covers_never_graded_round5_additions():
+    """The round-6 grading window must contain every query without a
+    green driver row in ANY round (VERDICT r05 next-round #1 — the 16
+    round-5 additions that registered past the round-5 window), and
+    every slot must be oracle-backed (no slots on rows-only keys; their
+    value contracts are carried by graded portable twins)."""
     front = list(registry.QUERIES)[:50]
     must_grade = {
-        "q_revenue_forecast", "q_unpivot", "q_sketch_cms",
-        "q_volume_shipping", "q_market_share", "q_returned_items",
-        "q_join_interval", "q_rolling_active", "q_ewma",
-        "q_priority_waiting", "q_small_qty_revenue", "q_excess_supplier",
-        "q_waiting_suppliers", "q_skyline", "q_lm_score",
-        "q_ngram_novelty", "q_bm25", "q_bigram_pmi",
-        "q_dedup_containment", "q_dedup_semantic", "q_passage_dedup",
-        "q_substring_dedup", "q_sim_recall", "q_sim_ivf_curve",
-        "q_embed_norm", "q_pii_scrub", "q_url_dedup",
-        "q_importance_weight", "q_c4_filter", "q_curation_v2",
-        "q_pagerank", "q_graph_triangles", "q_graph_labelprop",
+        "q_top_supplier", "q_sketch_union", "q_sketch_quantile",
+        "q_join_asof_forward", "q_pack_padding", "q_token_pretokenize",
+        "q_winnow_fingerprint", "q_dedup_winnow",
+        "q_sim_ivf_trained_portable", "q_mmr_diversify",
+        "q_dedup_embed_lsh_portable", "q_dedup_cross_source",
+        "q_quality_logit", "q_quality_calibration",
+        "q_token_budget_mix", "q_curation_v3",
     }
     evicted = must_grade - set(front)
     assert not evicted, f"evicted from the 50-query grading window: {evicted}"
