@@ -1567,6 +1567,31 @@ PDLSH_MIN_BITS = 4
 PDLSH_MAX_BITS = 14
 PDLSH_BUCKET_CAP = 256
 
+# bits = smallest b in [MIN, MAX] with (1 << b) * TARGET_BUCKET >= n,
+# computed by INTEGER threshold counting (bits = MIN + #{thresholds
+# exceeded}) rather than ceil(log2(n/16)): Spark and DuckDB evaluate
+# log2 in their own libm, and a 1-ulp difference near an integer result
+# would flip the band width between engines and break bit-identical
+# grading. Value-identical to the log2 form for every n >= 1.
+PDLSH_BIT_THRESHOLDS = [
+    (1 << (b - 1)) * PDLSH_TARGET_BUCKET
+    for b in range(PDLSH_MIN_BITS + 1, PDLSH_MAX_BITS + 1)
+]
+_PDLSH_BITS_SQL = f"CAST({PDLSH_MIN_BITS} + " + " + ".join(
+    f"(CASE WHEN count(*) > {t} THEN 1 ELSE 0 END)"
+    for t in PDLSH_BIT_THRESHOLDS
+) + " AS BIGINT)"
+
+
+def _pdlsh_bits_col():
+    """Spark aggregate-expression form of _PDLSH_BITS_SQL (same
+    thresholds, same integer arithmetic)."""
+    cnt = F.count(F.lit(1))
+    bits = F.lit(PDLSH_MIN_BITS)
+    for t in PDLSH_BIT_THRESHOLDS:
+        bits = bits + F.when(cnt > t, F.lit(1)).otherwise(F.lit(0))
+    return bits.cast("long")
+
 
 @query(
     "q_dedup_embed_lsh_portable",
@@ -1594,10 +1619,7 @@ sig AS (
   FROM dots GROUP BY vec_id
 ),
 nb AS (
-  SELECT CAST(greatest({PDLSH_MIN_BITS},
-                       least({PDLSH_MAX_BITS},
-                             CAST(ceil(log2(count(*) / {float(PDLSH_TARGET_BUCKET)}))
-                                  AS BIGINT))) AS BIGINT) AS bits
+  SELECT {_PDLSH_BITS_SQL} AS bits
   FROM embeddings
 ),
 bands AS (
@@ -1690,20 +1712,9 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("long"))
         ).alias("sig")
     )
-    # corpus-adaptive band width, derived inside the plan
-    nb = e.agg(
-        F.greatest(
-            F.lit(PDLSH_MIN_BITS),
-            F.least(
-                F.lit(PDLSH_MAX_BITS),
-                F.ceil(
-                    F.log2(F.count(F.lit(1)) / float(PDLSH_TARGET_BUCKET))
-                ),
-            ),
-        )
-        .cast("long")
-        .alias("bits")
-    )
+    # corpus-adaptive band width, derived inside the plan by integer
+    # threshold counting (see PDLSH_BIT_THRESHOLDS — no cross-engine libm)
+    nb = e.agg(_pdlsh_bits_col().alias("bits"))
     bands = (
         sig.crossJoin(F.broadcast(nb))
         .select(
@@ -1813,10 +1824,13 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to q_dedup_minhash_portable (signatures via
     explode + groupBy-min, banded bucket candidates, exact Jaccard on
     candidates only) plus two source-annotation joins and a tiny
-    source-pair rollup. The PAIR side is the broadcast side (verified
-    near-dup pairs are candidate-sized); the corpus-sized doc->source
-    map is scanned, never shuffled or broadcast — each annotation join
-    is one broadcast-hash pass over documents."""
+    source-pair rollup. The pair side is usually the small side, but
+    its cardinality is DATA-DEPENDENT (a duplicate-heavy corpus can
+    verify a huge pair set even with candidate caps), so the joins
+    carry no hard broadcast hint: AQE's runtime size stats pick
+    broadcast-hash when the pairs are small and fall back to shuffle
+    join when they aren't — a forced F.broadcast here would be a
+    driver-OOM landmine at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
     grams_arr = F.array_distinct(_word_ngrams(F.col("text"), 3))
     grams = d.select("doc_id", grams_arr.alias("g")).filter(F.size("g") > 0)
@@ -1824,9 +1838,9 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = d.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
-    ann_a = sa.join(F.broadcast(pairs), "doc_a")  # pair-sized result
+    ann_a = sa.join(pairs, "doc_a")  # pair-sized result
     return (
-        sb.join(F.broadcast(ann_a), "doc_b")
+        sb.join(ann_a, "doc_b")
         .filter(F.col("sa") != F.col("sb"))
         .groupBy(
             F.least("sa", "sb").alias("src_lo"),

@@ -1128,11 +1128,11 @@ _WINNOW_HEX13 = " + ".join(
 # the DuckDB replay of winnow_gram_hashes, used by q_winnow_fingerprint
 # and q_dedup_winnow.
 _WINNOW_CTES = f"""toks AS (
-  SELECT doc_id, i - 1 AS pos,
-         t[i] AS tok
+  SELECT doc_id,
+         generate_subscripts(t, 1) - 1 AS pos,
+         unnest(t) AS tok
   FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
-        FROM documents), range(1, 100000) r(i)
-  WHERE i <= len(t)
+        FROM documents)
 ),
 vals AS (
   SELECT doc_id, pos,

@@ -23,11 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def dir_parquet_bytes(path: str) -> int:
-    """Total bytes of *.parquet files directly under `path`."""
+    """Total bytes of *.parquet files under `path`, recursively — a
+    Hive-partitioned table (partitionBy output) keeps its files in
+    key=value subdirectories, so a flat listdir would report 0 bytes
+    and silently collapse the whole table to one file."""
     total = 0
-    for name in os.listdir(path):
-        if name.endswith(".parquet"):
-            total += os.path.getsize(os.path.join(path, name))
+    n_files = 0
+    for root, _dirs, names in os.walk(path):
+        for name in names:
+            if name.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, name))
+                n_files += 1
+    if n_files == 0:
+        raise FileNotFoundError(f"no *.parquet files under {path!r}")
     return total
 
 
@@ -52,4 +60,9 @@ def compact(
     else:
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(out_dir)
-    return sum(1 for n in os.listdir(out_dir) if n.endswith(".parquet"))
+    return sum(
+        1
+        for root, _dirs, names in os.walk(out_dir)
+        for n in names
+        if n.endswith(".parquet")
+    )

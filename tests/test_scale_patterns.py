@@ -2125,6 +2125,85 @@ class TestCompaction:
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 < lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
 
+    def test_sizing_walks_hive_partitioned_source(self, spark, tmp_path):
+        """ADVICE r05: partitionBy output keeps files in key=value
+        subdirs; a flat listdir saw 0 bytes and compacted EVERYTHING to
+        one file. Sizing and the returned output count must both walk
+        recursively, and an empty source must raise, not return 0."""
+        import pytest
+
+        from elric_rs_spark.plans.compaction import compact, dir_parquet_bytes
+        from pyspark.sql import functions as F
+
+        src = str(tmp_path / "hive")
+        out = str(tmp_path / "hive_out")
+        spark.range(0, 32_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("part"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        ).repartition(16).write.partitionBy("part").parquet(src)
+        total = dir_parquet_bytes(src)
+        assert total > 0
+        n_out = compact(spark, src, out, target_bytes=total // 4 + 1)
+        assert 2 <= n_out <= 4, n_out
+        assert spark.read.parquet(out).count() == 32_000
+        with pytest.raises(FileNotFoundError):
+            dir_parquet_bytes(str(tmp_path / "hive" / "_nope_"))
+
+
+class TestAdaptiveBandBitsIntegerForm:
+    """ADVICE r05: the corpus-adaptive LSH band width must not depend on
+    cross-engine libm log2 agreement. The integer threshold-counting
+    form must be value-identical to clamp(ceil(log2(n/16)), 4, 14) for
+    every corpus size, and the SQL/Spark forms must share thresholds."""
+
+    def test_matches_log2_form_everywhere(self):
+        import math
+
+        from elric_rs_spark.operators.dedup import (
+            PDLSH_BIT_THRESHOLDS,
+            PDLSH_MAX_BITS,
+            PDLSH_MIN_BITS,
+            PDLSH_TARGET_BUCKET,
+        )
+
+        def int_bits(n: int) -> int:
+            return PDLSH_MIN_BITS + sum(1 for t in PDLSH_BIT_THRESHOLDS if n > t)
+
+        # exhaustive over every threshold neighborhood + a broad sweep
+        probes = {1, 2, 15, 16, 17}
+        for t in PDLSH_BIT_THRESHOLDS:
+            probes |= {t - 1, t, t + 1}
+        probes |= set(range(1, 5000, 7))
+        probes |= {10**6, 10**9}
+        for n in sorted(probes):
+            ref = max(
+                PDLSH_MIN_BITS,
+                min(
+                    PDLSH_MAX_BITS,
+                    math.ceil(math.log2(n / PDLSH_TARGET_BUCKET)) if n > PDLSH_TARGET_BUCKET else PDLSH_MIN_BITS,
+                ),
+            )
+            assert int_bits(n) == ref, (n, int_bits(n), ref)
+
+    def test_sql_and_spark_forms_agree(self, spark):
+        import duckdb
+
+        from elric_rs_spark.operators.dedup import (
+            _PDLSH_BITS_SQL,
+            _pdlsh_bits_col,
+        )
+
+        for n in (3, 16, 256, 257, 4096, 70000, 10**6):
+            con = duckdb.connect()
+            (sql_bits,) = con.execute(
+                f"SELECT {_PDLSH_BITS_SQL} AS bits FROM range({n})"
+            ).fetchone()
+            (spark_bits,) = (
+                spark.range(n).agg(_pdlsh_bits_col().alias("bits")).first()
+            )
+            assert sql_bits == spark_bits, (n, sql_bits, spark_bits)
+
 
 class TestSketchQuantileMergeProperty:
     """q_sketch_quantile's 'ALL' row must equal a DIRECT pure-Python
