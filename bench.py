@@ -178,6 +178,36 @@ def main() -> None:
         .groupBy("sig").count()
         .write.format("noop").mode("overwrite").save()
     )
+    # array-dot family (zip_with/aggregate HOFs + arrays_zip explode) —
+    # the SemDeDup/ANN pair stages run milli-int array dots; HOF
+    # expressions are CodegenFallback and their first execution pays
+    # interpretation classload+JIT (measured: q_dedup_semantic 15.6s
+    # first execute vs 5.0s steady-state in a fresh session at sf0.1).
+    # A 50-row sample compiles the same paths for negligible data cost.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    _zero = _F.lit(0).cast("long")
+    _m = emb.select(
+        "vec_id",
+        _F.transform(
+            "embedding", lambda x: _F.round(x.cast("double") * 1000).cast("long")
+        ).alias("m"),
+    )
+    _a = _m.select(_F.col("vec_id").alias("ida"), _F.col("m").alias("ma"))
+    _b = _m.select(_F.col("vec_id").alias("idb"), _F.col("m").alias("mb"))
+    (
+        _a.join(_b, _F.col("ida") < _F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            _F.aggregate(
+                _F.zip_with(_F.col("ma"), _F.col("mb"), lambda x, y: x * y),
+                _zero,
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+        .groupBy("ida").agg(_F.max("dot"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()

@@ -406,3 +406,30 @@ class TestCurationRound4Plans:
         # consumers: a strong-tie scan over it plans zero lineitem reads
         plan = physical_plan(QUERIES["q_graph_triangles"](spark, SF_DIR))
         assert "lineitem" not in plan, plan
+
+    def test_portable_pair_single_build(self, spark):
+        """The full-corpus verified MinHash pair set is shared: the
+        minhash twin, the cluster extraction, and the cross-source
+        leakage audit must trigger exactly ONE gram/signature/verify
+        build per (session, sf_dir) (VERDICT r05 next-round #4 — the
+        graph-quartet treatment applied to the dedup family). The
+        curation cascades are deliberately NOT consumers: they band a
+        filtered survivor set, so composition order forces a fresh
+        build on their own grams."""
+        from elric_rs_spark.operators import dedup
+
+        key = (spark.sparkContext.applicationId, SF_DIR)
+        dedup._PMH_PAIR_CACHE.pop(key, None)
+        before = dedup._PMH_PAIR_BUILDS
+        for name in (
+            "q_dedup_minhash_portable",
+            "q_dedup_clusters_portable",
+            "q_dedup_cross_source",
+        ):
+            QUERIES[name](spark, SF_DIR).collect()
+        assert dedup._PMH_PAIR_BUILDS == before + 1
+        # the memoized pair set is checkpointed: consumers' plans must
+        # not re-run the signature pipeline (no md5 over gram text in
+        # the minhash twin's lineage after the first build)
+        plan = physical_plan(QUERIES["q_dedup_minhash_portable"](spark, SF_DIR))
+        assert "md5" not in plan.lower(), plan
