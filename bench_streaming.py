@@ -19,6 +19,7 @@ timings); run manually and record in BASELINE.md.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -27,10 +28,26 @@ import time
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
+# Throughput floor gate (VERDICT r05 next-round #5): three successive
+# measurements drifted 819 -> 731 -> 653 blocks/s with each step "inside
+# the band"; the gate pins a floor so the next drift step FAILS instead
+# of re-widening the band. Enforced only when the box was idle at start
+# (load_1m < 1.0, the same canary threshold BASELINE.md:236-244 uses for
+# the query bench) — on a loaded box the number is attribution-free.
+# Floor calibration: r6 idle-era boxes measure ~466 blocks/s at the
+# default 20k blocks with the box running ~1.4x slower than the r4 era
+# (uniform across the 49-query control suite — see BASELINE.md r6
+# note), so 380 catches a >20% code regression on the slowest observed
+# box class while staying quiet across box-speed changes of the size
+# actually observed.
+FLOOR_BLOCKS_PER_SEC = 380.0
+FLOOR_MIN_BLOCKS = 10_000  # short runs are overhead-dominated; don't gate
+
 
 def main() -> None:
     n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     decode_mode = sys.argv[2] if len(sys.argv) > 2 else "json"
+    load_start = round(os.getloadavg()[0], 2)
     from elric_rs_spark.session import get_spark
     from elric_rs_spark.streaming.pipeline import TypedPerTableSink, run_pipeline
     from elric_rs_spark.streaming.source import land_blocks
@@ -108,21 +125,33 @@ def main() -> None:
             spark.read.parquet(f"{out}/data/{t}").count()
             for t in ("transfers", "approvals")
         )
+        bps = round(n_blocks / wall, 1)
+        idle = load_start < 1.0
+        gated = idle and n_blocks >= FLOOR_MIN_BLOCKS
         print(
             json.dumps(
                 {
                     "metric": "pipeline_blocks_per_sec",
                     "decode": decode_mode,
-                    "value": round(n_blocks / wall, 1),
+                    "value": bps,
                     "unit": "blocks/sec",
                     "rows_per_sec": round(n_rows / wall, 1),
                     "n_blocks": n_blocks,
                     "typed_rows_landed": n_rows,
                     "pipeline_wall_sec": round(wall, 2),
                     "landing_write_sec": round(land_s, 2),
+                    "load_1m_start": load_start,
+                    "load_1m_end": round(os.getloadavg()[0], 2),
+                    "floor_gate": (
+                        "pass" if bps >= FLOOR_BLOCKS_PER_SEC else "FAIL"
+                    )
+                    if gated
+                    else "not-enforced (loaded box or short run)",
                 }
             )
         )
+        if gated and bps < FLOOR_BLOCKS_PER_SEC:
+            sys.exit(2)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
