@@ -110,12 +110,21 @@ HEADLINE = [
     "q_dedup_winnow",
     # round-5 sixth-wave append (same contract)
     "q_join_asof_forward",
+    # round-6 appends (same contract: never interleave into the prefix)
+    "q_entropy_filter",
+    "q_lm_bigram",
+    "q_dedup_bloom",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Optional subset run (decade-scaling measurements of one family):
+    # comma-separated registry keys; may include non-HEADLINE queries.
+    # Default (unset) is the full HEADLINE suite — the driver contract.
+    subset = os.environ.get("SPARK_GRAFT_QUERIES", "").strip()
+    suite = [q.strip() for q in subset.split(",") if q.strip()] if subset else HEADLINE
     # pre-existing box load — sampled BEFORE the JVM starts, since the
     # diagnosis this exists for is "was the box already busy"
     load_start = round(os.getloadavg()[0], 2)
@@ -211,7 +220,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
-    for name in HEADLINE:
+    for name in suite:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

@@ -1982,3 +1982,138 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("doc_a") + F.col("doc_b")).alias("pair_id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership dedup (incremental: new shard vs reference corpus)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 20   # filter size in bits — literal, shared with the oracle
+BLOOM_K = 5         # probes per key (Kirsch-Mitzenmacher double hashing)
+
+
+@query(
+    "q_dedup_bloom",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+),
+hv AS (
+  SELECT doc_id,
+         ({{XA}}) AS h1,
+         ({{XB}}) AS h2
+  FROM keyed
+),
+pos AS (
+  SELECT doc_id, ((h1 + j.j * h2 + j.j * j.j) % {BLOOM_M}) AS p
+  FROM hv CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j) j
+),
+refset AS (
+  SELECT DISTINCT p FROM pos WHERE doc_id % 4 <> 0
+),
+incoming AS (
+  SELECT doc_id, p FROM pos WHERE doc_id % 4 = 0
+),
+hits AS (
+  SELECT i.doc_id,
+         CAST(sum(CASE WHEN r.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM incoming i LEFT JOIN refset r ON r.p = i.p
+  GROUP BY i.doc_id
+),
+truth AS (
+  SELECT DISTINCT a.doc_id
+  FROM keyed a JOIN keyed b ON b.h = a.h AND b.doc_id % 4 <> 0
+  WHERE a.doc_id % 4 = 0
+)
+SELECT h.doc_id, h.n_hits,
+       CAST(CASE WHEN h.n_hits = {BLOOM_K} THEN 1 ELSE 0 END AS INT)
+         AS maybe_dup,
+       CAST(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS true_dup
+FROM hits h LEFT JOIN truth t ON t.doc_id = h.doc_id
+""".replace("{XA}", _hex7_sql("h", 1)).replace("{XB}", _hex7_sql("h", 8)),
+)
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership dedup — the incremental-ingest pattern: a
+    new crawl shard (doc_id % 4 == 0 stands in for "today's data") is
+    checked against a compact filter built from the reference corpus
+    (the other three quarters), WITHOUT joining the corpus text. This is
+    how a 100 TB pipeline dedups a daily delta: the filter is
+    O(M) = 2^20 positions regardless of corpus size, the corpus is read
+    once to build it, and the delta never shuffles against corpus text.
+
+    Exact-semantics portability: instead of a packed bitset (whose
+    layout no SQL oracle could replay), the filter is represented as
+    the DISTINCT SET of probe positions — semantically the identical
+    Bloom filter (a position-set membership test with the same
+    false-positive behavior), expressible in both engines as a
+    distinct + left join. Probes are Kirsch-Mitzenmacher enhanced
+    double hashing, p_j = (h1 + j*h2 + j^2) mod 2^20, from the two
+    28-bit md5 halves (the q_dedup_minhash_portable idiom) — all
+    integer arithmetic, bit-identical across engines. The query also
+    emits the exact-match ground truth (true_dup) so the result
+    exposes the filter's false positives directly: maybe_dup=1,
+    true_dup=0 rows ARE the FP set (at fixture scale the 2^20-bit /
+    5-probe filter holds FP ~ (n*k/m)^k well under 1e-6).
+
+    Plan: one scan computes md5 + probe positions (codegen, no
+    Python); the reference position set reduces to <= min(n*k, 2^20)
+    rows and BROADCASTS — bounded by the LITERAL filter size, not by
+    data (the ADVICE r05 broadcast rule: only design-bounded sets get
+    the hint); the delta side aggregates hits map-side on doc_id. The
+    truth join hashes 16-byte digests, never text."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    )
+    hv = keyed.select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 7), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("h", 8, 7), 16, 10).cast("long").alias("h2"),
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    pos = hv.select("doc_id", "h1", "h2", j).select(
+        "doc_id",
+        (
+            (F.col("h1") + F.col("j") * F.col("h2") + F.col("j") * F.col("j"))
+            % BLOOM_M
+        ).alias("p"),
+    )
+    refset = (
+        pos.filter(F.col("doc_id") % 4 != 0).select("p").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    incoming = pos.filter(F.col("doc_id") % 4 == 0)
+    hits = (
+        incoming.join(F.broadcast(refset), "p", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+    )
+    # digest sets are corpus-proportional, so NO broadcast hint here —
+    # AQE picks the strategy (the ADVICE r05 rule; only the 2^20-bounded
+    # refset above earns a hard hint)
+    truth = (
+        keyed.filter(F.col("doc_id") % 4 == 0)
+        .alias("a")
+        .join(
+            keyed.filter(F.col("doc_id") % 4 != 0).select("h").distinct().alias("b"),
+            F.col("a.h") == F.col("b.h"),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("t", F.lit(1))
+    )
+    return (
+        hits.join(truth, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_hits",
+            F.when(F.col("n_hits") == BLOOM_K, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("maybe_dup"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("int").alias("true_dup"),
+        )
+    )

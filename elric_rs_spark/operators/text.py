@@ -1331,3 +1331,222 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_entropy_filter",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), '')) AS c
+  FROM documents
+),
+f AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+  FROM ch WHERE c <> '' GROUP BY doc_id, c
+),
+n AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS nd
+  FROM f GROUP BY doc_id
+),
+s AS (
+  SELECT f.doc_id, f.cnt, n.n, n.nd,
+         CAST(round(1000 * ln(CAST(n.n AS DOUBLE) / f.cnt)) AS BIGINT)
+           AS mnat
+  FROM f JOIN n ON n.doc_id = f.doc_id
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_chars,
+       CAST(max(nd) AS BIGINT) AS n_distinct_chars,
+       CAST(sum(cnt * mnat) AS BIGINT) AS entropy_mnat,
+       round(CAST(sum(cnt * mnat) AS DOUBLE) / max(n), 6)
+         AS entropy_mnat_per_char,
+       CAST(CASE WHEN sum(cnt * mnat) < 2000 * max(n) THEN 1 ELSE 0 END
+            AS INT) AS is_low_entropy
+FROM s GROUP BY doc_id
+""",
+)
+def q_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish/boilerplate filter: per-document
+    Shannon entropy of the character distribution, the cheap first-pass
+    quality signal used before any model-based scoring (low entropy =
+    repeated-character spam or template padding; cf. the entropy rules
+    in Gopher's quality heuristics, Rae 2021). Complements
+    q_quality_repetition (token-level) with a sub-token signal.
+
+    Float discipline (the q_lm_score contract): per-(doc, char)
+    surprisal is rounded ONCE into integer millinats
+    round(1000*ln(n/cnt)); the entropy numerator is then the exact
+    BIGINT sum(cnt*mnat), order-independent, so the oracle replays
+    bit-for-bit. The low-entropy flag compares integers
+    (sum_mnat < 2000*n == mean entropy < 2 nats/char), never doubles.
+
+    Plan: one explode + (doc_id, char) hash aggregate (map-side
+    combined — the alphabet bounds distinct groups per doc at ~100), a
+    doc-partitioned window for the per-doc totals (no extra shuffle:
+    same key as the aggregate), final rollup on doc_id. Embarrassingly
+    parallel at 100 TB — no cross-doc state at all."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "")).alias("c"),
+    ).filter(F.col("c") != "")
+    f = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id")
+    s = f.select(
+        "doc_id",
+        "cnt",
+        F.sum("cnt").over(w).alias("n"),
+        F.count(F.lit(1)).over(w).alias("nd"),
+    ).select(
+        "doc_id",
+        "cnt",
+        "n",
+        "nd",
+        F.round(1000 * F.log(F.col("n").cast("double") / F.col("cnt")))
+        .cast("long")
+        .alias("mnat"),
+    )
+    return s.groupBy("doc_id").agg(
+        F.max("n").alias("n_chars"),
+        F.max("nd").alias("n_distinct_chars"),
+        F.sum(F.col("cnt") * F.col("mnat")).alias("entropy_mnat"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("mnat")).cast("double") / F.max("n"), 6
+        ).alias("entropy_mnat_per_char"),
+        F.when(
+            F.sum(F.col("cnt") * F.col("mnat")) < 2000 * F.max("n"), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_low_entropy"),
+    )
+
+
+@query(
+    "q_lm_bigram",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+1], ' ')
+                 FOR i IN range(1, len(t))]) AS b
+  FROM toks WHERE len(t) >= 2
+),
+sp AS (
+  SELECT doc_id,
+         string_split(b, ' ')[1] AS w1,
+         string_split(b, ' ')[2] AS w2
+  FROM bg
+),
+c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM sp GROUP BY w1, w2
+),
+cl AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS cl FROM c12 GROUP BY w1),
+cr AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS cr FROM c12 GROUP BY w2),
+nn AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM c12),
+tab AS (
+  SELECT c12.w1, c12.w2,
+         CAST(round(1000 * (ln(4.0 * cl.cl * nn.n)
+                            - ln((3.0 * c12.c12 * nn.n)
+                                 + (CAST(cl.cl AS DOUBLE) * cr.cr))))
+              AS BIGINT) AS mnat
+  FROM c12
+  JOIN cl ON cl.w1 = c12.w1
+  JOIN cr ON cr.w2 = c12.w2
+  CROSS JOIN nn
+)
+SELECT sp.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(tab.mnat) AS BIGINT) AS sum_mnat,
+       round(CAST(sum(tab.mnat) AS DOUBLE) / count(*), 6) AS avg_mnat
+FROM sp JOIN tab ON tab.w1 = sp.w1 AND tab.w2 = sp.w2
+GROUP BY sp.doc_id
+""",
+)
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring — the next rung above
+    q_lm_score's unigram surprisal on the CCNet/KenLM quality-filter
+    ladder: train bigram statistics on the corpus itself, score every
+    document by mean bigram surprisal under the Jelinek-Mercer mixture
+    P(w2|w1) = 0.75*c(w1,w2)/c(w1·) + 0.25*c(·w2)/N (all statistics
+    over the bigram table: c(w1·)/c(·w2) are its left/right marginals,
+    N its total — so sum_w2 P(w2|w1) = 1 exactly).
+
+    Float discipline: the mixture is a ratio of integers,
+    p = (3*c12*N + cl*cr) / (4*cl*N), so per-bigram surprisal is
+    rounded ONCE at the vocabulary level —
+    mnat = round(1000*(ln(4.0*cl*N) - ln(3.0*c12*N + cl*cr))) — with
+    IDENTICAL parenthesization in both engines (double products/sums
+    are IEEE-deterministic given the same order; only ln carries the
+    documented <=1-ulp cross-libm risk, same accepted class as
+    q_lm_score). Per-document totals are exact BIGINT sums.
+
+    Plan: one token-pair shuffle builds c12 (map-side combined); the
+    marginals reduce FROM c12 (vocab-sized, not corpus-sized); the
+    surprisal table broadcasts back onto the bigram stream; per-doc
+    rollup shuffles on doc_id. At 100 TB the bigram table is the one
+    scale knob: broadcast the top-K bigrams exactly as q_vocab_oov
+    does and give the tail the unigram backoff — the 0.25*cr/N term
+    already is that backoff, so truncation only coarsens, never
+    breaks, the mixture."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    # adjacent pairs row-locally (zip of the two shifted slices) — no
+    # positional self-join, no extra shuffle before the count aggregate
+    sp = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice("t", 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = sp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cl = c12.groupBy("w1").agg(F.sum("c12").alias("cl"))
+    cr = c12.groupBy("w2").agg(F.sum("c12").alias("cr"))
+    nn = c12.agg(F.sum("c12").alias("n"))
+    tab = (
+        c12.join(F.broadcast(cl), "w1")
+        .join(F.broadcast(cr), "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                1000
+                * (
+                    F.log(4.0 * F.col("cl") * F.col("n"))
+                    - F.log(
+                        (3.0 * F.col("c12") * F.col("n"))
+                        + (F.col("cl").cast("double") * F.col("cr"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("mnat"),
+        )
+    )
+    return (
+        sp.join(F.broadcast(tab), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("mnat").alias("sum_mnat"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_mnat",
+            F.round(
+                F.col("sum_mnat").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_mnat"),
+        )
+    )

@@ -64,7 +64,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per the same portable-twin policy. All 50 slots are full-oracle.
 # Everything past 50 stays green on its prior-round row.
 # Round-7 rotation plan (write-ahead, same discipline): front-load
-# (a) any queries NEW in round 6 in registration order past this window;
+# (a) the queries NEW in round 6 (q_entropy_filter, q_lm_bigram,
+# q_dedup_bloom — all full-oracle, locally parity-green) plus any later
+# round-6 registrations past this window, in registration order;
 # then (b) stalest regrades by last-graded round -- after this round
 # that means the remaining round-3 cohort (q_subquery_scalar,
 # q_subquery_bigorders, q_subquery_idlerich, q_distinct, q_topk,

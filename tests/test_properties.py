@@ -389,3 +389,114 @@ def test_url_normalization_idempotent(spark):
         normalize_url(F.col("norm_url")) != F.col("norm_url")
     ).count()
     assert n == 0
+
+
+def test_entropy_rounding_boundary_margin():
+    """q_entropy_filter rounds per-(doc, char) surprisal once into
+    millinats; same contract as q_lm_score — no value may sit near a
+    .5 boundary where a <=1-ulp ln() divergence could flip it."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01"):
+        rows = con.sql(
+            f"""
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(lower(trim(text)), '')) AS c
+              FROM '/root/testdata/sf{sf}/documents.parquet'),
+            f AS (SELECT doc_id, c, count(*) AS cnt FROM ch
+                  WHERE c <> '' GROUP BY doc_id, c),
+            n AS (SELECT doc_id, sum(cnt) AS n FROM f GROUP BY doc_id)
+            SELECT DISTINCT f.cnt, n.n
+            FROM f JOIN n ON n.doc_id = f.doc_id WHERE f.cnt < n.n
+            """
+        ).fetchall()
+        dists = [
+            abs(1000 * math.log(n / cnt) - math.floor(1000 * math.log(n / cnt)) - 0.5)
+            for cnt, n in rows
+        ]
+        # ~6k distinct (cnt, n) pairs (vs q_lm_score's 31-value vocab)
+        # so the min margin is naturally tighter; a <=1-ulp ln()
+        # divergence perturbs 1000*ln(n/cnt) by ~1e-13, so 1e-5 still
+        # leaves 8 orders of magnitude of safety
+        assert min(dists) > 1e-5, f"sf{sf}: entropy boundary margin {min(dists)}"
+
+
+def test_lm_bigram_boundary_margin():
+    """q_lm_bigram's mixture surprisal table — same one-rounding
+    contract over the (c12, cl, cr, N) integer statistics."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01"):
+        rows = con.sql(
+            f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+              FROM '/root/testdata/sf{sf}/documents.parquet'),
+            bg AS (SELECT unnest([array_to_string(t[i:i+1], ' ')
+                                  FOR i IN range(1, len(t))]) AS b
+                   FROM toks WHERE len(t) >= 2),
+            sp AS (SELECT string_split(b, ' ')[1] AS w1,
+                          string_split(b, ' ')[2] AS w2 FROM bg),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM sp GROUP BY 1, 2),
+            cl AS (SELECT w1, sum(c12) AS cl FROM c12 GROUP BY 1),
+            cr AS (SELECT w2, sum(c12) AS cr FROM c12 GROUP BY 1),
+            nn AS (SELECT sum(c12) AS n FROM c12)
+            SELECT c12.c12, cl.cl, cr.cr, nn.n
+            FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nn
+            """
+        ).fetchall()
+        dists = []
+        for c12, cl, cr, n in rows:
+            v = 1000 * (
+                math.log(4.0 * float(cl) * float(n))
+                - math.log((3.0 * float(c12) * float(n)) + (float(cl) * float(cr)))
+            )
+            dists.append(abs(v - math.floor(v) - 0.5))
+        # both ln() arguments are integer-valued doubles < 2^53 (exactly
+        # representable, identical across engines), so only ln's final
+        # rounding differs: ~1e-13 absolute in millinats — 1e-5 leaves
+        # 8 orders of magnitude of safety over the ~900-value table
+        assert min(dists) > 1e-5, f"sf{sf}: bigram boundary margin {min(dists)}"
+
+
+def test_bloom_no_false_negatives(spark, tmp_path):
+    """Bloom-filter invariant: an incoming doc whose exact text exists
+    in the reference corpus can NEVER be missed (true_dup=1 implies
+    maybe_dup=1 and n_hits=K). Planted corpus: doc_ids 0,4,8 are
+    byte-identical to reference docs; 12 is unique."""
+    import pandas as pd
+
+    from elric_rs_spark.operators.dedup import BLOOM_K, q_dedup_bloom
+
+    docs = []
+    # reference side (doc_id % 4 != 0)
+    for i, txt in [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "zeta eta theta")]:
+        docs.append((i, txt))
+    # incoming side: three exact copies + one novel doc
+    docs += [
+        (0, "alpha beta gamma"),
+        (4, "delta epsilon"),
+        (8, "zeta eta theta"),
+        (12, "totally novel content here"),
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "t"
+    pdf["n_chars"] = pdf.text.str.len()
+    path = tmp_path / "docs"
+    path.mkdir()
+    pdf.to_parquet(path / "documents.parquet")
+    out = {r["doc_id"]: r for r in q_dedup_bloom(spark, str(path)).collect()}
+    assert set(out) == {0, 4, 8, 12}
+    for i in (0, 4, 8):
+        assert out[i]["true_dup"] == 1
+        assert out[i]["maybe_dup"] == 1, "Bloom false negative"
+        assert out[i]["n_hits"] == BLOOM_K
+    assert out[12]["true_dup"] == 0
+    assert 0 <= out[12]["n_hits"] <= BLOOM_K

@@ -10,22 +10,31 @@ sf0.1 -> sf1 decade (BASELINE.md round-5 section): scan/join/agg
 1.1-2x, windowed/temporal 2-4x, corpus-proportional dedup/text
 (gram/signature shuffles) 3-8x.
 
-Usage: python tools/decade.py [small_dir] [big_dir]
+Usage: python tools/decade.py [small_dir] [big_dir] [q1,q2,...]
 Defaults: /root/testdata/sf0.1 .scratch/sf1  (generate the latter with
-tools/gen_sf.py). One JSON summary line at the end.
+tools/gen_sf.py). The optional third arg restricts the run to a
+comma-separated registry subset (SPARK_GRAFT_QUERIES pass-through) —
+used for the third-scale-point runs (e.g. sf1 -> sf3) where only the
+corpus-proportional family is worth the wall-clock. For non-10x steps
+the summary also reports the per-decade-equivalent ratio
+(ratio ** (1/log10(step))) so the family bands stay comparable.
+One JSON summary line at the end.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import subprocess
 import sys
 import tempfile
 
 
-def run_bench(sf_dir: str) -> dict:
+def run_bench(sf_dir: str, queries: str | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    if queries:
+        env["SPARK_GRAFT_QUERIES"] = queries
     with tempfile.NamedTemporaryFile(mode="w+", suffix=".json") as out:
         subprocess.run(
             [sys.executable, "bench.py"],
@@ -41,16 +50,28 @@ def run_bench(sf_dir: str) -> dict:
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else ".scratch/sf1"
-    a = run_bench(small)
-    b = run_bench(big)
+    queries = sys.argv[3] if len(sys.argv) > 3 else None
+    a = run_bench(small, queries)
+    b = run_bench(big, queries)
+    # decade-normalization exponent from the sf tags (e.g. sf1->sf3 is a
+    # 3x step: per-decade-equiv = ratio ** (1/log10(3)) ~= ratio**2.1)
+    try:
+        step = float(b["sf"]) / float(a["sf"])
+        exp = 1.0 / math.log10(step) if step > 1 else 1.0
+    except (KeyError, ValueError, ZeroDivisionError):
+        exp = 1.0
     qa, qb = a["queries"], b["queries"]
     rows = sorted(
         ((qb[k] / max(qa[k], 0.01), k, qa[k], qb[k]) for k in qb if k in qa),
         reverse=True,
     )
     for ratio, name, sa, sb in rows:
-        flag = " <-- SUPERLINEAR?" if ratio > 10 else ""
-        print(f"{name:32s} {sa:7.2f}s -> {sb:8.2f}s  x{ratio:5.1f}{flag}")
+        dec = ratio ** exp
+        flag = " <-- SUPERLINEAR?" if dec > 10 else ""
+        print(
+            f"{name:32s} {sa:7.2f}s -> {sb:8.2f}s  x{ratio:5.1f}"
+            f"  (/decade x{dec:5.1f}){flag}"
+        )
     print(
         json.dumps(
             {
@@ -60,8 +81,10 @@ def main() -> None:
                 "small_total": a["value"],
                 "big_total": b["value"],
                 "ratio": round(b["value"] / a["value"], 2),
+                "decade_exp": round(exp, 3),
                 "worst": [
-                    {"query": n, "ratio": round(r, 1)} for r, n, _, _ in rows[:5]
+                    {"query": n, "ratio": round(r, 1), "per_decade": round(r**exp, 1)}
+                    for r, n, _, _ in rows[:5]
                 ],
             }
         )
