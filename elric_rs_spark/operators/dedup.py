@@ -210,21 +210,36 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_dedup_simhash")  # rows-only: engine-specific 64-bit hashing
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup (X15): 64-bit signature by bit-voting over token
-    xxhash64 values; candidates blocked on 16-bit signature chunks
-    (Hamming-ball blocking: hamming<=3 guarantees one exact shared chunk),
-    scored by Hamming distance — all integer bit-ops, no UDF.
+    xxhash64 values; candidates blocked on the Manku multi-block scheme
+    (WWW'07 near-duplicate crawling paper): 6 blocks, one blocking table
+    per 3-block combination — hamming<=3 touches at most 3 blocks, so
+    at least 3 of 6 stay intact and SOME C(6,3) combo matches exactly.
+    Scored by Hamming distance — all integer bit-ops, no UDF.
 
     Scale shape (quadratic-blowup-proof, unlike naive all-pairs LSH):
     1. identical-signature clusters collapse to a representative FIRST —
        a templated corpus produces huge same-signature clusters (36k
        hamming-0 pairs in 5k synthetic docs); emitting member->rep rows
        keeps that output LINEAR in cluster size.
-    2. only distinct signatures enter the 4x16-bit chunk blocking, so
-       bucket sizes measure signature diversity, not corpus duplication.
-    3. candidate pairs come from ONE groupBy on (chunk_id, chunk); the
+    2. only distinct signatures enter the blocking, so bucket sizes
+       measure signature diversity, not corpus duplication.
+    3. candidate pairs come from ONE groupBy on (combo_id, key); the
        signature travels inside the bucket so no join-back is needed.
-    4. hamming <= 3 — exactly the radius the 4-chunk blocking guarantees
-       (pigeonhole: d<=3 differing bits leave >=1 of 4 chunks intact).
+    4. hamming <= 3 — exactly the radius the 3-of-6 block guarantee
+       covers; recall is EXACT (every hamming<=3 pair is emitted), so
+       the blocking change is invisible in the output.
+
+    Why 20x~32-bit combos and not 4x16-bit chunks (the original form):
+    measured on the saturated-vocab sf3 corpus, Zipf-skewed token sets
+    cluster the vote signatures so hard that single 16-bit chunks
+    collide for 99.5% of candidate pairs (max chunk bucket 8,225 of
+    104k distinct signatures; 198M candidates for 950k true pairs —
+    quadratic, 7.2x for 3x docs). Keying on three concatenated blocks
+    (~32 bits) requires agreement across half the signature: buckets
+    shrink to the truly-close, candidates track output. The 20-way
+    banding explosion costs 5x the rows of the 4-way one on the
+    DISTINCT-signature set only — linear, and tiny next to the pair
+    work it eliminates.
     The token-hash array is materialized once (inlining it into the 64
     bit-vote aggregates would re-hash every token 64x)."""
     d = load_table(spark, sf_dir, "documents").repartition(
@@ -266,19 +281,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("hamming"),
     ).filter(F.col("doc_a") != F.col("doc_b"))
 
-    # (2) chunk-block the DISTINCT signatures only
+    # (2) Manku 3-of-6 block tables over the DISTINCT signatures only:
+    # blocks of width 11,11,11,11,10,10 (offsets below); each of the 20
+    # C(6,3) combos keys on the three block values packed into one
+    # <=33-bit integer. d<=3 bit flips leave >=3 blocks intact, so at
+    # least one combo key matches exactly — recall identical to (and
+    # buckets drastically finer than) single-chunk blocking.
     reps = clusters.select(F.col("rep").alias("doc_id"), "simhash")
-    chunk_structs = [
-        F.struct(
-            F.lit(c).alias("chunk_id"),
-            F.shiftrightunsigned(F.col("simhash"), 16 * c)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("chunk"),
+    widths = [11, 11, 11, 11, 10, 10]
+    offsets = [sum(widths[:i]) for i in range(6)]
+
+    def _block(i):
+        return F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
         )
-        for c in range(4)
-    ]
+
+    from itertools import combinations
+
+    combo_structs = []
+    for cid, (i, j, k) in enumerate(combinations(range(6), 3)):
+        key = (
+            _block(i) * F.lit(1 << (widths[j] + widths[k]))
+            + _block(j) * F.lit(1 << widths[k])
+            + _block(k)
+        )
+        combo_structs.append(
+            F.struct(F.lit(cid).alias("chunk_id"), key.alias("chunk"))
+        )
     banded = reps.select(
-        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("b")
+        "doc_id", "simhash", F.explode(F.array(*combo_structs)).alias("b")
     ).select("doc_id", "simhash", "b.chunk_id", "b.chunk")
 
     # (3) in-bucket ordered pairs, signatures carried in the bucket
@@ -968,9 +999,18 @@ sigstr AS (
          string_agg(CAST(sbit AS VARCHAR), '' ORDER BY b) AS s
   FROM sig GROUP BY doc_id
 ),
+clus AS (
+  SELECT s, min(doc_id) AS rep FROM sigstr GROUP BY s
+),
+member_pairs AS (
+  SELECT c.rep AS doc_a, g.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+  FROM sigstr g JOIN clus c ON c.s = g.s
+  WHERE g.doc_id <> c.rep
+),
 chunks AS (
-  SELECT doc_id, c.c AS chunk, substr(s, c.c * 16 + 1, 16) AS piece
-  FROM sigstr CROSS JOIN range(0, 4) c(c)
+  SELECT rep AS doc_id, s, c.c AS chunk,
+         substr(s, c.c * 16 + 1, 16) AS piece
+  FROM clus CROSS JOIN range(0, 4) c(c)
 ),
 cand AS (
   SELECT DISTINCT c1.doc_id AS doc_a, c2.doc_id AS doc_b
@@ -989,21 +1029,31 @@ scored AS (
 )
 SELECT doc_a, doc_b, hamming
 FROM scored WHERE hamming <= {SIMHASH_PORTABLE_MAXHAM}
+UNION ALL
+SELECT doc_a, doc_b, hamming FROM member_pairs
 """,
 )
 def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with a FULL value oracle (companion to
     q_dedup_minhash_portable; the xxhash64 SimHash kernel is rows-only
-    by nature): per-distinct-token md5 bits vote per position, the
-    64-bit signature splits into 4 pigeonhole chunks (hamming <= 3
-    guarantees two near-dups share at least one identical 16-bit
-    chunk), candidates come from a chunk-equality bucket join, and the
-    exact Hamming distance filters candidates. Every step is md5/string
-    arithmetic both engines compute identically.
+    by nature): per-distinct-token md5 bits vote per position, exact
+    Hamming distance filters candidates. Output contract MIRRORS THE
+    KERNEL's: identical-signature clusters emit member->rep hamming-0
+    rows (linear in cluster size), and hamming 1-3 pairs are emitted
+    between cluster REPRESENTATIVES. Every hash/bit step is md5 /
+    integer arithmetic both engines compute identically; the blocking
+    is recall-exact and therefore engine-local: the oracle keeps the
+    simple 4x16-bit pigeonhole chunks (fine at the sf0.01 gate), the
+    Spark side uses the kernel's Manku 3-of-6 block tables (same exact
+    recall, linear buckets on clustered signatures — see
+    q_dedup_simhash for the measured rationale).
 
-    Scale shape matches the production kernel: one explode + groupBy
-    signature pass, chunk-bucket candidate generation (never an
-    all-pairs join), exact verification on candidates only."""
+    Spark-side scale shape (rebuilt after the sf1->sf3 decade run
+    timed the old form out): md5 bits are computed ONCE PER DISTINCT
+    TOKEN (a vocabulary-sized table — Zipf-bounded at 100 TB) and
+    joined back to the (doc, token) stream, which then passes through
+    the kernel's 64-sum-aggregate vote form — no 64x row explosion,
+    no per-row md5 recompute, map-side combined."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -1011,33 +1061,85 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))
         ).alias("tok"),
     )
-    bs = spark.range(SIMHASH_PORTABLE_BITS).select(F.col("id").alias("b"))
-    bits = toks.crossJoin(F.broadcast(bs)).select(
-        "doc_id", "b", F.expr(
-            "((instr('0123456789abcdef', substr(md5(tok), cast(b div 4 as int) + 1, 1)) - 1)"
-            " div (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2"
-        ).alias("bit"),
+    # vocabulary-level bit table: 64 bit columns from one md5 per
+    # distinct token (the corpus token stream never recomputes md5)
+    bit_cols = [
+        F.expr(
+            f"((instr('0123456789abcdef', substr(mh, {b // 4 + 1}, 1)) - 1)"
+            f" div {8 >> (b % 4)}) % 2"
+        ).alias(f"b_{b}")
+        for b in range(SIMHASH_PORTABLE_BITS)
+    ]
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .select("tok", F.md5("tok").alias("mh"))
+        .select("tok", *bit_cols)
     )
-    sig = bits.groupBy("doc_id", "b").agg(
-        F.when(F.sum(2 * F.col("bit") - 1) > 0, 1).otherwise(0).alias("sbit")
+    votes = (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col(f"b_{b}")).alias(f"s_{b}")
+                for b in range(SIMHASH_PORTABLE_BITS)
+            ],
+        )
     )
-    sigstr = sig.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("b"), F.col("sbit")))
-                ),
-                lambda x: x["sbit"].cast("string"),
-            ),
-        ).alias("s")
-    )
-    cs = spark.range(4).select(F.col("id").alias("chunk"))
-    chunks = sigstr.crossJoin(F.broadcast(cs)).select(
+    # sign-vote per bit (sum(2*bit-1) > 0  <=>  2*sum(bit) > n),
+    # assembled straight into the oracle's 64-char bit string
+    sigstr = votes.select(
         "doc_id",
-        "chunk",
-        F.expr("substr(s, cast(chunk * 16 as int) + 1, 16)").alias("piece"),
+        F.concat(
+            *[
+                F.when(2 * F.col(f"s_{b}") > F.col("n"), F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for b in range(SIMHASH_PORTABLE_BITS)
+            ]
+        ).alias("s"),
     )
+    # identical-signature clusters collapse to a representative FIRST
+    # (the kernel's contract, now mirrored by the oracle): member->rep
+    # rows are the hamming-0 pairs, LINEAR in cluster size — the
+    # pre-collapse all-pairs contract was quadratic on clustered
+    # corpora (a single signature shared by m docs costs C(m,2) rows)
+    # and OOM'd the sf3 decade run.
+    clus = sigstr.groupBy("s").agg(F.min("doc_id").alias("rep"))
+    member_pairs = (
+        sigstr.join(clus, "s")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    reps = clus.select(F.col("rep").alias("doc_id"), "s")
+    # Manku 3-of-6 blocking on the DISTINCT signatures: blocks of width
+    # 11,11,11,11,10,10; each of the 20 combos keys on the concat of
+    # its three block substrings. hamming<=3 leaves >=3 blocks intact,
+    # so recall is exact — identical output to the oracle's 4x16 form.
+    from itertools import combinations as _combos
+
+    _widths = [11, 11, 11, 11, 10, 10]
+    _offs = [1 + sum(_widths[:i]) for i in range(6)]
+    combo_structs = [
+        F.struct(
+            F.lit(cid).alias("chunk"),
+            F.concat(
+                *[
+                    F.substring("s", _offs[i], _widths[i])
+                    for i in (i1, i2, i3)
+                ]
+            ).alias("piece"),
+        )
+        for cid, (i1, i2, i3) in enumerate(_combos(range(6), 3))
+    ]
+    chunks = reps.select(
+        "doc_id", F.explode(F.array(*combo_structs)).alias("c")
+    ).select("doc_id", "c.chunk", "c.piece")
     ds = F.array_sort(F.collect_set("doc_id"))
     pair_expr = F.flatten(
         F.transform(
@@ -1056,8 +1158,8 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    sa = sigstr.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sigstr.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    sa = reps.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = reps.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     # exact hamming: count positions where the two bit strings differ
     scored = (
         cand.join(sa, "doc_a")
@@ -1070,9 +1172,10 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
-    return scored.filter(F.col("hamming") <= SIMHASH_PORTABLE_MAXHAM).select(
-        "doc_a", "doc_b", "hamming"
-    )
+    cross_pairs = scored.filter(
+        F.col("hamming") <= SIMHASH_PORTABLE_MAXHAM
+    ).select("doc_a", "doc_b", "hamming")
+    return cross_pairs.unionByName(member_pairs)
 
 
 @query(
