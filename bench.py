@@ -114,6 +114,7 @@ HEADLINE = [
     "q_entropy_filter",
     "q_lm_bigram",
     "q_dedup_bloom",
+    "q_sim_pq_search",
 ]
 
 

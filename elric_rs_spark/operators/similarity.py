@@ -1920,3 +1920,134 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("s3_score").alias("mmr_score"))
         )
     )
+
+
+PQ_SEARCH_QUERIES = 4   # query vectors: vec_id in [0, PQ_SEARCH_QUERIES)
+PQ_SEARCH_TOPK = 10
+
+
+@query(
+    "q_sim_pq_search",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id,
+         ((i - 1) // 8) AS m, i AS dim,
+         CAST({_PQ_BUCKET} AS BIGINT) AS bucket,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+book AS (
+  SELECT m, bucket AS code, dim,
+         (CAST(sum(micro) AS BIGINT)
+          - ((CAST(sum(micro) AS BIGINT) % count(*) + count(*)) % count(*)))
+         // count(*) AS icent
+  FROM comp GROUP BY m, bucket, dim
+),
+dists AS (
+  SELECT c.vec_id, c.m, b.code,
+         CAST(sum((c.micro - b.icent) * (c.micro - b.icent)) AS BIGINT) AS sse
+  FROM comp c JOIN book b ON c.m = b.m AND c.dim = b.dim
+  GROUP BY c.vec_id, c.m, b.code
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY sse, code) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS qid, b.m, b.code,
+         CAST(sum((q.micro - b.icent) * (q.micro - b.icent)) AS BIGINT)
+           AS part
+  FROM comp q JOIN book b ON q.m = b.m AND q.dim = b.dim
+  WHERE q.vec_id < {PQ_SEARCH_QUERIES}
+  GROUP BY q.vec_id, b.m, b.code
+),
+adc AS (
+  SELECT l.qid, c.vec_id, CAST(sum(l.part) AS BIGINT) AS adc
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id
+)
+SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, adc FROM (
+  SELECT qid, vec_id, adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+  FROM adc
+) WHERE rn <= {PQ_SEARCH_TOPK}
+""",
+)
+def q_sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the query half of the
+    product-quantization story (Jégou et al. 2011 §III-B; q_pq_encode
+    is the build half): the corpus is represented ONLY by its M=8
+    one-byte codes, and each query precomputes an M x K lookup table of
+    exact subspace distances to the codebook; a corpus vector's
+    approximate distance is then the sum of 8 table lookups — no
+    corpus-side float math at query time. This is THE memory-bound ANN
+    layout at 100 TB: 8 bytes/vector instead of 256, and search cost is
+    a code join, not a vector scan.
+
+    Determinism: same hash-bucket codebook, floor-div integer centroids
+    and exact BIGINT squared distances as q_pq_encode; ADC sums and the
+    (adc, vec_id) rank order replay bit-for-bit in the oracle.
+
+    Scale shape: codebook (1,024 rows) and per-query LUTs
+    (queries x 8 x 16 rows) broadcast — both bounded by PQ geometry,
+    not data; corpus codes join the LUT on (m, code) and the per-vector
+    ADC reduces map-side on (qid, vec_id); the final top-k is a
+    query-partitioned window over an aggregate-shrunk set. One corpus
+    shuffle total (the code aggregate), reused across all queries."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).select(
+        "vec_id",
+        F.expr("pos div 8").alias("m"),
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.expr(_PQ_BUCKET).cast("long").alias("bucket"),
+        F.round(F.col("val").cast("double") * 1000000).cast("long").alias("micro"),
+    )
+    book = (
+        comp.groupBy("m", F.col("bucket").alias("code"), "dim")
+        .agg(F.sum("micro").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "m",
+            "code",
+            "dim",
+            F.expr("(s - pmod(s, n)) div n").alias("icent"),
+        )
+    )
+    diff = F.col("micro") - F.col("icent")
+    dists = (
+        comp.join(F.broadcast(book), ["m", "dim"])
+        .groupBy("vec_id", "m", "code")
+        .agg(F.sum(diff * diff).alias("sse"))
+    )
+    codes = (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("sse"), F.col("code"))).alias("top"))
+        .select("vec_id", "m", F.col("top.code").alias("code"))
+    )
+    qdiff = F.col("micro") - F.col("icent")
+    lut = (
+        comp.filter(F.col("vec_id") < PQ_SEARCH_QUERIES)
+        .join(F.broadcast(book), ["m", "dim"])
+        .groupBy(F.col("vec_id").alias("qid"), "m", "code")
+        .agg(F.sum(qdiff * qdiff).alias("part"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("part").alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_SEARCH_TOPK)
+        .select("qid", "rank", "vec_id", "adc")
+    )
