@@ -2596,3 +2596,71 @@ class TestAsofForwardPlanted:
         assert (out[2]["next_purchase_cents"], out[2]["gap_us"]) == (7000, 600_000_000)
         assert out[4]["next_purchase_cents"] is None and out[4]["gap_us"] is None
         assert out[6]["next_purchase_cents"] is None
+
+
+class TestMinwiseFamilyIndependence:
+    """Regression guard for the round-6 hash-family fix: the original
+    Kirsch-Mitzenmacher double hashing (g_k = h1 + k*h2) had CORRELATED
+    minwise members — one shared low-hash gram collided whole bands,
+    inflating candidates 345x over true pairs at sf1 (quadratic at
+    scale, BASELINE.md round-6). With independent Carter-Wegman
+    members, candidate volume must track verified-pair volume. Pinned
+    at sf0.001 where the corpus has a known small near-dup population:
+    a correlated family regression re-inflates candidates by orders of
+    magnitude and trips the bound immediately."""
+
+    def test_candidate_inflation_bounded(self, spark):
+        from pyspark.sql import functions as F
+
+        import elric_rs_spark.operators.dedup as dd
+        from elric_rs_spark.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        d = load_table(spark, sf, "documents").repartition(8, "doc_id")
+        hashed = d.select("doc_id", dd._token_hashes(F.col("text")).alias("th"))
+        grams = hashed.select(
+            "doc_id",
+            F.array_distinct(
+                dd._grams_from_token_hashes(F.col("th"), 3)
+            ).alias("g"),
+        ).filter(F.size("g") > 0)
+        sigs = (
+            grams.select("doc_id", F.explode("g").alias("h"))
+            .groupBy("doc_id")
+            .agg(*dd._minhash_min_aggs())
+        )
+        band_structs = []
+        for b in range(dd.LSH_BANDS):
+            cols = [
+                F.col(f"mh_{b * dd.LSH_ROWS + r}") for r in range(dd.LSH_ROWS)
+            ]
+            sig = dd._rotl64(cols[0], 7)
+            for i, c in enumerate(cols[1:]):
+                sig = sig.bitwiseXOR(dd._rotl64(c, 7 + 13 * (i + 1)))
+            band_structs.append(
+                F.struct(F.lit(b).alias("band_id"), sig.alias("band_sig"))
+            )
+        banded = sigs.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("band")
+        ).select("doc_id", "band.band_id", "band.band_sig")
+        stats = (
+            banded.groupBy("band_id", "band_sig")
+            .count()
+            .agg(
+                F.max("count").alias("maxb"),
+                F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"),
+            )
+            .first()
+        )
+        n_verified = dd.q_dedup_minhash(spark, sf).count()
+        # measured with the fixed family: 202 candidates / 28 verified,
+        # max bucket 4 (sf0.001; the ~7x residual is the expected LSH
+        # s-curve capture of sub-threshold pairs). The broken family
+        # measured 345x-2,500x inflation — a 20x bound leaves
+        # run-to-run head room while catching any correlated-family
+        # regression by orders of magnitude.
+        assert stats["maxb"] <= 16, f"mega-bucket: {stats['maxb']}"
+        assert stats["pairs"] <= max(20 * n_verified, 400), (
+            f"candidate inflation: {int(stats['pairs'])} candidates for "
+            f"{n_verified} verified pairs"
+        )
