@@ -115,6 +115,7 @@ HEADLINE = [
     "q_lm_bigram",
     "q_dedup_bloom",
     "q_sim_pq_search",
+    "q_dedup_recall_eval",
 ]
 
 

@@ -2220,3 +2220,100 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("t"), F.lit(0)).cast("int").alias("true_dup"),
         )
     )
+
+
+DEDUP_EVAL_SAMPLE = 200   # ground-truth sample: doc_id < this literal
+
+
+@query(
+    "q_dedup_recall_eval",
+    oracle=f"""
+WITH {{CTES}},
+struth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         (1000 * len(list_intersect(a.g, b.g)))
+           // len(list_distinct(list_concat(a.g, b.g))) AS jperm
+  FROM grams a JOIN grams b
+    ON a.doc_id < b.doc_id
+   AND a.doc_id < {DEDUP_EVAL_SAMPLE} AND b.doc_id < {DEDUP_EVAL_SAMPLE}
+),
+truth AS (SELECT doc_a, doc_b, jperm FROM struth WHERE jperm >= 500),
+caught AS (
+  SELECT t.jperm,
+         CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS c
+  FROM truth t
+  LEFT JOIN pairs p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+)
+SELECT CAST(CASE WHEN jperm >= 1000 THEN 9 ELSE jperm // 100 END AS BIGINT)
+         AS jband,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(sum(c) AS BIGINT) AS n_caught,
+       round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS recall
+FROM caught GROUP BY 1
+""".replace("{CTES}", _PORTABLE_PAIR_CTES),
+)
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-recall evaluation for the MinHash+LSH dedup family — the
+    dedup-side twin of q_sim_recall's ANN recall curve: exact all-pairs
+    word-3-gram Jaccard ground truth on a BOUNDED deterministic sample
+    (doc_id < 200 — 19,900 pairs regardless of corpus size, so the
+    quadratic stage is capped by a literal, never by data), compared
+    against the portable banding's verified pairs, reported as recall
+    per Jaccard-permille band [500-600) .. [900-1000]. This is the
+    measurement a pipeline owner uses to pick band/row parameters: the
+    LSH s-curve means recall rises with Jaccard, and a cap/banding
+    regression shows up as a depressed band before it ever corrupts
+    production output (the round-6 hash-family bug would have floored
+    this curve).
+
+    Integer discipline: ground-truth Jaccard is permille floor-div
+    (1000*|inter| div |union| — floor(1000x) >= 500 is exactly
+    x >= 0.5, matching the verify threshold), bands are integer
+    division, recall rounds once at 6dp.
+
+    Plan: the truth side self-joins ONLY the 200-doc sample (both
+    sides scan-pruned by the literal predicate); the pair side reuses
+    the session-shared portable pair build (portable_pairs_for — no
+    recompute); the comparison is a broadcast-size left join."""
+    d = load_table(spark, sf_dir, "documents")
+    grams_arr = F.array_distinct(_word_ngrams(F.col("text"), 3))
+    sample = (
+        d.filter(F.col("doc_id") < DEDUP_EVAL_SAMPLE)
+        .select("doc_id", grams_arr.alias("g"))
+        .filter(F.size("g") > 0)
+    )
+    ga = sample.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    gb = sample.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    jperm = F.expr(
+        "(1000 * size(array_intersect(ga, gb)))"
+        " div size(array_union(ga, gb))"
+    )
+    truth = (
+        ga.join(F.broadcast(gb), F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jperm.alias("jperm"))
+        .filter(F.col("jperm") >= 500)
+    )
+    pairs = portable_pairs_for(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("c")
+    )
+    caught = truth.join(pairs, ["doc_a", "doc_b"], "left").select(
+        "jperm", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    jband = F.when(F.col("jperm") >= 1000, 9).otherwise(
+        F.expr("jperm div 100")
+    )
+    return (
+        caught.groupBy(jband.cast("long").alias("jband"))
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum("c").alias("n_caught"),
+        )
+        .select(
+            "jband",
+            "n_truth",
+            "n_caught",
+            F.round(
+                F.col("n_caught").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+    )
