@@ -438,3 +438,88 @@ def q_pack_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield-Lund-Thorup, JACM 2007): a single top-k pass
+# that yields an unbiased weighted-without-replacement sample. Each row gets
+# priority q_i = w_i / u_i (u_i uniform); the k highest-priority rows are the
+# sample, and tau = the (k+1)-th priority turns them into the estimator
+# w-hat_i = max(w_i, tau), which is unbiased for any subset-sum of weights.
+#
+# Determinism + cross-engine exactness: u_i is the registry's multiplicative
+# hash mapped to [1, 2^20], and the priority is computed as the integer
+# floor((w_i << 20) / u_i) — the same BIGINT division in Spark and DuckDB,
+# so the sampled SET (not just its statistics) replays bit-for-bit. Max
+# intermediate: n_chars (~1e4) << 20 ~ 1e10, far inside int64.
+PRIO_M = 1_048_576  # 2^20 — resolution of the uniform draw
+PRIO_K = 20
+_PRIO_U = f"(((doc_id % {HASH_PRIME}) * {HASH_MIX} + 54321) % 4294967296 % {PRIO_M} + 1)"
+_PRIO_EXPR = f"((n_chars * {PRIO_M}) // {_PRIO_U})"
+
+
+@query(
+    "q_sample_priority",
+    oracle=f"""
+WITH prio AS (
+  SELECT doc_id, n_chars,
+         CAST({_PRIO_EXPR} AS BIGINT) AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_chars, priority,
+         row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+  FROM prio
+),
+tau AS (SELECT priority AS tau FROM ranked WHERE rn = {PRIO_K + 1})
+SELECT CAST(rn AS BIGINT) AS rank, doc_id, n_chars, priority,
+       CAST(greatest(n_chars, tau // {PRIO_M}) AS BIGINT) AS est_weight
+FROM ranked, tau
+WHERE rn <= {PRIO_K}
+""",
+)
+def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-without-replacement sampling by PRIORITY SAMPLING
+    (Duffield-Lund-Thorup 2007): sample documents with probability
+    proportional to size (n_chars as the token-weight proxy) in ONE
+    top-k pass, and emit the tau-threshold estimator max(w, tau) that
+    makes any subset-sum of the sample unbiased. This is the standard
+    way a curation pipeline draws a few thousand inspection documents
+    from 100 TB such that heavy documents are never missed and the
+    sample still estimates corpus statistics.
+
+    Priorities are exact integers (floor((n_chars << 20) / u) with u a
+    deterministic multiplicative-hash uniform in [1, 2^20]), so the
+    selected membership — the fragile part of any sampling contract —
+    replays bit-for-bit in the oracle.
+
+    Scale shape: priority is row-local scan arithmetic; the top-(k+1)
+    extraction is a TakeOrdered (per-partition heap + driver merge of
+    k+1 rows per partition), NOT a global sort — no full shuffle at any
+    corpus size. tau is a one-row broadcast joined back to the k rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    prio = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(_PRIO_EXPR.replace("//", "div")).cast("long").alias("priority"),
+    )
+    topk1 = prio.orderBy(F.col("priority").desc(), "doc_id").limit(PRIO_K + 1)
+    w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    ranked = topk1.withColumn("rank", F.row_number().over(w).cast("long"))
+    tau = ranked.filter(F.col("rank") == PRIO_K + 1).select(
+        F.col("priority").alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rank") <= PRIO_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "rank",
+            "doc_id",
+            "n_chars",
+            "priority",
+            F.greatest(F.col("n_chars"), F.expr(f"tau div {PRIO_M}"))
+            .cast("long")
+            .alias("est_weight"),
+        )
+    )

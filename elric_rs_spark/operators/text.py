@@ -1550,3 +1550,158 @@ def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_mnat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge learning (Sennrich et al. 2016 "Neural Machine
+# Translation of Rare Words with Subword Units", alg. 1). The corpus-scale
+# stage is the word-frequency aggregation; the merge loop then runs on the
+# aggregated word dictionary — a DataFrame many orders of magnitude smaller
+# than the corpus but still distributed (no collect).
+#
+# Symbol-sequence encoding: each word is rendered as its characters wrapped
+# in parens plus an end-of-word marker, e.g. "the" -> "(t)(h)(e)(</w>)".
+# Applying merge (x, y) is then the single string rewrite
+#     replace(rep, "(x)(y)", "(xy)")
+# and because every token carries its OWN delimiters, adjacent merge sites
+# share no characters — leftmost non-overlapping replace() (identical
+# semantics in Spark and DuckDB, verified) applies the merge greedily
+# left-to-right over runs like "(a)(a)(a)(a)" -> "(aa)(aa)", exactly the
+# reference BPE behavior. A space-separated encoding would get this wrong:
+# "a a a a" with pattern "a a" consumes the shared boundary space and
+# yields "aa a a" on the continuation scan.
+BPE_ITERS = 3
+_BPE_TOKS_RE = r"\(([^)]*)\)"
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """(rep, cnt) -> (lhs, rhs, cnt) adjacent-pair supports.
+
+    Row-local: token split + zip_with adjacency explode, then one
+    map-side-combinable aggregate over the (small) dictionary."""
+    toks = F.regexp_extract_all(F.col("rep"), F.lit(_BPE_TOKS_RE), 1)
+    pairs = F.expr(
+        "zip_with(slice(toks, 1, size(toks) - 1),"
+        "         slice(toks, 2, size(toks) - 1),"
+        "         (x, y) -> struct(x AS lhs, y AS rhs))"
+    )
+    return (
+        words.select(F.col("cnt"), toks.alias("toks"))
+        .select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _bpe_top_pair(pair_counts: DataFrame) -> DataFrame:
+    """The next merge: highest support, ties broken lexicographically."""
+    return pair_counts.orderBy(
+        F.col("cnt").desc(), F.col("lhs"), F.col("rhs")
+    ).limit(1)
+
+
+# Oracle replica of one merge round: pair supports via per-word lead()
+# window (reps are unique — the paren encoding is injective), top-1 by
+# (cnt DESC, lhs, rhs), rewrite via the same replace().
+def _bpe_round_ctes(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+p{i} AS (
+  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT rep, cnt, c AS lhs,
+           lead(c) OVER (PARTITION BY rep ORDER BY pos) AS rhs
+    FROM (SELECT rep, cnt, generate_subscripts(t, 1) AS pos, unnest(t) AS c
+          FROM (SELECT rep, cnt,
+                       regexp_extract_all(rep, '{_BPE_TOKS_RE}', 1) AS t
+                FROM {prev}))
+  ) WHERE rhs IS NOT NULL GROUP BY lhs, rhs
+),
+m{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+r{i} AS (
+  SELECT replace(w.rep, '(' || m.lhs || ')(' || m.rhs || ')',
+                 '(' || m.lhs || m.rhs || ')') AS rep, w.cnt AS cnt
+  FROM {prev} w, m{i} m
+)"""
+
+
+@query(
+    "q_bpe_learn",
+    oracle=f"""
+WITH wc AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok
+),
+r0 AS (
+  SELECT '(' || array_to_string(string_split(word, ''), ')(') || ')(</w>)'
+           AS rep,
+         cnt
+  FROM wc
+),{",".join(_bpe_round_ctes(i) for i in range(1, BPE_ITERS + 1))}
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT CAST({i} AS BIGINT) AS iteration, lhs, rhs, lhs || rhs AS merged, cnt AS support FROM m{i}"
+      for i in range(1, BPE_ITERS + 1)
+  )}
+) ORDER BY iteration
+""",
+)
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning, {BPE_ITERS} rounds: the tokenizer-
+    training pass of an LLM data pipeline, run corpus-in (Sennrich 2016
+    alg. 1). Emits one row per learned merge (iteration, lhs, rhs,
+    merged, support), deterministic under (support DESC, lhs, rhs)
+    tie-breaking.
+
+    Scale shape: the ONLY corpus-proportional stage is the word-count
+    aggregate (one scan, map-side combine — the same shuffle class as
+    q_term_freq). Every merge round then operates on the word DICTIONARY
+    (vocabulary-sized, bounded by Heaps' law — millions of rows at
+    100 TB, not billions): a row-local pair explode, a pair-count
+    aggregate, a one-row TakeOrdered top pair broadcast back, and a
+    row-local replace() rewrite. Rounds chain lazily; nothing is
+    collected to the driver. At 256+ merge rounds one would
+    localCheckpoint the dictionary every ~32 rounds to bound plan depth
+    — with {BPE_ITERS} rounds the raw chain is cheaper.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = wc.select(
+        F.concat(
+            F.lit("("),
+            F.concat_ws(")(", F.split(F.col("word"), "")),
+            F.lit(")(</w>)"),
+        ).alias("rep"),
+        "cnt",
+    )
+    merges = []
+    for i in range(1, BPE_ITERS + 1):
+        top = _bpe_top_pair(_bpe_pair_counts(words))
+        merges.append(
+            top.select(
+                F.lit(i).cast("long").alias("iteration"),
+                "lhs",
+                "rhs",
+                F.concat(F.col("lhs"), F.col("rhs")).alias("merged"),
+                F.col("cnt").alias("support"),
+            )
+        )
+        words = words.crossJoin(F.broadcast(top.select("lhs", "rhs"))).select(
+            F.expr(
+                "replace(rep, '(' || lhs || ')(' || rhs || ')',"
+                "        '(' || lhs || rhs || ')')"
+            ).alias("rep"),
+            "cnt",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("iteration")
