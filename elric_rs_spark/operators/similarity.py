@@ -913,11 +913,9 @@ PIVF_NPROBE = 4
 PIVF_MOD = 2_000_001  # anchor components uniform in [-1e6, 1e6]
 
 
-def _pivf_celldots(spark: SparkSession, comp: DataFrame) -> DataFrame:
-    """(vec_id, c, dot): exact BIGINT dot of every vector against every
-    md5-derived coarse anchor — the shared assignment stage of
-    q_sim_ivf_portable and q_sim_ivf_curve. Anchors broadcast
-    (O(cells x dims)); the aggregate is map-side combined."""
+def _pivf_anchors(spark: SparkSession) -> DataFrame:
+    """(c, d, a): md5-derived coarse-anchor components, uniform integers
+    in [-1e6, 1e6] — O(cells x dims) rows, always broadcast."""
     cs = spark.range(PIVF_CELLS).select(F.col("id").cast("int").alias("c"))
     dims = spark.range(1, EMB_DIM + 1).select(F.col("id").alias("d"))
     hx = F.md5(
@@ -925,13 +923,21 @@ def _pivf_celldots(spark: SparkSession, comp: DataFrame) -> DataFrame:
             F.lit("a"), F.col("c").cast("string"), F.lit("#"), F.col("d").cast("string")
         )
     )
-    anchors = cs.crossJoin(dims).select(
+    return cs.crossJoin(dims).select(
         "c",
         "d",
         (
             F.conv(F.substring(hx, 1, 13), 16, 10).cast("long") % PIVF_MOD - 1000000
         ).alias("a"),
     )
+
+
+def _pivf_celldots(spark: SparkSession, comp: DataFrame) -> DataFrame:
+    """(vec_id, c, dot): exact BIGINT dot of every vector against every
+    md5-derived coarse anchor — the shared assignment stage of
+    q_sim_ivf_portable and q_sim_ivf_curve. Anchors broadcast
+    (O(cells x dims)); the aggregate is map-side combined."""
+    anchors = _pivf_anchors(spark)
     return (
         comp.join(F.broadcast(anchors), "d")
         .groupBy("vec_id", "c")
@@ -2050,4 +2056,202 @@ def q_sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= PQ_SEARCH_TOPK)
         .select("qid", "rank", "vec_id", "adc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ combined search (Jégou et al. 2011 §V, the FAISS IVFPQ layout):
+# coarse IVF cells prune the corpus to nprobe cells; within them, vectors
+# are represented only by PQ codes of their RESIDUAL (vector minus its
+# cell's anchor), and the query builds one ADC lookup table PER PROBED CELL
+# (its residual differs per cell). This is the composition of
+# q_sim_ivf_portable (coarse stage) and q_sim_pq_search (fine stage), and
+# the standard memory layout for billion-scale ANN: 8 code bytes per vector
+# plus a cell id, with per-cell partition pruning on the probe.
+IVFPQ_TOPK = 10
+
+
+@query(
+    "q_sim_ivfpq",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, i AS d,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+h AS (
+  SELECT c, i AS d, md5('a' || c || '#' || i) AS hx
+  FROM range(0, {PIVF_CELLS}) cc(c), range(1, 65) t(i)
+),
+anchors AS (
+  SELECT c, d, ({_hex13_sql('hx')}) % {PIVF_MOD} - 1000000 AS a FROM h
+),
+celldots AS (
+  SELECT comp.vec_id, a.c, SUM(comp.micro * a.a) AS dot
+  FROM comp JOIN anchors a ON a.d = comp.d
+  GROUP BY comp.vec_id, a.c
+),
+ranked AS (
+  SELECT vec_id, c, dot,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+  FROM celldots
+),
+vcell AS (SELECT vec_id, c AS cell FROM ranked WHERE rn = 1),
+probe AS (SELECT c AS cell FROM ranked
+          WHERE vec_id = 0 AND rn <= {PIVF_NPROBE}),
+res AS (
+  SELECT comp.vec_id AS vec_id, comp.d AS d, ((comp.d - 1) // 8) AS m,
+         CAST({_PQ_BUCKET.replace("vec_id", "comp.vec_id")} AS BIGINT) AS bucket,
+         comp.micro - a.a AS rm
+  FROM comp
+  JOIN vcell v ON v.vec_id = comp.vec_id
+  JOIN anchors a ON a.c = v.cell AND a.d = comp.d
+),
+book AS (
+  SELECT m, bucket AS code, d,
+         (CAST(sum(rm) AS BIGINT)
+          - ((CAST(sum(rm) AS BIGINT) % count(*) + count(*)) % count(*)))
+         // count(*) AS icent
+  FROM res GROUP BY m, bucket, d
+),
+dists AS (
+  SELECT r.vec_id, r.m, b.code,
+         CAST(sum((r.rm - b.icent) * (r.rm - b.icent)) AS BIGINT) AS sse
+  FROM res r JOIN book b ON r.m = b.m AND r.d = b.d
+  GROUP BY r.vec_id, r.m, b.code
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY sse, code) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qres AS (
+  SELECT p.cell, comp.d, ((comp.d - 1) // 8) AS m, comp.micro - a.a AS qr
+  FROM comp
+  JOIN probe p ON comp.vec_id = 0
+  JOIN anchors a ON a.c = p.cell AND a.d = comp.d
+),
+lut AS (
+  SELECT q.cell, b.m, b.code,
+         CAST(sum((q.qr - b.icent) * (q.qr - b.icent)) AS BIGINT) AS part
+  FROM qres q JOIN book b ON q.m = b.m AND q.d = b.d
+  GROUP BY q.cell, b.m, b.code
+),
+adc AS (
+  SELECT c.vec_id, l.cell, CAST(sum(l.part) AS BIGINT) AS adc
+  FROM codes c
+  JOIN vcell v ON v.vec_id = c.vec_id
+  JOIN lut l ON l.cell = v.cell AND l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id, l.cell
+)
+SELECT CAST(rn AS BIGINT) AS rank, vec_id, CAST(cell AS BIGINT) AS cell, adc
+FROM (
+  SELECT vec_id, cell, adc,
+         row_number() OVER (ORDER BY adc, vec_id) AS rn
+  FROM adc
+) WHERE rn <= {IVFPQ_TOPK}
+""",
+)
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ residual-coded ANN search — the billion-scale composition
+    (Jégou 2011 §V / FAISS IVFPQ): coarse md5-anchor cells prune to the
+    query's {PIVF_NPROBE} probed cells; within them the corpus exists
+    only as 8 PQ codes of the cell-residual, and the query scores by
+    asymmetric distance through a per-probed-cell lookup table. Every
+    stage is the already-verified integer arithmetic of
+    q_sim_ivf_portable (coarse) and q_sim_pq_search (fine), so the full
+    two-level index replays bit-for-bit in DuckDB.
+
+    Scale shape: anchors (cells x dims) and the per-cell LUTs
+    (nprobe x 8 x 16 rows) broadcast — both bounded by index geometry;
+    residual encoding is one broadcast join + two map-side-combined
+    aggregates over the corpus; at serving scale the (cell, m, code)
+    table is written partitionBy(cell) so the probe semi-join becomes
+    partition pruning (the q_sim_ivf stored-index pattern), and the ADC
+    join touches only nprobe/cells of the data. Final top-k is a
+    TakeOrdered over the aggregate-shrunk candidate set."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comp = _micro_comp(e)
+    celldots = _pivf_celldots(spark, comp)
+    best = celldots.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("dot"), (-F.col("c")).alias("nc"))).alias("top")
+    )
+    vcell = best.select("vec_id", (-F.col("top.nc")).cast("int").alias("cell"))
+    probe = (
+        celldots.filter(F.col("vec_id") == 0)
+        .orderBy(F.col("dot").desc(), "c")
+        .limit(PIVF_NPROBE)
+        .select(F.col("c").alias("cell"))
+    )
+    anchors = _pivf_anchors(spark)
+    res = (
+        comp.join(vcell, "vec_id")
+        .join(
+            F.broadcast(anchors.withColumnRenamed("c", "cell")),
+            ["cell", "d"],
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "d",
+            F.expr("(d - 1) div 8").alias("m"),
+            F.expr(_PQ_BUCKET).cast("long").alias("bucket"),
+            (F.col("micro") - F.col("a")).alias("rm"),
+        )
+    )
+    book = (
+        res.groupBy("m", F.col("bucket").alias("code"), "d")
+        .agg(F.sum("rm").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("m", "code", "d", F.expr("(s - pmod(s, n)) div n").alias("icent"))
+    )
+    rdiff = F.col("rm") - F.col("icent")
+    dists = (
+        res.join(F.broadcast(book), ["m", "d"])
+        .groupBy("vec_id", "m", "code")
+        .agg(F.sum(rdiff * rdiff).alias("sse"))
+    )
+    codes = (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("sse"), F.col("code"))).alias("top"))
+        .select("vec_id", "m", F.col("top.code").alias("code"))
+    )
+    qres = (
+        comp.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(probe))
+        .join(
+            F.broadcast(anchors.withColumnRenamed("c", "cell")),
+            ["cell", "d"],
+        )
+        .select(
+            "cell",
+            "d",
+            F.expr("(d - 1) div 8").alias("m"),
+            (F.col("micro") - F.col("a")).alias("qr"),
+        )
+    )
+    qdiff = F.col("qr") - F.col("icent")
+    lut = (
+        qres.join(F.broadcast(book), ["m", "d"])
+        .groupBy("cell", "m", "code")
+        .agg(F.sum(qdiff * qdiff).alias("part"))
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(vcell, "vec_id")
+        .join(F.broadcast(lut), ["cell", "m", "code"])
+        .groupBy("vec_id", "cell")
+        .agg(F.sum("part").alias("adc"))
+    )
+    top = adc.orderBy("adc", "vec_id").limit(IVFPQ_TOPK)
+    w = Window.orderBy("adc", "vec_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        "adc",
     )
