@@ -423,3 +423,85 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").cast("long").alias("min_member"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (Seidman 1983; the distributed form is Montresor et al.
+# 2013's iterated prune): repeatedly delete nodes of degree < K until the
+# subgraph stabilizes. KCORE_ITERS fixed rounds make the contract exact and
+# oracle-replayable; full convergence is the same loop run to an empty
+# delta (the dedup_clusters large-star treatment). The oracle MATERIALIZEs
+# each round's CTE: edges{i} references its predecessor three times, so
+# un-materialized chained CTEs re-evaluate the base self-join 3^R times.
+KCORE_W_FRAC = (4, 5)  # strong-tie threshold: keeps a real cascade at sf0.01
+KCORE_K = 3
+KCORE_ITERS = 4
+
+
+def _kcore_round_ctes(i: int) -> str:
+    prev = f"kedges{i - 1}"
+    return f"""
+kdeg{i} AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+  GROUP BY node
+),
+kalive{i} AS MATERIALIZED (SELECT node FROM kdeg{i} WHERE d >= {KCORE_K}),
+kedges{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN kalive{i} x ON x.node = e.a
+  JOIN kalive{i} y ON y.node = e.b
+)"""
+
+
+@query(
+    "q_graph_kcore",
+    oracle=f"""
+WITH {_strong_tie_ctes(KCORE_W_FRAC).replace("raw AS (", "raw AS MATERIALIZED (", 1)},
+kedges0 AS MATERIALIZED (SELECT a, b FROM edges),
+{",".join(_kcore_round_ctes(i) for i in range(1, KCORE_ITERS + 1))}
+SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS node FROM kedges{KCORE_ITERS}
+      UNION ALL SELECT b FROM kedges{KCORE_ITERS})
+GROUP BY node
+""",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_ITERS}-round {KCORE_K}-core peeling of the strong-tie
+    co-purchase graph (Seidman 1983): each round drops nodes whose
+    CURRENT degree is < {KCORE_K} and the edges touching them, so
+    marginal nodes cascade out (sf0.01: 87 -> 40 -> 28 -> 23 -> 21
+    survivors) and what remains is the densely-interconnected supplier
+    core — the graph-side analogue of the dedup family's "keep the
+    well-connected cluster representatives" selection.
+
+    Scale shape: reuses the session-shared localCheckpoint-ed
+    co-purchase edge build; each round is one map-side-combinable
+    degree aggregate plus two node-key equi-joins whose right side
+    (the survivor set) only shrinks — AQE picks broadcast when it
+    fits, and the loop is O(iters) shuffles of a monotonically
+    shrinking edge list, the Montresor-style distributed form. Exact
+    integer degrees; the oracle replays the identical rounds with
+    MATERIALIZED per-round CTEs."""
+    edges = _strong_tie_edges(spark, sf_dir, KCORE_W_FRAC)
+    for _ in range(KCORE_ITERS):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= KCORE_K).select("node")
+        edges = (
+            edges.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("node").alias("s_suppkey"), "core_degree")
+    )
