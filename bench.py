@@ -116,6 +116,10 @@ HEADLINE = [
     "q_dedup_bloom",
     "q_sim_pq_search",
     "q_dedup_recall_eval",
+    "q_sample_priority",
+    "q_bpe_learn",
+    "q_sim_ivfpq",
+    "q_graph_kcore",
 ]
 
 

@@ -65,9 +65,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Everything past 50 stays green on its prior-round row.
 # Round-7 rotation plan (write-ahead, same discipline): front-load
 # (a) the queries NEW in round 6 (q_entropy_filter, q_lm_bigram,
-# q_dedup_bloom, q_sim_pq_search, q_dedup_recall_eval — all
-# full-oracle, locally
-# parity-green) plus any later
+# q_dedup_bloom, q_sim_pq_search, q_dedup_recall_eval,
+# q_sample_priority, q_bpe_learn, q_sim_ivfpq, q_graph_kcore — all
+# full-oracle, locally parity-green at sf0.01 AND sf0.001 on a
+# vanilla driver-style session) plus any later
 # round-6 registrations past this window, in registration order;
 # then (b) stalest regrades by last-graded round -- after this round
 # that means the remaining round-3 cohort (q_subquery_scalar,
