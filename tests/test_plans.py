@@ -433,3 +433,19 @@ class TestCurationRound4Plans:
         # the minhash twin's lineage after the first build)
         plan = physical_plan(QUERIES["q_dedup_minhash_portable"](spark, SF_DIR))
         assert "md5" not in plan.lower(), plan
+
+    def test_ivf_celldots_single_build(self, spark):
+        """The IVF coarse-assignment table (vec x cell exact dots) is
+        shared: the portable IVF search, the nprobe curve, and the
+        IVF-PQ combined search must trigger exactly ONE anchors-join
+        aggregate per (session, sf_dir) — the graph-quartet/pair-build
+        treatment applied to the similarity family. Production shape:
+        a stored assignment table written next to the IVF index."""
+        from elric_rs_spark.operators import similarity
+
+        key = (spark.sparkContext.applicationId, SF_DIR)
+        similarity._PIVF_CELLDOTS_CACHE.pop(key, None)
+        before = similarity._PIVF_CELLDOTS_BUILDS
+        for name in ("q_sim_ivf_portable", "q_sim_ivf_curve", "q_sim_ivfpq"):
+            QUERIES[name](spark, SF_DIR).collect()
+        assert similarity._PIVF_CELLDOTS_BUILDS == before + 1
