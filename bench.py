@@ -120,6 +120,7 @@ HEADLINE = [
     "q_bpe_learn",
     "q_sim_ivfpq",
     "q_graph_kcore",
+    "q_bpe_apply",
 ]
 
 

@@ -1705,3 +1705,87 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out.orderBy("iteration")
+
+
+BPE_APPLY_TOPK = 20
+
+
+@query(
+    "q_bpe_apply",
+    oracle=f"""
+WITH wc AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok
+),
+r0 AS (
+  SELECT '(' || array_to_string(string_split(word, ''), ')(') || ')(</w>)'
+           AS rep,
+         cnt
+  FROM wc
+),{",".join(_bpe_round_ctes(i) for i in range(1, BPE_ITERS + 1))},
+vocab AS (
+  SELECT sym, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+  FROM (SELECT cnt, unnest(regexp_extract_all(rep, '{_BPE_TOKS_RE}', 1)) AS sym
+        FROM r{BPE_ITERS})
+  GROUP BY sym
+)
+SELECT CAST(rn AS BIGINT) AS rank, sym, n_occurrences FROM (
+  SELECT sym, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, sym) AS rn
+  FROM vocab
+) WHERE rn <= {BPE_APPLY_TOPK}
+""",
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-with-learned-merges — the other half of q_bpe_learn's
+    loop: re-derive the {BPE_ITERS} BPE merges, apply them to the word
+    dictionary, and emit the corpus-weighted top-{BPE_APPLY_TOPK} symbol
+    frequencies of the resulting subword vocabulary (the table a
+    tokenizer-budget analysis reads: which subwords carry the corpus).
+
+    Scale shape: identical to q_bpe_learn (one corpus-proportional
+    word-count shuffle, then dictionary-sized rounds) plus one
+    row-local token explode over the dictionary and a
+    map-side-combinable symbol aggregate; the final top-k is a
+    TakeOrdered. Nothing beyond the dictionary is ever reshuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = wc.select(
+        F.concat(
+            F.lit("("),
+            F.concat_ws(")(", F.split(F.col("word"), "")),
+            F.lit(")(</w>)"),
+        ).alias("rep"),
+        "cnt",
+    )
+    for _ in range(BPE_ITERS):
+        top = _bpe_top_pair(_bpe_pair_counts(words))
+        words = words.crossJoin(F.broadcast(top.select("lhs", "rhs"))).select(
+            F.expr(
+                "replace(rep, '(' || lhs || ')(' || rhs || ')',"
+                "        '(' || lhs || rhs || ')')"
+            ).alias("rep"),
+            "cnt",
+        )
+    toks = F.regexp_extract_all(F.col("rep"), F.lit(_BPE_TOKS_RE), 1)
+    vocab = (
+        words.select("cnt", F.explode(toks).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+    )
+    top = vocab.orderBy(F.col("n_occurrences").desc(), "sym").limit(BPE_APPLY_TOPK)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "sym")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "sym",
+        "n_occurrences",
+    )
