@@ -121,6 +121,8 @@ HEADLINE = [
     "q_sim_ivfpq",
     "q_graph_kcore",
     "q_bpe_apply",
+    "q_embed_rp",
+    "q_graph_linkpred",
 ]
 
 

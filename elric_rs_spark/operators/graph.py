@@ -17,7 +17,7 @@ replay bit-for-bit in the oracle. No float appears anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elric_rs_spark.registry import query
@@ -504,4 +504,104 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .select(F.col("node").alias("s_suppkey"), "core_degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by neighbor Jaccard (Liben-Nowell & Kleinberg 2003):
+# score non-adjacent pairs by |N(u) n N(w)| / |N(u) u N(w)| — the
+# classic "which suppliers SHOULD co-occur" recommender, and the same
+# wedge-join shape as triangle counting pointed at pairs that close NO
+# edge instead of pairs that do.
+LP_TOPK = 20
+
+
+@query(
+    "q_graph_linkpred",
+    oracle=f"""
+WITH {_strong_tie_ctes(KCORE_W_FRAC).replace("raw AS (", "raw AS MATERIALIZED (", 1)},
+dirs AS MATERIALIZED (
+  SELECT a AS node, b AS nb FROM edges
+  UNION ALL SELECT b, a FROM edges
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM dirs GROUP BY node),
+wedge AS (
+  SELECT d1.nb AS u, d2.nb AS w, CAST(count(*) AS BIGINT) AS inter
+  FROM dirs d1 JOIN dirs d2 ON d1.node = d2.node AND d1.nb < d2.nb
+  GROUP BY d1.nb, d2.nb
+),
+cand AS (
+  SELECT wd.u, wd.w, wd.inter,
+         du.d + dw.d - wd.inter AS un
+  FROM wedge wd
+  JOIN deg du ON du.node = wd.u
+  JOIN deg dw ON dw.node = wd.w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = wd.u AND e.b = wd.w)
+)
+SELECT CAST(rn AS BIGINT) AS rank, u, w, inter, un AS uni, jac_permille FROM (
+  SELECT u, w, inter, un,
+         (1000 * inter) // un AS jac_permille,
+         row_number() OVER (
+           ORDER BY (1000 * inter) // un DESC, u, w) AS rn
+  FROM cand
+) WHERE rn <= {LP_TOPK}
+""",
+)
+def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-Jaccard link prediction (Liben-Nowell/Kleinberg 2003)
+    over the strong-tie co-purchase graph: rank NON-adjacent supplier
+    pairs by shared-neighbor Jaccard (integer permille), top-{LP_TOPK}
+    with (score, u, w) determinism. Same wedge-join engine as triangle
+    counting, aimed at the pairs that close no edge — the "suppliers
+    that should co-occur" recommendation table.
+
+    Scale shape: reuses the session-shared localCheckpoint-ed edge
+    build; the wedge join is bounded by sum-of-degrees-squared on the
+    THINNED strong-tie graph (the same budget triangle counting pays;
+    degree-cap the hub tail at web scale exactly as the dedup family
+    caps hot buckets); candidate scoring is a groupBy aggregate plus
+    two degree joins and one anti-join against the edge list; the
+    top-k is a TakeOrdered, not a global sort."""
+    edges = _strong_tie_edges(spark, sf_dir, KCORE_W_FRAC)
+    dirs = (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+        .localCheckpoint()
+    )
+    deg = dirs.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    d1 = dirs.select(F.col("node").alias("v"), F.col("nb").alias("u"))
+    d2 = dirs.select(F.col("node").alias("v"), F.col("nb").alias("w"))
+    wedge = (
+        d1.join(d2, "v")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cand = (
+        wedge.join(
+            edges.select(F.col("a").alias("u"), F.col("b").alias("w")),
+            ["u", "w"],
+            "left_anti",
+        )
+        .join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("w"), F.col("d").alias("dw")), "w")
+        .select(
+            "u",
+            "w",
+            "inter",
+            (F.col("du") + F.col("dw") - F.col("inter")).alias("uni"),
+        )
+        .withColumn("jac_permille", F.expr("(1000 * inter) div uni"))
+    )
+    top = cand.orderBy(
+        F.col("jac_permille").desc(), "u", "w"
+    ).limit(LP_TOPK)
+    w = Window.orderBy(F.col("jac_permille").desc(), "u", "w")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "u",
+        "w",
+        "inter",
+        "uni",
+        "jac_permille",
     )

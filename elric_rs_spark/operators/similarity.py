@@ -2283,3 +2283,152 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("long").alias("cell"),
         "adc",
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (Achlioptas 2001's ±1 database-
+# friendly form): k = 16 projection rows with deterministic md5-derived
+# signs compress 64-dim embeddings 4x while preserving pairwise geometry
+# to O(sqrt(log n / k)) distortion — the standard cheap pre-filter in
+# front of exact rerank, and a distinct primitive from the codebook
+# methods (PQ/int8) because it needs NO training pass over the corpus.
+RP_K = 16
+RP_QUERY = 0
+RP_TOPK = 10
+
+
+@query(
+    "q_embed_rp",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, i AS d,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+signs AS (
+  SELECT j, i AS d,
+         1 - 2 * (({_hex13_sql("md5('r' || j || '#' || i)")}) % 2) AS r
+  FROM range(0, {RP_K}) jj(j), range(1, 65) t(i)
+),
+proj AS (
+  SELECT comp.vec_id, s.j, CAST(SUM(comp.micro * s.r) AS BIGINT) AS p
+  FROM comp JOIN signs s ON s.d = comp.d
+  GROUP BY comp.vec_id, s.j
+),
+qp AS (SELECT j, p AS qv FROM proj WHERE vec_id = {RP_QUERY}),
+scores AS (
+  SELECT proj.vec_id,
+         CAST(SUM(proj.p * qp.qv) AS BIGINT) AS pdot,
+         CAST(SUM(proj.p * proj.p) AS BIGINT) AS pvv,
+         CAST(SUM(qp.qv * qp.qv) AS BIGINT) AS pqq
+  FROM proj JOIN qp ON qp.j = proj.j
+  WHERE proj.vec_id <> {RP_QUERY}
+  GROUP BY proj.vec_id
+),
+exact AS (
+  SELECT comp.vec_id,
+         CAST(SUM(comp.micro * qc.micro) AS BIGINT) AS svq,
+         CAST(SUM(comp.micro * comp.micro) AS BIGINT) AS svv,
+         CAST(SUM(qc.micro * qc.micro) AS BIGINT) AS sqq
+  FROM comp JOIN (SELECT d, micro FROM comp WHERE vec_id = {RP_QUERY}) qc
+    ON qc.d = comp.d
+  WHERE comp.vec_id <> {RP_QUERY}
+  GROUP BY comp.vec_id
+)
+SELECT CAST(rn AS BIGINT) AS rank, vec_id, proj_cosine, exact_cosine FROM (
+  SELECT s.vec_id,
+         round(CAST(s.pdot AS DOUBLE)
+               / (sqrt(CAST(s.pvv AS DOUBLE)) * sqrt(CAST(s.pqq AS DOUBLE))),
+               6) AS proj_cosine,
+         round(CAST(e.svq AS DOUBLE)
+               / (sqrt(CAST(e.svv AS DOUBLE)) * sqrt(CAST(e.sqq AS DOUBLE))),
+               6) AS exact_cosine,
+         row_number() OVER (
+           ORDER BY round(CAST(s.pdot AS DOUBLE)
+                    / (sqrt(CAST(s.pvv AS DOUBLE)) * sqrt(CAST(s.pqq AS DOUBLE))),
+                    6) DESC, s.vec_id) AS rn
+  FROM scores s JOIN exact e ON e.vec_id = s.vec_id
+) WHERE rn <= {RP_TOPK}
+""",
+)
+def q_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection (Achlioptas 2001):
+    project 64-dim embeddings to {RP_K} dims with md5-derived signs —
+    no training pass, 4x compression — then score the query's top-10 by
+    PROJECTED cosine, reporting the exact cosine alongside so the JL
+    distortion is visible in the result (the acceptance check a
+    pre-filter deployment runs).
+
+    Scale shape: the sign matrix is a {RP_K} x 64 literal-bounded
+    broadcast; projection is one map-side-combinable (vec, j) aggregate
+    over the component explode — corpus-linear, shuffle-free until the
+    16-row-per-vector aggregate; scoring joins the 16-row query
+    projection broadcast-style. Integer dots both sides; the only
+    rounding is the final 6dp cosine, identical in both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comp = _micro_comp(e)
+    js = spark.range(RP_K).select(F.col("id").cast("int").alias("j"))
+    dims = spark.range(1, EMB_DIM + 1).select(F.col("id").alias("d"))
+    hx = F.md5(
+        F.concat(
+            F.lit("r"), F.col("j").cast("string"), F.lit("#"), F.col("d").cast("string")
+        )
+    )
+    signs = js.crossJoin(dims).select(
+        "j",
+        "d",
+        (
+            F.lit(1)
+            - F.lit(2) * (F.conv(F.substring(hx, 1, 13), 16, 10).cast("long") % 2)
+        ).alias("r"),
+    )
+    proj = (
+        comp.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("micro") * F.col("r")).alias("p"))
+    )
+    qp = proj.filter(F.col("vec_id") == RP_QUERY).select("j", F.col("p").alias("qv"))
+    scores = (
+        proj.filter(F.col("vec_id") != RP_QUERY)
+        .join(F.broadcast(qp), "j")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("p") * F.col("qv")).alias("pdot"),
+            F.sum(F.col("p") * F.col("p")).alias("pvv"),
+            F.sum(F.col("qv") * F.col("qv")).alias("pqq"),
+        )
+    )
+    qc = comp.filter(F.col("vec_id") == RP_QUERY).select(
+        "d", F.col("micro").alias("qmicro")
+    )
+    exact = (
+        comp.filter(F.col("vec_id") != RP_QUERY)
+        .join(F.broadcast(qc), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("micro") * F.col("qmicro")).alias("svq"),
+            F.sum(F.col("micro") * F.col("micro")).alias("svv"),
+            F.sum(F.col("qmicro") * F.col("qmicro")).alias("sqq"),
+        )
+    )
+    pcos = F.col("pdot").cast("double") / (
+        F.sqrt(F.col("pvv").cast("double")) * F.sqrt(F.col("pqq").cast("double"))
+    )
+    ecos = F.col("svq").cast("double") / (
+        F.sqrt(F.col("svv").cast("double")) * F.sqrt(F.col("sqq").cast("double"))
+    )
+    joined = scores.join(exact, "vec_id").select(
+        "vec_id",
+        F.round(pcos, 6).alias("proj_cosine"),
+        F.round(ecos, 6).alias("exact_cosine"),
+    )
+    top = joined.orderBy(F.col("proj_cosine").desc(), "vec_id").limit(RP_TOPK)
+    w = Window.orderBy(F.col("proj_cosine").desc(), "vec_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "vec_id",
+        "proj_cosine",
+        "exact_cosine",
+    )
