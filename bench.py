@@ -123,6 +123,7 @@ HEADLINE = [
     "q_bpe_apply",
     "q_embed_rp",
     "q_graph_linkpred",
+    "q_nucleus_curation",
 ]
 
 

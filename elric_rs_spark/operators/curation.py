@@ -1260,3 +1260,99 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_shards"),
         F.sum("keep_id").alias("keep_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) curation: per source, spend a TOKEN budget on the
+# highest-quality documents — the budget-constrained greedy selection a
+# fixed-compute pretraining run makes (cf. the top-p/nucleus cutoff of
+# Holtzman 2020, applied to corpus curation instead of sampling). Distinct
+# from q_domain_cap (count cap in hash order) and q_mix_rebalance (rate
+# per stratum): here the cut is a CUMULATIVE-mass threshold in quality
+# order, so high-quality strata keep few long documents and noisy strata
+# keep many short ones.
+NUCLEUS_PERMILLE = 600  # keep docs while the PRIOR cumulative mass < 60%
+
+
+@query(
+    "q_nucleus_curation",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         (1000 * len(list_distinct(string_split(lower(trim(text)), ' '))))
+           // len(string_split(lower(trim(text)), ' ')) AS quality_permille
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_chars, quality_permille,
+         CAST(sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY quality_permille DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars,
+         CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS tot_chars
+  FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       CAST(min(tot_chars) AS BIGINT) AS total_chars,
+       CAST((1000 * sum(n_chars)) // min(tot_chars) AS BIGINT)
+         AS kept_permille,
+       CAST(min(quality_permille) AS BIGINT) AS cutoff_quality
+FROM ranked
+WHERE 1000 * (cum_chars - n_chars) < {NUCLEUS_PERMILLE} * tot_chars
+GROUP BY source
+""",
+)
+def q_nucleus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) curation: within each source, rank documents by
+    an integer lexical-diversity quality score and keep the prefix that
+    spends {NUCLEUS_PERMILLE}/1000 of the source's character budget —
+    the boundary document that crosses the threshold is kept (prior
+    cumulative mass strictly under the cut), so every stratum keeps at
+    least its best document. Reports the per-source budget accounting
+    and the quality cutoff the budget implies.
+
+    Scale shape: scoring is row-local scan arithmetic; ONE window sort
+    per source key does both the cumulative mass and (implicitly) the
+    ranking; the stratum total rides the same partitioning; the final
+    report reuses the source key — one shuffle class end to end, same
+    cost envelope as q_domain_cap. Exact integers throughout, so the
+    budget boundary replays bit-for-bit."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            "(1000 * size(array_distinct(split(lower(trim(text)), ' '))))"
+            " div size(split(lower(trim(text)), ' '))"
+        ).alias("quality_permille"),
+    )
+    wq = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality_permille").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("source")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "quality_permille",
+        F.sum("n_chars").over(wq).cast("long").alias("cum_chars"),
+        F.sum("n_chars").over(wt).cast("long").alias("tot_chars"),
+    )
+    kept = ranked.filter(
+        1000 * (F.col("cum_chars") - F.col("n_chars"))
+        < NUCLEUS_PERMILLE * F.col("tot_chars")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("tot_chars").alias("total_chars"),
+        F.expr("(1000 * sum(n_chars)) div min(tot_chars)").alias("kept_permille"),
+        F.min("quality_permille").alias("cutoff_quality"),
+    )

@@ -67,7 +67,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (a) the queries NEW in round 6 (q_entropy_filter, q_lm_bigram,
 # q_dedup_bloom, q_sim_pq_search, q_dedup_recall_eval,
 # q_sample_priority, q_bpe_learn, q_sim_ivfpq, q_graph_kcore,
-# q_bpe_apply, q_embed_rp, q_graph_linkpred — all
+# q_bpe_apply, q_embed_rp, q_graph_linkpred, q_nucleus_curation — all
 # full-oracle, locally parity-green at sf0.01 AND sf0.001 on a
 # vanilla driver-style session) plus any later
 # round-6 registrations past this window, in registration order;
