@@ -1570,6 +1570,10 @@ def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference BPE behavior. A space-separated encoding would get this wrong:
 # "a a a a" with pattern "a a" consumes the shared boundary space and
 # yields "aa a a" on the continuation scan.
+# The encoding is injective only on PAREN-FREE tokens, so the word-count
+# stage drops words containing '(' or ')' (identically in both engines);
+# a production tokenizer maps such bytes through an escape alphabet first
+# (GPT-2's byte-to-unicode table is the standard choice).
 BPE_ITERS = 3
 _BPE_TOKS_RE = r"\(([^)]*)\)"
 
@@ -1631,7 +1635,8 @@ WITH wc AS (
   SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
         FROM documents)
-  WHERE tok <> '' GROUP BY tok
+  WHERE tok <> '' AND NOT contains(tok, '(') AND NOT contains(tok, ')')
+  GROUP BY tok
 ),
 r0 AS (
   SELECT '(' || array_to_string(string_split(word, ''), ')(') || ')(</w>)'
@@ -1670,7 +1675,11 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
         )
-        .filter(F.col("word") != "")
+        .filter(
+            (F.col("word") != "")
+            & ~F.col("word").contains("(")
+            & ~F.col("word").contains(")")
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -1717,7 +1726,8 @@ WITH wc AS (
   SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
         FROM documents)
-  WHERE tok <> '' GROUP BY tok
+  WHERE tok <> '' AND NOT contains(tok, '(') AND NOT contains(tok, ')')
+  GROUP BY tok
 ),
 r0 AS (
   SELECT '(' || array_to_string(string_split(word, ''), ')(') || ')(</w>)'
@@ -1755,7 +1765,11 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
         )
-        .filter(F.col("word") != "")
+        .filter(
+            (F.col("word") != "")
+            & ~F.col("word").contains("(")
+            & ~F.col("word").contains(")")
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
