@@ -471,7 +471,8 @@ ranked AS (
          row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
   FROM prio
 ),
-tau AS (SELECT priority AS tau FROM ranked WHERE rn = {PRIO_K + 1})
+tau AS (SELECT COALESCE(min(priority), 0) AS tau
+        FROM ranked WHERE rn = {PRIO_K + 1})
 SELECT CAST(rn AS BIGINT) AS rank, doc_id, n_chars, priority,
        CAST(greatest(n_chars, tau // {PRIO_M}) AS BIGINT) AS est_weight
 FROM ranked, tau
@@ -507,8 +508,10 @@ def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk1 = prio.orderBy(F.col("priority").desc(), "doc_id").limit(PRIO_K + 1)
     w = Window.orderBy(F.col("priority").desc(), "doc_id")
     ranked = topk1.withColumn("rank", F.row_number().over(w).cast("long"))
-    tau = ranked.filter(F.col("rank") == PRIO_K + 1).select(
-        F.col("priority").alias("tau")
+    # aggregate form: exactly one row even when the corpus has <= k docs
+    # (DLT convention: tau = 0 there, so est_weight = the true weight)
+    tau = ranked.filter(F.col("rank") == PRIO_K + 1).agg(
+        F.coalesce(F.min("priority"), F.lit(0)).alias("tau")
     )
     return (
         ranked.filter(F.col("rank") <= PRIO_K)
