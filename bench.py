@@ -124,6 +124,11 @@ HEADLINE = [
     "q_embed_rp",
     "q_graph_linkpred",
     "q_nucleus_curation",
+    # round-6 wave-4 appends (same contract)
+    "q_zorder_layout",
+    "q_shard_rendezvous",
+    "q_scd2_history",
+    "q_keyword_textrank",
 ]
 
 

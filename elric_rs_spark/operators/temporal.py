@@ -1182,3 +1182,92 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("next_cents")).alias("next_purchase_cents"),
         F.when(in_tol, gap.cast("long")).alias("gap_us"),
     )
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+versions AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_open,
+       CAST(sum(CASE WHEN valid_to IS NOT NULL
+                     THEN epoch_us(valid_to) - epoch_us(ts) ELSE 0 END)
+            AS BIGINT) AS closed_dur_us,
+       min(user_id) AS min_user,
+       max(user_id) AS max_user
+FROM versions
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build from a change stream: collapse each
+    user's consecutive same-valued rows into versioned validity
+    intervals `[valid_from, valid_to)` (open interval = current row).
+
+    This is the lakehouse materialization of exactly the row stream the
+    reference emits — its DatabaseChanges protobuf carries per-PK
+    UPDATE/CREATE operations that ClickHouse's ReplacingMergeTree
+    collapses to latest-wins (reference README.md:9-11; q_latest_per_key
+    is that read path). SCD2 is the other half a warehouse needs: keep
+    EVERY version with its validity window so point-in-time joins
+    ("what was this account's tier when the order shipped?") work.
+
+    Plan shape: change-detect with `lag` then interval-close with
+    `lead`, both windows over the SAME (user_id) hash partitioning and
+    (ts, event_id) sort — Catalyst plans ONE exchange + one sort and
+    runs both window frames over it, so the whole history build costs a
+    single shuffle of the change stream. Per-key window state is one
+    row; durations are exact BIGINT microseconds (unix_micros /
+    epoch_us agree), so the oracle replays bit-for-bit. At 100 TB the
+    identical two-pass runs per day-partition of the change feed with
+    the open tail carried forward (DEPLOY.md).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    versions = ordered.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    closed_us = F.when(
+        F.col("valid_to").isNotNull(), _us("valid_to") - _us("ts")
+    ).otherwise(F.lit(0))
+    return (
+        versions.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(
+                F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+            ).alias("n_open"),
+            F.sum(closed_us).alias("closed_dur_us"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )

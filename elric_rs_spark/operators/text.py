@@ -1803,3 +1803,128 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sym",
         "n_occurrences",
     )
+
+
+# TextRank keyword extraction: PageRank over the word co-occurrence
+# graph (Mihalcea & Tarau 2004). Same exact-integer iteration contract
+# as operators/graph.py — ranks are BIGINTs at 1e12 scale with
+# floor-division damping so DuckDB replays all iterations bit-for-bit.
+TR_SCALE = 10**12
+TR_ITERS = 3
+
+
+def _textrank_oracle() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, TR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT e.dst AS node,
+         base.b + (85 * COALESCE(SUM(({prev}.rank * e.w) // wt.w_total), 0)) // 100
+           AS rank
+  FROM edges e
+  JOIN {prev} ON {prev}.node = e.src
+  JOIN wtot wt ON wt.src = e.src
+  CROSS JOIN base
+  GROUP BY e.dst, base.b
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH toks AS (
+  SELECT string_split(lower(trim(text)), ' ') AS t FROM documents
+),
+bi AS (
+  SELECT unnest([array_to_string(t[i:i+1], ' ')
+                 FOR i IN range(1, len(t))]) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+bcnt AS (
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         CAST(count(*) AS BIGINT) AS c
+  FROM bi GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst, CAST(sum(c) AS BIGINT) AS w FROM (
+    SELECT w1 AS src, w2 AS dst, c FROM bcnt WHERE w1 <> w2
+    UNION ALL
+    SELECT w2 AS src, w1 AS dst, c FROM bcnt WHERE w1 <> w2
+  ) GROUP BY src, dst
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT count(*) AS n FROM nodes),
+base AS (SELECT (15 * ({TR_SCALE} // n.n)) // 100 AS b FROM n),
+wtot AS (SELECT src, CAST(sum(w) AS BIGINT) AS w_total FROM edges GROUP BY src),
+r0 AS (SELECT node, {TR_SCALE} // n.n AS rank FROM nodes, n),
+{",".join(iters)}
+SELECT node AS term, CAST(rank AS BIGINT) AS rank_scaled
+FROM r{TR_ITERS}
+ORDER BY rank_scaled DESC, term
+LIMIT 20
+"""
+
+
+@query("q_keyword_textrank", oracle=_textrank_oracle())
+def q_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the corpus word co-occurrence graph — nodes are terms, an
+    undirected edge's weight counts how often the two terms are
+    adjacent — then the top-20 terms by rank. The unsupervised
+    keyword/keyphrase signal a curation pipeline uses for topic
+    tagging and prompt seeding where TF-IDF over-rewards rare typos.
+
+    Composition proof: the bigram extraction of q_bigram_pmi feeding
+    the exact-integer PageRank loop of q_pagerank, re-pointed at a
+    vocabulary-sized graph. Scale shape: the corpus is touched ONCE
+    (bigram explode + count shuffle); everything after — symmetric
+    edge expansion, three join+aggregate rounds — runs on the
+    vocabulary-sized edge table (Heaps-law-sublinear in corpus size),
+    with each round's rank vector localCheckpoint-ed to truncate the
+    unrolled lineage (same discipline as graph.py, which measured 25
+    redundant scans without it). Per-round totals (`n`, damping base)
+    are one-row broadcasts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bi = d.select(F.explode(_word_ngrams(F.col("text"), 2)).alias("bg"))
+    parts = F.split(F.col("bg"), " ")
+    bcnt = (
+        bi.select(parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2"))
+        .filter(F.col("w1") != F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    edges = (
+        bcnt.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "c")
+        .unionAll(bcnt.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "c"))
+        .groupBy("src", "dst")
+        .agg(F.sum("c").cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = n.select(F.expr(f"(15 * ({TR_SCALE} div n)) div 100").alias("b"))
+    wtot = edges.groupBy("src").agg(F.sum("w").cast("long").alias("w_total"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.expr(f"{TR_SCALE} div n").alias("rank")
+    )
+    for _ in range(TR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(wtot, "src")
+            .select("dst", F.expr("(rank * w) div w_total").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("sc"))
+            .crossJoin(F.broadcast(base))
+            .select(
+                "node", F.expr("b + (85 * coalesce(sc, 0)) div 100").alias("rank")
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select("node", "rank")
+        .select(F.col("node").alias("term"), F.col("rank").cast("long").alias("rank_scaled"))
+        .orderBy(F.col("rank_scaled").desc(), "term")
+        .limit(20)
+    )

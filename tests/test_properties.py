@@ -609,3 +609,83 @@ def test_embed_rp_preserves_top_neighbor_roughly(spark):
     for r in rows:
         assert -1.000001 <= r.proj_cosine <= 1.000001
         assert -1.000001 <= r.exact_cosine <= 1.000001
+
+
+def test_zorder_buckets_span_both_dims(spark):
+    """Z-order contract: every range bucket covers a BOUNDED rectangle
+    in both source dimensions — the average per-bucket span must be far
+    under the full 0..255 domain (a single-key sort would leave the
+    second dimension's span at ~255 for every bucket)."""
+    from elric_rs_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["q_zorder_layout"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    p_spans = [r.p_max - r.p_min for r in rows]
+    s_spans = [r.s_max - r.s_min for r in rows]
+    # 32 buckets of a 16-bit z-curve cover <= 64x64 rectangles plus
+    # boundary stitching; both dims must average well under the domain
+    assert sum(p_spans) / len(p_spans) < 128
+    assert sum(s_spans) / len(s_spans) < 128
+    # buckets partition the table
+    total = sum(r.n_rows for r in rows)
+    from elric_rs_spark.tables import load_table
+
+    assert total == load_table(spark, "/root/testdata/sf0.01", "lineitem").count()
+
+
+def test_rendezvous_balance_and_minimal_movement(spark):
+    """HRW contracts: (a) shards are load-balanced within 2x of each
+    other, (b) growing 8 -> 9 shards moves ~1/9 of docs (minimal
+    disruption), never the ~8/9 a mod-N scheme would."""
+    from elric_rs_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["q_shard_rendezvous"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 8
+    counts = [r.n_docs for r in rows]
+    assert max(counts) < 2 * min(counts)
+    n = sum(counts)
+    moved = sum(r.moved_at_9 for r in rows)
+    # expectation n/9; allow a generous band around it
+    assert n / 18 <= moved <= n / 4
+
+
+def test_scd2_versions_partition_event_stream(spark):
+    """SCD2 contracts: exactly one OPEN version per user (the last
+    run), and version counts can never exceed the raw event count."""
+    from pyspark.sql import functions as F
+
+    from elric_rs_spark import registry
+    from elric_rs_spark.tables import load_table
+
+    registry.load_all()
+    rows = registry.QUERIES["q_scd2_history"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n_open for r in rows) == n_users
+    assert sum(r.n_versions for r in rows) <= e.count()
+    for r in rows:
+        assert r.closed_dur_us >= 0
+
+
+def test_textrank_mass_conservation(spark):
+    """Integer PageRank sanity on the word graph: 20 rows, positive
+    ranks, and the top rank bounded by total mass (1e12)."""
+    from elric_rs_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["q_keyword_textrank"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    ranks = [r.rank_scaled for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(0 < r < 10**12 for r in ranks)
