@@ -730,3 +730,148 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue_cents").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# --- Bloom-filter join reduction (portable, auditable) ----------------
+#
+# An explicit relational Bloom filter: hash the (filtered) dim side's
+# join keys into a fixed m = 2^16 bucket space with k = 2 independent
+# Carter-Wegman mixes of md5-derived halves (the dedup.py portable-hash
+# idiom), keep the DISTINCT bucket sets (each bounded at m rows no
+# matter how large the dim side grows — unlike broadcasting the key set
+# itself), broadcast them, and pre-filter the fact side with two
+# broadcast semi-joins BEFORE the exact key join. Spark's optimizer does
+# this implicitly when spark.sql.optimizer.runtime.bloomFilter.enabled
+# kicks in; this operator makes the reduction explicit, portable (DuckDB
+# replays the identical integer arithmetic) and auditable — the query
+# RESULT is the audit row proving how many fact rows the filter passed
+# and how many of those were false positives.
+BLOOM_M = 1 << 16
+BLOOM_P = 2_147_483_647  # 2^31 - 1, the dedup.py Carter-Wegman modulus
+BLOOM_MIX = ((1_103_515_245, 12_345, 1), (2_654_435_761, 40_503, 97))
+BLOOM_PRICE_MIN = 450_000.0  # ~p90 of o_totalprice: ~10% dim selectivity
+
+
+def _bloom_hex7_sql(expr: str, start: int) -> str:
+    """DuckDB twin of F.conv(F.substring(h, start, 7), 16, 10): 7 hex
+    chars as a BIGINT < 2^28 (the dedup.py _hex7_sql idiom)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
+        for i in range(7)
+    )
+
+
+def _bloom_pos_sql(j: int) -> str:
+    a, b, c = BLOOM_MIX[j]
+    return f"({a} * xa + {b} * xb + {c}) % {BLOOM_P} % {BLOOM_M}"
+
+
+def _bloom_xv_sql(key: str, src: str) -> str:
+    h = f"md5(CAST({key} AS VARCHAR))"
+    return f"""SELECT {key} AS k,
+         ({_bloom_hex7_sql(h, 1)}) AS xa,
+         ({_bloom_hex7_sql(h, 8)}) AS xb
+  FROM {src}"""
+
+
+def _bloom_positions(df: DataFrame, key: str) -> DataFrame:
+    """(k, pos0, pos1) for each row of `df` — scan-local md5 + integer
+    mixing, all inside whole-stage codegen."""
+    h = F.md5(F.col(key).cast("string"))
+    xa = F.conv(F.substring(h, 1, 7), 16, 10).cast("long")
+    xb = F.conv(F.substring(h, 8, 7), 16, 10).cast("long")
+    out = df.select(F.col(key).alias("k"), xa.alias("xa"), xb.alias("xb"))
+    for j, (a, b, c) in enumerate(BLOOM_MIX):
+        out = out.withColumn(
+            f"pos{j}",
+            (F.lit(a) * F.col("xa") + F.lit(b) * F.col("xb") + F.lit(c))
+            % BLOOM_P
+            % BLOOM_M,
+        )
+    return out.drop("xa", "xb")
+
+
+@query(
+    "q_join_bloom",
+    oracle=f"""
+WITH dk AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > {BLOOM_PRICE_MIN}
+),
+dxv AS ({_bloom_xv_sql("o_orderkey", "dk")}),
+dp AS (
+  SELECT k, {_bloom_pos_sql(0)} AS pos0, {_bloom_pos_sql(1)} AS pos1
+  FROM dxv
+),
+bits0 AS (SELECT DISTINCT pos0 FROM dp),
+bits1 AS (SELECT DISTINCT pos1 FROM dp),
+fxv AS ({_bloom_xv_sql("l_orderkey", "lineitem")}),
+fp AS (
+  SELECT k, {_bloom_pos_sql(0)} AS pos0, {_bloom_pos_sql(1)} AS pos1
+  FROM fxv
+),
+pass AS (
+  SELECT k FROM fp
+  WHERE pos0 IN (SELECT pos0 FROM bits0)
+    AND pos1 IN (SELECT pos1 FROM bits1)
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM dk) AS n_dim_keys,
+  (SELECT CAST(count(*) AS BIGINT) FROM bits0) AS n_bits0,
+  (SELECT CAST(count(*) AS BIGINT) FROM bits1) AS n_bits1,
+  (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n_fact_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM pass) AS n_prefilter_pass,
+  (SELECT CAST(count(*) AS BIGINT) FROM pass
+   WHERE k IN (SELECT o_orderkey FROM dk)) AS n_matched,
+  (SELECT CAST(count(*) AS BIGINT) FROM pass)
+    - (SELECT CAST(count(*) AS BIGINT) FROM pass
+       WHERE k IN (SELECT o_orderkey FROM dk)) AS n_false_pos
+""",
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join reduction, as a one-row audit: pre-filter the
+    fact side against a 2^16-bucket / 2-hash Bloom filter built from
+    the high-value-order keys, then count how many fact rows the filter
+    passed vs how many truly join — the false-positive overhead the
+    reduction trades for never shuffling unmatched fact rows.
+
+    Scale shape: the two DISTINCT position sets are bounded at
+    m = 65,536 rows EACH no matter how many dim keys exist (the whole
+    point vs broadcasting the key set), so both semi-joins broadcast by
+    construction; the fact side is pruned scan-locally (md5 + integer
+    mixing in whole-stage codegen, then two broadcast semi-joins — no
+    shuffle) before the exact key membership check. At 100 TB with a
+    1% dim selectivity this drops ~99% of fact rows before the join
+    exchange; AQE's runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) is the implicit
+    form of the same plan, and this md5-portable variant is what the
+    engine uses when the filter must be persisted or replayed
+    cross-engine (DuckDB reproduces every count bit-for-bit).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = o.filter(F.col("o_totalprice") > BLOOM_PRICE_MIN).select("o_orderkey")
+    dp = _bloom_positions(dim, "o_orderkey")
+    bits0 = dp.select("pos0").distinct()
+    bits1 = dp.select("pos1").distinct()
+    fp = _bloom_positions(li.select("l_orderkey"), "l_orderkey")
+    passed = fp.join(broadcast(bits0), "pos0", "left_semi").join(
+        broadcast(bits1), "pos1", "left_semi"
+    )
+    # no broadcast hint on dim: its cardinality is data-dependent (a
+    # price-filtered fact subset, ~10% of orders) — let AQE choose
+    matched = passed.join(dim, passed["k"] == dim["o_orderkey"], "left_semi")
+    counts = [
+        dim.agg(F.count(F.lit(1)).alias("n_dim_keys")),
+        bits0.agg(F.count(F.lit(1)).alias("n_bits0")),
+        bits1.agg(F.count(F.lit(1)).alias("n_bits1")),
+        fp.agg(F.count(F.lit(1)).alias("n_fact_rows")),
+        passed.agg(F.count(F.lit(1)).alias("n_prefilter_pass")),
+        matched.agg(F.count(F.lit(1)).alias("n_matched")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(broadcast(c))
+    return out.withColumn(
+        "n_false_pos", F.col("n_prefilter_pass") - F.col("n_matched")
+    )

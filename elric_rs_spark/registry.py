@@ -69,9 +69,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # q_sample_priority, q_bpe_learn, q_sim_ivfpq, q_graph_kcore,
 # q_bpe_apply, q_embed_rp, q_graph_linkpred, q_nucleus_curation,
 # q_zorder_layout, q_shard_rendezvous, q_scd2_history,
-# q_keyword_textrank — all full-oracle, locally parity-green at
-# sf0.01 AND sf0.001 on a vanilla driver-style session) plus any later
-# round-6 registrations past this window, in registration order;
+# q_keyword_textrank, q_markov_transitions, q_assoc_rules,
+# q_attribution, q_join_bloom — all full-oracle, locally parity-green
+# at sf0.01 AND sf0.001 on a vanilla driver-style session) plus any
+# later round-6 registrations past this window, in registration order;
 # then (b) stalest regrades by last-graded round -- after this round
 # that means the remaining round-3 cohort (q_subquery_scalar,
 # q_subquery_bigorders, q_subquery_idlerich, q_distinct, q_topk,
@@ -180,5 +181,6 @@ def load_all() -> None:
     from elric_rs_spark.operators import curation  # noqa: F401  composed pipeline
     from elric_rs_spark.operators import graph  # noqa: F401  weighted PageRank
     from elric_rs_spark.operators import layout  # noqa: F401  z-order / HRW sharding
+    from elric_rs_spark.operators import mining  # noqa: F401  markov / assoc rules / attribution
 
     _apply_grading_order()
