@@ -689,3 +689,102 @@ def test_textrank_mass_conservation(spark):
     ranks = [r.rank_scaled for r in rows]
     assert ranks == sorted(ranks, reverse=True)
     assert all(0 < r < 10**12 for r in ranks)
+
+
+def test_markov_rows_are_probability_matrix(spark):
+    """Markov contracts: every (src, dst) cell positive, and each src
+    row's probabilities sum to 1 within the 6dp rounding budget (k <= 5
+    dst cells -> max drift 5 * 5e-7)."""
+    from collections import defaultdict
+
+    from elric_rs_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["q_markov_transitions"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    by_src = defaultdict(float)
+    for r in rows:
+        assert r.n_trans > 0 and 0 < r.p <= 1
+        by_src[r.src] += r.p
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 5e-6, (src, total)
+
+
+def test_assoc_rules_symmetry_and_bounds(spark):
+    """A-priori contracts: pair support is symmetric (n_both(a,b) ==
+    n_both(b,a)), confidence <= 1, and every surviving rule clears the
+    integer permille support gate."""
+    from elric_rs_spark import registry
+    from elric_rs_spark.operators.mining import RULE_MIN_SUPPORT_PERMILLE
+    from elric_rs_spark.tables import load_table
+
+    registry.load_all()
+    rows = registry.QUERIES["q_assoc_rules"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    both = {(r.antecedent, r.consequent): r.n_both for r in rows}
+    for (a, c), n in both.items():
+        assert both.get((c, a)) == n, (a, c)
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    n_orders = li.select("l_orderkey").distinct().count()
+    for r in rows:
+        assert 0 < r.confidence <= 1
+        assert r.n_both * 1000 >= RULE_MIN_SUPPORT_PERMILLE * n_orders
+        assert r.n_both <= min(r.n_ante, r.n_cons)
+
+
+def test_attribution_conserves_revenue(spark):
+    """Last-touch attribution conservation: attributed purchases and
+    cents equal the raw purchase totals exactly (cents are exact
+    integers), and shares sum to 1 within rounding."""
+    from pyspark.sql import functions as F
+
+    from elric_rs_spark import registry
+    from elric_rs_spark.tables import load_table
+
+    registry.load_all()
+    rows = registry.QUERIES["q_attribution"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    p = e.filter(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    ).collect()[0]
+    assert sum(r.n_purchases for r in rows) == p.n
+    assert sum(r.revenue_cents for r in rows) == p.cents
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 5e-6
+    # purchase can never be its own touch channel
+    assert all(r.channel != "purchase" for r in rows)
+
+
+def test_join_bloom_no_false_negatives(spark):
+    """Bloom-join contracts: the prefilter NEVER drops a true match
+    (n_matched == exact semijoin count), false positives are
+    non-negative, and the bit sets respect the m = 2^16 space."""
+    from pyspark.sql import functions as F
+
+    from elric_rs_spark import registry
+    from elric_rs_spark.operators.joins import BLOOM_M, BLOOM_PRICE_MIN
+    from elric_rs_spark.tables import load_table
+
+    registry.load_all()
+    r = registry.QUERIES["q_join_bloom"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    sf = "/root/testdata/sf0.01"
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_totalprice") > BLOOM_PRICE_MIN
+    )
+    li = load_table(spark, sf, "lineitem")
+    exact = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_semi").count()
+    assert r.n_matched == exact
+    assert r.n_false_pos >= 0
+    assert r.n_prefilter_pass == r.n_matched + r.n_false_pos
+    assert 0 < r.n_bits0 <= min(BLOOM_M, r.n_dim_keys)
+    assert 0 < r.n_bits1 <= min(BLOOM_M, r.n_dim_keys)
+    assert r.n_prefilter_pass <= r.n_fact_rows
