@@ -1133,3 +1133,220 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_median_cents"
         ),
     )
+
+
+# --- theta-style KMV sketch intersection -------------------------------
+#
+# The union merge (q_sketch_union) shows bottom-K sketches combine by
+# set-union of retained hashes; intersections need the theta trick
+# (Dasgupta et al., "Theta Sketch Framework"): each sketch's threshold
+# theta is 1 when unsaturated (k_used < K) else its kth (largest
+# retained) hash value; the pair estimate counts retained hashes common
+# to BOTH sketches that fall strictly below theta = min(theta_a,
+# theta_b), scaled by 1/theta. Everything stays exact BIGINT on the
+# 2^52 hex13 scale (_KMV_HEX_V idiom), so DuckDB replays the estimator
+# bit-for-bit.
+_KMV_FULL = 1 << 52
+
+
+def _hex13_sql(col: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({col}, {i}, 1)) - 1)"
+        f" * {16 ** (13 - i)}"
+        for i in range(1, 14)
+    )
+
+
+@query(
+    "q_sketch_intersect",
+    oracle=f"""
+WITH hashes AS (
+  SELECT DISTINCT l_returnflag AS flag, md5(CAST(l_orderkey AS VARCHAR)) AS h
+  FROM lineitem
+),
+bottom AS (
+  SELECT flag, h,
+         row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+  FROM hashes
+),
+kept AS (SELECT flag, h FROM bottom WHERE rn <= {KMV_K}),
+thr AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS k_used,
+         CASE WHEN count(*) < {KMV_K} THEN {_KMV_FULL}
+              ELSE ({_hex13_sql("max(h)")}) END AS v_thr
+  FROM kept GROUP BY flag
+),
+common AS (
+  SELECT a.flag AS flag_a, b.flag AS flag_b, a.h,
+         ({_hex13_sql("a.h")}) AS vh
+  FROM kept a JOIN kept b ON a.h = b.h AND a.flag < b.flag
+),
+pair AS (
+  SELECT c.flag_a, c.flag_b,
+         least(ta.v_thr, tb.v_thr) AS theta_v,
+         CAST(count(*) FILTER (WHERE c.vh < least(ta.v_thr, tb.v_thr))
+              AS BIGINT) AS n_common
+  FROM common c
+  JOIN thr ta ON c.flag_a = ta.flag
+  JOIN thr tb ON c.flag_b = tb.flag
+  GROUP BY c.flag_a, c.flag_b, least(ta.v_thr, tb.v_thr)
+),
+exact AS (
+  SELECT a.flag AS flag_a, b.flag AS flag_b,
+         CAST(count(*) AS BIGINT) AS n_exact
+  FROM hashes a JOIN hashes b ON a.h = b.h AND a.flag < b.flag
+  GROUP BY a.flag, b.flag
+)
+SELECT p.flag_a, p.flag_b, p.n_common, p.theta_v,
+       CAST(p.n_common * {_KMV_FULL} // p.theta_v AS BIGINT)
+         AS est_intersect,
+       e.n_exact
+FROM pair p JOIN exact e
+  ON p.flag_a = e.flag_a AND p.flag_b = e.flag_b
+ORDER BY p.flag_a, p.flag_b
+""",
+)
+def q_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch intersection estimate for every pair of
+    l_returnflag order populations: how many distinct orders carry BOTH
+    flags, estimated from two bottom-K sketches alone — the set
+    operation inclusion-exclusion gets catastrophically wrong at low
+    overlap, done the way production sketch libraries do it.
+
+    theta per sketch is 2^52 (i.e. 1.0) when the sketch is unsaturated
+    — then the estimate degrades gracefully to the exact common count —
+    else the kth retained hash value; the pair estimate is
+    n_common_below_theta * 2^52 div min(theta), all positive BIGINT so
+    Spark's `div` == DuckDB's `//`. n_exact is the eval audit column
+    (the corpus rescan a production run would skip); at 100 TB the
+    estimator consumes only the 3 x K retained hashes, shipped from
+    1000 shards exactly like the q_sketch_union merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hashes = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.md5(F.col("l_orderkey").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("flag").orderBy("h")
+    kept = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    hex13 = lambda c: F.conv(F.substring(c, 1, 13), 16, 10).cast("long")  # noqa: E731
+    thr = kept.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth")
+    ).select(
+        "flag",
+        F.when(F.col("k_used") < KMV_K, F.lit(_KMV_FULL))
+        .otherwise(hex13(F.col("kth")))
+        .alias("v_thr"),
+    )
+    a = kept.select(F.col("flag").alias("flag_a"), "h")
+    b = kept.select(F.col("flag").alias("flag_b"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("flag_a") < F.col("flag_b"))
+        .withColumn("vh", hex13(F.col("h")))
+    )
+    ta = F.broadcast(thr.select(F.col("flag").alias("flag_a"), F.col("v_thr").alias("va")))
+    tb = F.broadcast(thr.select(F.col("flag").alias("flag_b"), F.col("v_thr").alias("vb")))
+    pair = (
+        common.join(ta, "flag_a")
+        .join(tb, "flag_b")
+        .withColumn("theta_v", F.least("va", "vb"))
+        .groupBy("flag_a", "flag_b", "theta_v")
+        .agg(
+            F.count(F.when(F.col("vh") < F.col("theta_v"), 1)).alias("n_common")
+        )
+    )
+    ha = hashes.select(F.col("flag").alias("flag_a"), "h")
+    hb = hashes.select(F.col("flag").alias("flag_b"), "h")
+    exact = (
+        ha.join(hb, "h")
+        .filter(F.col("flag_a") < F.col("flag_b"))
+        .groupBy("flag_a", "flag_b")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        pair.join(exact, ["flag_a", "flag_b"])
+        .select(
+            "flag_a",
+            "flag_b",
+            "n_common",
+            "theta_v",
+            F.expr(f"n_common * {_KMV_FULL} div theta_v").alias("est_intersect"),
+            "n_exact",
+        )
+        .orderBy("flag_a", "flag_b")
+    )
+
+
+@query(
+    "q_chisq_independence",
+    oracle="""
+WITH obs AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+rows_ AS (SELECT rf, CAST(sum(n) AS BIGINT) AS r_tot FROM obs GROUP BY rf),
+cols_ AS (SELECT ls, CAST(sum(n) AS BIGINT) AS c_tot FROM obs GROUP BY ls)
+SELECT o.rf, o.ls, o.n, r.r_tot, c.c_tot,
+       round(CAST(o.n * t.total - r.r_tot * c.c_tot AS DOUBLE)
+             * CAST(o.n * t.total - r.r_tot * c.c_tot AS DOUBLE)
+             / (CAST(r.r_tot AS DOUBLE) * CAST(c.c_tot AS DOUBLE)
+                * CAST(t.total AS DOUBLE)),
+             6) AS chi2_term
+FROM obs o
+JOIN rows_ r ON o.rf = r.rf
+JOIN cols_ c ON o.ls = c.ls
+CROSS JOIN tot t
+ORDER BY o.rf, o.ls
+""",
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test cells for the returnflag x
+    linestatus contingency table: observed count, marginals, and each
+    cell's chi-square contribution ((obs - exp)^2 / exp, computed as
+    (obs*N - R*C)^2 / (R*C*N) so the difference is taken in EXACT
+    BIGINT before the one double division — the float subtraction of
+    two near-equal expectations is where naive implementations lose
+    cross-engine determinism).
+
+    Scale shape: one map-side-combinable groupBy collapses the corpus
+    to the k x m cell table (6 rows here); marginals and the total are
+    windows/joins over those 6 rows (broadcast by construction). obs*N
+    stays exact BIGINT through ~2^63/N rows; the chi2 statistic itself
+    is sum(chi2_term) over the bounded cell set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    rows_ = obs.groupBy("rf").agg(F.sum("n").alias("r_tot"))
+    cols_ = obs.groupBy("ls").agg(F.sum("n").alias("c_tot"))
+    d = F.col("n") * F.col("total") - F.col("r_tot") * F.col("c_tot")
+    return (
+        obs.join(F.broadcast(rows_), "rf")
+        .join(F.broadcast(cols_), "ls")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rf",
+            "ls",
+            "n",
+            "r_tot",
+            "c_tot",
+            F.round(
+                d.cast("double")
+                * d.cast("double")
+                / (
+                    F.col("r_tot").cast("double")
+                    * F.col("c_tot").cast("double")
+                    * F.col("total").cast("double")
+                ),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("rf", "ls")
+    )

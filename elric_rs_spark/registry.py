@@ -70,7 +70,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # q_bpe_apply, q_embed_rp, q_graph_linkpred, q_nucleus_curation,
 # q_zorder_layout, q_shard_rendezvous, q_scd2_history,
 # q_keyword_textrank, q_markov_transitions, q_assoc_rules,
-# q_attribution, q_join_bloom — all full-oracle, locally parity-green
+# q_attribution, q_join_bloom, q_sketch_intersect,
+# q_chisq_independence, q_time_weighted_avg, q_lttb_downsample,
+# q_seasonal_decompose — all full-oracle, locally parity-green
 # at sf0.01 AND sf0.001 on a vanilla driver-style session) plus any
 # later round-6 registrations past this window, in registration order;
 # then (b) stalest regrades by last-graded round -- after this round
@@ -182,5 +184,6 @@ def load_all() -> None:
     from elric_rs_spark.operators import graph  # noqa: F401  weighted PageRank
     from elric_rs_spark.operators import layout  # noqa: F401  z-order / HRW sharding
     from elric_rs_spark.operators import mining  # noqa: F401  markov / assoc rules / attribution
+    from elric_rs_spark.operators import timeseries  # noqa: F401  TWAP / LTTB / seasonal
 
     _apply_grading_order()
