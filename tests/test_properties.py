@@ -788,3 +788,129 @@ def test_join_bloom_no_false_negatives(spark):
     assert 0 < r.n_bits0 <= min(BLOOM_M, r.n_dim_keys)
     assert 0 < r.n_bits1 <= min(BLOOM_M, r.n_dim_keys)
     assert r.n_prefilter_pass <= r.n_fact_rows
+
+
+def test_sketch_intersect_tracks_exact(spark):
+    """Theta-intersection contracts: retained commons bounded by K,
+    theta within the 2^52 hash space, estimate within a generous
+    KMV-error band of the exact audit column when saturated."""
+    from elric_rs_spark import registry
+    from elric_rs_spark.operators.aggregates import KMV_K, _KMV_FULL
+
+    registry.load_all()
+    rows = registry.QUERIES["q_sketch_intersect"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 3  # (A,N) (A,R) (N,R)
+    for r in rows:
+        assert 0 <= r.n_common <= KMV_K
+        assert 0 < r.theta_v <= _KMV_FULL
+        assert r.est_intersect >= 0
+        if r.theta_v < _KMV_FULL and r.n_exact > 0:
+            # saturated sketches: est within a loose 1/sqrt(K) band
+            assert 0.3 * r.n_exact <= r.est_intersect <= 3.0 * r.n_exact, (
+                r.flag_a,
+                r.flag_b,
+                r.est_intersect,
+                r.n_exact,
+            )
+
+
+def test_chisq_cells_partition_corpus(spark):
+    """Chi-square contracts: the 6 cells partition lineitem exactly,
+    marginals are consistent, and every contribution is non-negative."""
+    from elric_rs_spark import registry
+    from elric_rs_spark.tables import load_table
+
+    registry.load_all()
+    rows = registry.QUERIES["q_chisq_independence"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 6
+    n_total = load_table(spark, "/root/testdata/sf0.01", "lineitem").count()
+    assert sum(r.n for r in rows) == n_total
+    for r in rows:
+        assert r.chi2_term >= 0
+        assert r.n <= min(r.r_tot, r.c_tot)
+    # each row marginal equals the sum of its cells
+    from collections import defaultdict
+
+    by_rf = defaultdict(int)
+    for r in rows:
+        by_rf[r.rf] += r.n
+    for r in rows:
+        assert by_rf[r.rf] == r.r_tot
+
+
+def test_twap_bounded_by_value_range(spark):
+    """TWAP is a convex combination of the user's held values: it must
+    lie within [min cents, max cents] of that user's events (excluding
+    the final event, which holds no interval)."""
+    from pyspark.sql import functions as F
+
+    from elric_rs_spark import registry
+    from elric_rs_spark.tables import load_table
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+    rows = registry.QUERIES["q_time_weighted_avg"](spark, sf).collect()
+    assert rows
+    ev = load_table(spark, sf, "events")
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.min(F.round(F.col("value") * 100).cast("long")).alias("lo"),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("hi"),
+        )
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[r.user_id]
+        assert lo <= r.twap_cents <= hi, (r.user_id, r.twap_cents, lo, hi)
+        assert r.total_us > 0
+
+
+def test_lttb_pins_endpoints_and_buckets(spark):
+    """LTTB contracts: one point per non-empty bucket in increasing
+    order, global first/last days pinned, and every selected point is a
+    genuine row of the daily series."""
+    from pyspark.sql import functions as F
+
+    from elric_rs_spark import registry
+    from elric_rs_spark.tables import load_table
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+    rows = registry.QUERIES["q_lttb_downsample"](spark, sf).collect()
+    buckets = [r.bucket for r in rows]
+    assert buckets == sorted(set(buckets))
+    o = load_table(spark, sf, "orders")
+    daily = {
+        r.day: r.v
+        for r in o.groupBy(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+        )
+        .agg(F.sum(F.round("o_totalprice").cast("long")).alias("v"))
+        .collect()
+    }
+    assert rows[0].day == min(daily)
+    assert rows[-1].day == max(daily)
+    for r in rows:
+        assert daily[r.day] == r.v_dollars
+
+
+def test_seasonal_indexes_average_to_one(spark):
+    """Seasonal contracts: 7 ISO weekdays, interior day count = span-6,
+    and the n_days-weighted mean of the seasonal indexes is 1 (the
+    decomposition conserves total revenue)."""
+    from elric_rs_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["q_seasonal_decompose"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert [r.dow for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    n_all = sum(r.n_days for r in rows)
+    weighted = sum(r.seasonal_index * r.n_days for r in rows)
+    assert abs(weighted / n_all - 1.0) < 1e-4
