@@ -129,6 +129,17 @@ HEADLINE = [
     "q_shard_rendezvous",
     "q_scd2_history",
     "q_keyword_textrank",
+    # round-6 wave-5 appends (same contract)
+    "q_markov_transitions",
+    "q_assoc_rules",
+    "q_attribution",
+    "q_join_bloom",
+    # round-6 wave-6 appends (same contract)
+    "q_sketch_intersect",
+    "q_chisq_independence",
+    "q_time_weighted_avg",
+    "q_lttb_downsample",
+    "q_seasonal_decompose",
 ]
 
 
