@@ -140,6 +140,8 @@ HEADLINE = [
     "q_time_weighted_avg",
     "q_lttb_downsample",
     "q_seasonal_decompose",
+    # round-6 wave-7 append (same contract)
+    "q_topk_sharded",
 ]
 
 

@@ -72,9 +72,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # q_keyword_textrank, q_markov_transitions, q_assoc_rules,
 # q_attribution, q_join_bloom, q_sketch_intersect,
 # q_chisq_independence, q_time_weighted_avg, q_lttb_downsample,
-# q_seasonal_decompose — all full-oracle, locally parity-green
-# at sf0.01 AND sf0.001 on a vanilla driver-style session) plus any
-# later round-6 registrations past this window, in registration order;
+# q_seasonal_decompose, q_topk_sharded — all full-oracle, locally
+# parity-green at sf0.01 AND sf0.001 on a vanilla driver-style
+# session) plus any later round-6 registrations past this window, in
+# registration order;
 # then (b) stalest regrades by last-graded round -- after this round
 # that means the remaining round-3 cohort (q_subquery_scalar,
 # q_subquery_bigorders, q_subquery_idlerich, q_distinct, q_topk,

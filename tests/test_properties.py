@@ -914,3 +914,38 @@ def test_seasonal_indexes_average_to_one(spark):
     n_all = sum(r.n_days for r in rows)
     weighted = sum(r.seasonal_index * r.n_days for r in rows)
     assert abs(weighted / n_all - 1.0) < 1e-4
+
+
+def test_topk_sharded_bounds_contain_truth(spark):
+    """TPUT contracts: for every output row the exact per-customer
+    total lies inside [lo_cents, hi_cents]; bounds are ordered; shard
+    visibility is within range; and rows retained in ALL shards have
+    an exact lower bound (lo == truth)."""
+    from pyspark.sql import functions as F
+
+    from elric_rs_spark import registry
+    from elric_rs_spark.operators.setops import TOPK_K, TOPK_SHARDS
+    from elric_rs_spark.tables import load_table
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+    rows = registry.QUERIES["q_topk_sharded"](spark, sf).collect()
+    assert len(rows) == TOPK_K
+    o = load_table(spark, sf, "orders")
+    truth = {
+        r.cust: r.total
+        for r in o.groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total"))
+        .collect()
+    }
+    for r in rows:
+        assert r.lo_cents <= truth[r.cust] <= r.hi_cents, (
+            r.cust,
+            r.lo_cents,
+            truth[r.cust],
+            r.hi_cents,
+        )
+        assert 1 <= r.n_shards_seen <= TOPK_SHARDS
+        assert r.proven in (0, 1)
+        if r.n_shards_seen == TOPK_SHARDS:
+            assert r.lo_cents == truth[r.cust]
