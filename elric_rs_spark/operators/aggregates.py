@@ -149,6 +149,45 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # positive. Fewer than K distincts => the sketch IS the exact count.
 KMV_K = 64
 _KMV_NUM = (KMV_K - 1) * (1 << 52)
+# Salt fan-out for the two-level bottom-K build. The naive build --
+# Window.partitionBy(<3-value key>).orderBy(h) over the full distinct-hash
+# set -- shuffles every hash to |key| tasks, each sorting the corpus
+# single-threaded. The KMV merge property (bottom-K of a union of
+# bottom-Ks == bottom-K of the union; pinned independently of both
+# engines in TestSketchUnionMergeProperty and TestKmvTwoLevelBuild) makes
+# the scalable build trivial: salt each hash into (key, pmod(xxhash64(h),
+# S)) groups, take the LOCAL bottom-K per salt (key x S parallel groups,
+# each sorting ~1/S of the key's hashes; Spark 4's WindowGroupLimit
+# additionally caps each map-side input at K rows before the exchange),
+# then merge the K x S survivors per key with a second, sketch-sized
+# window. Output rows are IDENTICAL to the single-window build, so the
+# DuckDB oracles keep the simple one-window formulation.
+KMV_SALTS = 32
+
+
+def _kmv_bottom_k(hashes: DataFrame, key_cols: list[str], k: int = KMV_K) -> DataFrame:
+    """Two-level (salted) bottom-K per key over a distinct-hash set.
+
+    `hashes` must carry the key columns plus a hash column `h` that is
+    unique within each key group (the callers all feed a .distinct()
+    projection, so row_number ties cannot occur and the merge is exact).
+    Returns the bottom-k rows per key with the same schema as the input.
+    """
+    w_local = Window.partitionBy(*key_cols, "kmv_salt").orderBy("h")
+    local = (
+        hashes.withColumn(
+            "kmv_salt", F.pmod(F.xxhash64(F.col("h")), F.lit(KMV_SALTS))
+        )
+        .withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "kmv_salt")
+    )
+    w_merge = Window.partitionBy(*key_cols).orderBy("h")
+    return (
+        local.withColumn("rn", F.row_number().over(w_merge))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
 # substring(kth_hash, i, 1) as a hex digit, times its positional weight —
 # all INTEGER LITERALS so DuckDB never leaves BIGINT (16^j as a double is
 # exact only to 2^53; the sum here reaches 2^52 by design, too close)
@@ -189,20 +228,19 @@ def q_agg_approx_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shuffle); this twin costs one md5-distinct shuffle and
     exists so the sketch family has a driver-gradable full oracle.
 
-    Scale shape: the only shuffle keys on the md5 hash — perfectly
+    Scale shape: the distinct shuffle keys on the md5 hash — perfectly
     uniform even when the NATURAL key is skewed, which is already safer
-    than exact countDistinct on a hot key. The per-group bottom-K runs
-    as a sort-based window that spills; K rows per group leave the
-    stage. Estimator arithmetic is driver-free and exact (see module
+    than exact countDistinct on a hot key. The bottom-K build is the
+    salted two-level _kmv_bottom_k: local bottom-K over (flag, salt)
+    groups — |flags| x KMV_SALTS parallel sorts, never a corpus sort on
+    a 3-task key — then a merge window over K x S sketch-sized rows.
+    Estimator arithmetic is driver-free and exact (see module
     comment)."""
     li = load_table(spark, sf_dir, "lineitem")
     hashes = li.select(
         "l_returnflag", F.md5(F.col("l_orderkey").cast("string")).alias("h")
     ).distinct()
-    w = Window.partitionBy("l_returnflag").orderBy("h")
-    bottom = hashes.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= KMV_K
-    )
+    bottom = _kmv_bottom_k(hashes, ["l_returnflag"])
     agg = bottom.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("k_used"),
         F.max("h").alias("kth_hash"),
@@ -995,19 +1033,16 @@ def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Merge correctness (bottom-K of a union of bottom-Ks == bottom-K of
     the union) is pinned by a property test against the direct global
-    sketch. Scale shape: one hash-distinct shuffle, per-group windows
-    over K rows each, and a merge stage whose input is K x groups rows
-    — the global window runs over a sketch-sized set, not the corpus."""
+    sketch — and the BUILD now uses the same property internally: the
+    salted two-level _kmv_bottom_k replaces the 3-task corpus-sort
+    window. Scale shape: one hash-distinct shuffle, flags x KMV_SALTS
+    parallel local bottom-Ks, and every stage after it runs over
+    sketch-sized (K x groups) rows, not the corpus."""
     li = load_table(spark, sf_dir, "lineitem")
     hashes = li.select(
         "l_returnflag", F.md5(F.col("l_orderkey").cast("string")).alias("h")
     ).distinct()
-    w = Window.partitionBy("l_returnflag").orderBy("h")
-    kept = (
-        hashes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KMV_K)
-        .drop("rn")
-    )
+    kept = _kmv_bottom_k(hashes, ["l_returnflag"])
     per_group = kept.groupBy(F.col("l_returnflag").alias("scope")).agg(
         F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth_hash")
     )
@@ -1176,33 +1211,30 @@ thr AS (
               ELSE ({_hex13_sql("max(h)")}) END AS v_thr
   FROM kept GROUP BY flag
 ),
+pairs AS (
+  SELECT ta.flag AS flag_a, tb.flag AS flag_b,
+         least(ta.v_thr, tb.v_thr) AS theta_v
+  FROM thr ta JOIN thr tb ON ta.flag < tb.flag
+),
 common AS (
   SELECT a.flag AS flag_a, b.flag AS flag_b, a.h,
          ({_hex13_sql("a.h")}) AS vh
   FROM kept a JOIN kept b ON a.h = b.h AND a.flag < b.flag
 ),
-pair AS (
-  SELECT c.flag_a, c.flag_b,
-         least(ta.v_thr, tb.v_thr) AS theta_v,
-         CAST(count(*) FILTER (WHERE c.vh < least(ta.v_thr, tb.v_thr))
-              AS BIGINT) AS n_common
-  FROM common c
-  JOIN thr ta ON c.flag_a = ta.flag
-  JOIN thr tb ON c.flag_b = tb.flag
-  GROUP BY c.flag_a, c.flag_b, least(ta.v_thr, tb.v_thr)
-),
-exact AS (
-  SELECT a.flag AS flag_a, b.flag AS flag_b,
-         CAST(count(*) AS BIGINT) AS n_exact
-  FROM hashes a JOIN hashes b ON a.h = b.h AND a.flag < b.flag
-  GROUP BY a.flag, b.flag
+stats AS (
+  SELECT p.flag_a, p.flag_b,
+         CAST(count(*) FILTER (WHERE c.vh < p.theta_v) AS BIGINT) AS n_common
+  FROM pairs p JOIN common c
+    ON p.flag_a = c.flag_a AND p.flag_b = c.flag_b
+  GROUP BY p.flag_a, p.flag_b
 )
-SELECT p.flag_a, p.flag_b, p.n_common, p.theta_v,
-       CAST(p.n_common * {_KMV_FULL} // p.theta_v AS BIGINT)
-         AS est_intersect,
-       e.n_exact
-FROM pair p JOIN exact e
-  ON p.flag_a = e.flag_a AND p.flag_b = e.flag_b
+SELECT p.flag_a, p.flag_b,
+       CAST(coalesce(s.n_common, 0) AS BIGINT) AS n_common,
+       p.theta_v,
+       CAST(coalesce(s.n_common, 0) * {_KMV_FULL} // p.theta_v AS BIGINT)
+         AS est_intersect
+FROM pairs p LEFT JOIN stats s
+  ON p.flag_a = s.flag_a AND p.flag_b = s.flag_b
 ORDER BY p.flag_a, p.flag_b
 """,
 )
@@ -1217,21 +1249,22 @@ def q_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     — then the estimate degrades gracefully to the exact common count —
     else the kth retained hash value; the pair estimate is
     n_common_below_theta * 2^52 div min(theta), all positive BIGINT so
-    Spark's `div` == DuckDB's `//`. n_exact is the eval audit column
-    (the corpus rescan a production run would skip); at 100 TB the
-    estimator consumes only the 3 x K retained hashes, shipped from
-    1000 shards exactly like the q_sketch_union merge."""
+    Spark's `div` == DuckDB's `//`. The output universe is the full
+    flag-pair cross product (|flags| choose 2, from the broadcast-sized
+    threshold table), so a pair whose sketches share zero retained
+    hashes still emits an honest est_intersect = 0 row instead of
+    silently vanishing. The exact-intersection audit lives in the test
+    suite (test_properties.test_sketch_intersect_tracks_exact), NOT
+    here: the shipped estimator is sketch-sized end-to-end — after the
+    one distinct-hash shuffle and the salted two-level bottom-K build
+    (_kmv_bottom_k), every join input is at most |flags| x K rows,
+    shipped from 1000 shards exactly like the q_sketch_union merge."""
     li = load_table(spark, sf_dir, "lineitem")
     hashes = li.select(
         F.col("l_returnflag").alias("flag"),
         F.md5(F.col("l_orderkey").cast("string")).alias("h"),
     ).distinct()
-    w = Window.partitionBy("flag").orderBy("h")
-    kept = (
-        hashes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KMV_K)
-        .drop("rn")
-    )
+    kept = _kmv_bottom_k(hashes, ["flag"])
     hex13 = lambda c: F.conv(F.substring(c, 1, 13), 16, 10).cast("long")  # noqa: E731
     thr = kept.groupBy("flag").agg(
         F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth")
@@ -1241,6 +1274,12 @@ def q_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(hex13(F.col("kth")))
         .alias("v_thr"),
     )
+    ta = thr.select(F.col("flag").alias("flag_a"), F.col("v_thr").alias("va"))
+    tb = thr.select(F.col("flag").alias("flag_b"), F.col("v_thr").alias("vb"))
+    pairs = (
+        ta.join(tb, F.col("flag_a") < F.col("flag_b"))
+        .select("flag_a", "flag_b", F.least("va", "vb").alias("theta_v"))
+    )
     a = kept.select(F.col("flag").alias("flag_a"), "h")
     b = kept.select(F.col("flag").alias("flag_b"), "h")
     common = (
@@ -1248,34 +1287,23 @@ def q_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("flag_a") < F.col("flag_b"))
         .withColumn("vh", hex13(F.col("h")))
     )
-    ta = F.broadcast(thr.select(F.col("flag").alias("flag_a"), F.col("v_thr").alias("va")))
-    tb = F.broadcast(thr.select(F.col("flag").alias("flag_b"), F.col("v_thr").alias("vb")))
-    pair = (
-        common.join(ta, "flag_a")
-        .join(tb, "flag_b")
-        .withColumn("theta_v", F.least("va", "vb"))
-        .groupBy("flag_a", "flag_b", "theta_v")
+    stats = (
+        common.join(F.broadcast(pairs), ["flag_a", "flag_b"])
+        .groupBy("flag_a", "flag_b")
         .agg(
             F.count(F.when(F.col("vh") < F.col("theta_v"), 1)).alias("n_common")
         )
     )
-    ha = hashes.select(F.col("flag").alias("flag_a"), "h")
-    hb = hashes.select(F.col("flag").alias("flag_b"), "h")
-    exact = (
-        ha.join(hb, "h")
-        .filter(F.col("flag_a") < F.col("flag_b"))
-        .groupBy("flag_a", "flag_b")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-    )
     return (
-        pair.join(exact, ["flag_a", "flag_b"])
+        pairs.join(stats, ["flag_a", "flag_b"], "left")
         .select(
             "flag_a",
             "flag_b",
-            "n_common",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
             "theta_v",
-            F.expr(f"n_common * {_KMV_FULL} div theta_v").alias("est_intersect"),
-            "n_exact",
+            F.expr(
+                f"coalesce(n_common, 0) * {_KMV_FULL} div theta_v"
+            ).alias("est_intersect"),
         )
         .orderBy("flag_a", "flag_b")
     )

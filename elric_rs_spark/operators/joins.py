@@ -840,9 +840,10 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     point vs broadcasting the key set), so both semi-joins broadcast by
     construction; the fact side is pruned scan-locally (md5 + integer
     mixing in whole-stage codegen, then two broadcast semi-joins — no
-    shuffle) before the exact key membership check. At 100 TB with a
-    1% dim selectivity this drops ~99% of fact rows before the join
-    exchange; AQE's runtime bloom filter
+    shuffle) before the exact key membership check. At this operator's
+    configured ~10% dim selectivity (BLOOM_PRICE_MIN ~ p90) it drops
+    ~90% of fact rows before the join exchange — and proportionally
+    more under tighter dim filters; AQE's runtime bloom filter
     (spark.sql.optimizer.runtime.bloomFilter.enabled) is the implicit
     form of the same plan, and this md5-portable variant is what the
     engine uses when the filter must be persisted or replayed

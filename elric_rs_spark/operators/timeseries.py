@@ -49,6 +49,7 @@ SELECT user_id,
 FROM u
 GROUP BY user_id
 HAVING count(*) >= 2
+   AND sum(next_us - t_us) FILTER (WHERE next_us IS NOT NULL) > 0
 ORDER BY user_id
 """,
 )
@@ -66,7 +67,9 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^63 for any per-entity span below ~2.9M value-days) and the
     single division rounds to 6dp identically on both engines.
     Single-event users carry no holding interval and are dropped by
-    the HAVING on both sides."""
+    the HAVING on both sides; so are users whose every event shares
+    one timestamp (total_us = 0 — a 0/0 twap is meaningless and NaN
+    != NaN would trip float parity; ADVICE r06)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     u = ev.select(
@@ -83,7 +86,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dur).alias("total_us"),
             F.sum(F.col("cents") * dur).alias("weighted"),
         )
-        .filter(F.col("n_events") >= 2)
+        .filter((F.col("n_events") >= 2) & (F.col("total_us") > 0))
         .select(
             "user_id",
             "n_events",

@@ -449,3 +449,71 @@ class TestCurationRound4Plans:
         for name in ("q_sim_ivf_portable", "q_sim_ivf_curve", "q_sim_ivfpq"):
             QUERIES[name](spark, SF_DIR).collect()
         assert similarity._PIVF_CELLDOTS_BUILDS == before + 1
+
+
+class TestKmvTwoLevelPlan:
+    """The KMV sketch family's bottom-K BUILD must be the salted
+    two-level shape (VERDICT r06 #2): the corpus-sized exchange
+    partitions on (key, kmv_salt) — |key| x KMV_SALTS parallel groups —
+    with a map-side WindowGroupLimit capping every input partition at K
+    rows BEFORE it ships; only the sketch-sized merge window may
+    partition on the low-cardinality key alone. A regression back to
+    Window.partitionBy(<3-value key>) over the distinct-hash set fails
+    the last-exchange assert: that shape sorts the corpus on 3 tasks at
+    100 TB."""
+
+    @pytest.mark.parametrize(
+        "name",
+        ["q_agg_approx_portable", "q_sketch_union", "q_sketch_intersect"],
+    )
+    def test_corpus_exchange_is_salted(self, spark, name):
+        plan = physical_plan(QUERIES[name](spark, SF_DIR))
+        lines = plan.splitlines()
+        assert "kmv_salt" in plan, f"{name}: salted local bottom-K missing"
+        # plans print top-down (root first), so DEEPER = LARGER index.
+        # Exchanges on the low-cardinality key ALONE (one partition
+        # column — the 3-task corpus-sort shape) are only legal ABOVE
+        # the salted exchange, where they consume the K x S merge set;
+        # the distinct() exchange on (key, h) is fine (uniform on h).
+        def n_part_cols(ln: str) -> int:
+            inner = ln.split("hashpartitioning(", 1)[1].rsplit(")", 1)[0]
+            return inner.count(",")  # cols = commas (last arg = numParts)
+
+        def depth(ln: str) -> int:
+            for marker in ("+- ", ":- "):
+                if marker in ln:
+                    return ln.index(marker)
+            return -1  # root line
+
+        assert any(
+            "Exchange hashpartitioning" in ln and "kmv_salt" in ln
+            for ln in lines
+        ), f"{name}: no salted (key, kmv_salt) exchange"
+        # every key-only single-column exchange whose subtree reaches a
+        # parquet scan must pass through the salted build on the way —
+        # i.e. it consumes the K x S merge set, never the raw corpus
+        for i, ln in enumerate(lines):
+            if (
+                "Exchange hashpartitioning" not in ln
+                or "kmv_salt" in ln
+                or n_part_cols(ln) != 1
+            ):
+                continue
+            d = depth(ln)
+            subtree = []
+            for nxt in lines[i + 1 :]:
+                nd = depth(nxt)
+                if 0 <= nd <= d:
+                    break
+                subtree.append(nxt)
+            sub = "\n".join(subtree)
+            if "Scan parquet" in sub or "FileScan" in sub:
+                assert "kmv_salt" in sub, (
+                    f"{name}: key-only exchange consumes the corpus "
+                    "without a salted bottom-K in between:\n" + ln
+                )
+        # map-side cap: a Partial WindowGroupLimit on the salted key set
+        assert any(
+            "WindowGroupLimit" in ln and "kmv_salt" in ln and "Partial" in ln
+            for ln in lines
+        ), f"{name}: no map-side bottom-K cap before the salted exchange"

@@ -793,27 +793,54 @@ def test_join_bloom_no_false_negatives(spark):
 def test_sketch_intersect_tracks_exact(spark):
     """Theta-intersection contracts: retained commons bounded by K,
     theta within the 2^52 hash space, estimate within a generous
-    KMV-error band of the exact audit column when saturated."""
+    KMV-error band of the exact intersection. The exact audit is
+    computed HERE (test-only, gate-scale corpus rescan) — the shipped
+    query is sketch-sized end-to-end and no longer carries the corpus
+    self-join as an output column (VERDICT r06 #3)."""
+    from pyspark.sql import functions as F
+
     from elric_rs_spark import registry
     from elric_rs_spark.operators.aggregates import KMV_K, _KMV_FULL
+    from elric_rs_spark.tables import load_table
 
     registry.load_all()
-    rows = registry.QUERIES["q_sketch_intersect"](
-        spark, "/root/testdata/sf0.01"
-    ).collect()
+    sf = "/root/testdata/sf0.01"
+    rows = registry.QUERIES["q_sketch_intersect"](spark, sf).collect()
     assert len(rows) == 3  # (A,N) (A,R) (N,R)
+    # exact pairwise intersections, computed once over the raw table
+    li = load_table(spark, sf, "lineitem")
+    flags = li.select(
+        F.col("l_returnflag").alias("flag"), F.col("l_orderkey").alias("k")
+    ).distinct()
+    exact = {
+        (r.flag_a, r.flag_b): r.n_exact
+        for r in (
+            flags.alias("a")
+            .join(flags.alias("b"), F.col("a.k") == F.col("b.k"))
+            .filter(F.col("a.flag") < F.col("b.flag"))
+            .groupBy(
+                F.col("a.flag").alias("flag_a"), F.col("b.flag").alias("flag_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .collect()
+        )
+    }
     for r in rows:
         assert 0 <= r.n_common <= KMV_K
         assert 0 < r.theta_v <= _KMV_FULL
         assert r.est_intersect >= 0
-        if r.theta_v < _KMV_FULL and r.n_exact > 0:
+        n_exact = exact.get((r.flag_a, r.flag_b), 0)
+        if r.theta_v < _KMV_FULL and n_exact > 0:
             # saturated sketches: est within a loose 1/sqrt(K) band
-            assert 0.3 * r.n_exact <= r.est_intersect <= 3.0 * r.n_exact, (
+            assert 0.3 * n_exact <= r.est_intersect <= 3.0 * n_exact, (
                 r.flag_a,
                 r.flag_b,
                 r.est_intersect,
-                r.n_exact,
+                n_exact,
             )
+        if n_exact == 0:
+            # zero-overlap pairs must still emit an honest zero row
+            assert r.n_common == 0 and r.est_intersect == 0
 
 
 def test_chisq_cells_partition_corpus(spark):

@@ -31,21 +31,23 @@ def test_registry_iteration_leads_with_grading_order():
     assert ordered[:n] == registry.GRADING_ORDER
 
 
-def test_first_50_covers_never_graded_round5_additions():
-    """The round-6 grading window must contain every query without a
-    green driver row in ANY round (VERDICT r05 next-round #1 — the 16
-    round-5 additions that registered past the round-5 window), and
+def test_first_50_covers_never_graded_round6_additions():
+    """The round-7 grading window must contain every query without a
+    green driver row in ANY round (VERDICT r06 next-round #1 — the 27
+    round-6 additions that registered past the round-6 window), and
     every slot must be oracle-backed (no slots on rows-only keys; their
     value contracts are carried by graded portable twins)."""
     front = list(registry.QUERIES)[:50]
     must_grade = {
-        "q_top_supplier", "q_sketch_union", "q_sketch_quantile",
-        "q_join_asof_forward", "q_pack_padding", "q_token_pretokenize",
-        "q_winnow_fingerprint", "q_dedup_winnow",
-        "q_sim_ivf_trained_portable", "q_mmr_diversify",
-        "q_dedup_embed_lsh_portable", "q_dedup_cross_source",
-        "q_quality_logit", "q_quality_calibration",
-        "q_token_budget_mix", "q_curation_v3",
+        "q_sketch_intersect", "q_chisq_independence", "q_join_bloom",
+        "q_scd2_history", "q_sample_priority", "q_topk_sharded",
+        "q_entropy_filter", "q_lm_bigram", "q_bpe_learn", "q_bpe_apply",
+        "q_keyword_textrank", "q_sim_pq_search", "q_sim_ivfpq",
+        "q_embed_rp", "q_dedup_bloom", "q_dedup_recall_eval",
+        "q_nucleus_curation", "q_graph_kcore", "q_graph_linkpred",
+        "q_zorder_layout", "q_shard_rendezvous", "q_markov_transitions",
+        "q_assoc_rules", "q_attribution", "q_time_weighted_avg",
+        "q_lttb_downsample", "q_seasonal_decompose",
     }
     evicted = must_grade - set(front)
     assert not evicted, f"evicted from the 50-query grading window: {evicted}"
