@@ -735,7 +735,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Bloom-filter join reduction (portable, auditable) ----------------
 #
 # An explicit relational Bloom filter: hash the (filtered) dim side's
-# join keys into a fixed m = 2^16 bucket space with k = 2 independent
+# join keys into a fixed m = 2^20 bucket space with k = 2 independent
 # Carter-Wegman mixes of md5-derived halves (the dedup.py portable-hash
 # idiom), keep the DISTINCT bucket sets (each bounded at m rows no
 # matter how large the dim side grows — unlike broadcasting the key set
@@ -746,7 +746,15 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replays the identical integer arithmetic) and auditable — the query
 # RESULT is the audit row proving how many fact rows the filter passed
 # and how many of those were false positives.
-BLOOM_M = 1 << 16
+# m sizing: the round-7 third decade caught 2^16 SATURATING at sf3
+# (448,710 dim keys -> n_bits 65,455/65,536 = 99.9% full, prefilter
+# passing 99.8% of 18M fact rows — the pass-rate GROWS with scale, so
+# the downstream exact semi-join's shuffle input grows superlinearly
+# until saturation). 2^20 holds fill <= ~35% through sf3 (FPR ~12%)
+# and the DISTINCT position broadcasts stay <= ~4 MB; at 100 TB keep
+# sizing m ~2-4 bits per expected dim key (DEPLOY.md lever) — the
+# audit row's n_false_pos / n_prefilter_pass is the live fill signal.
+BLOOM_M = 1 << 20
 BLOOM_P = 2_147_483_647  # 2^31 - 1, the dedup.py Carter-Wegman modulus
 BLOOM_MIX = ((1_103_515_245, 12_345, 1), (2_654_435_761, 40_503, 97))
 BLOOM_PRICE_MIN = 450_000.0  # ~p90 of o_totalprice: ~10% dim selectivity
@@ -830,13 +838,13 @@ SELECT
 )
 def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join reduction, as a one-row audit: pre-filter the
-    fact side against a 2^16-bucket / 2-hash Bloom filter built from
+    fact side against a 2^20-bucket / 2-hash Bloom filter built from
     the high-value-order keys, then count how many fact rows the filter
     passed vs how many truly join — the false-positive overhead the
     reduction trades for never shuffling unmatched fact rows.
 
     Scale shape: the two DISTINCT position sets are bounded at
-    m = 65,536 rows EACH no matter how many dim keys exist (the whole
+    m = 1,048,576 rows EACH no matter how many dim keys exist (the whole
     point vs broadcasting the key set), so both semi-joins broadcast by
     construction; the fact side is pruned scan-locally (md5 + integer
     mixing in whole-stage codegen, then two broadcast semi-joins — no

@@ -765,7 +765,7 @@ def test_attribution_conserves_revenue(spark):
 def test_join_bloom_no_false_negatives(spark):
     """Bloom-join contracts: the prefilter NEVER drops a true match
     (n_matched == exact semijoin count), false positives are
-    non-negative, and the bit sets respect the m = 2^16 space."""
+    non-negative, and the bit sets respect the m = 2^20 space."""
     from pyspark.sql import functions as F
 
     from elric_rs_spark import registry

@@ -29,6 +29,7 @@ import os
 import subprocess
 import sys
 import tempfile
+import time
 
 
 def run_bench(sf_dir: str, queries: str | None = None) -> dict:
@@ -47,12 +48,42 @@ def run_bench(sf_dir: str, queries: str | None = None) -> dict:
         return json.loads(out.read().strip().splitlines()[-1])
 
 
+def run_bench_isolated(sf_dir: str, queries: str, settle: int = 15) -> dict:
+    """One fresh bench.py JVM PER QUERY, with a settle pause between.
+
+    The round-7 sf3 hunt measured the same query at 73.4 s inside a
+    15-query shared-JVM suite vs 10.6 s in a fresh JVM (same code, same
+    scale, same warmup, idle box): a long single-JVM suite at the big
+    scale accumulates heap/GC state that inflates heavy slots and FAKES
+    super-linear decade ratios. Shared-JVM mode stays the cheap default
+    for triage; confirm any SUPERLINEAR flag with --isolate before
+    treating it as a plan bug (q_join_bloom's 2^16 saturation was real
+    and survived isolation; three other flags that round did not)."""
+    merged: dict = {}
+    for q in [s.strip() for s in queries.split(",") if s.strip()]:
+        r = run_bench(sf_dir, q)
+        merged.setdefault("queries", {}).update(r["queries"])
+        for k in ("metric", "unit", "sf"):
+            merged[k] = r[k]
+        time.sleep(settle)
+    merged["value"] = round(sum(merged["queries"].values()), 3)
+    return merged
+
+
 def main() -> None:
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    big = sys.argv[2] if len(sys.argv) > 2 else ".scratch/sf1"
-    queries = sys.argv[3] if len(sys.argv) > 3 else None
-    a = run_bench(small, queries)
-    b = run_bench(big, queries)
+    args = [a for a in sys.argv[1:] if a != "--isolate"]
+    isolate = "--isolate" in sys.argv[1:]
+    small = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    big = args[1] if len(args) > 1 else ".scratch/sf1"
+    queries = args[2] if len(args) > 2 else None
+    if isolate:
+        if not queries:
+            raise SystemExit("--isolate requires an explicit query list")
+        a = run_bench_isolated(small, queries)
+        b = run_bench_isolated(big, queries)
+    else:
+        a = run_bench(small, queries)
+        b = run_bench(big, queries)
     # decade-normalization exponent from the sf tags (e.g. sf1->sf3 is a
     # 3x step: per-decade-equiv = ratio ** (1/log10(3)) ~= ratio**2.1)
     try:
