@@ -864,6 +864,14 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits0 = dp.select("pos0").distinct()
     bits1 = dp.select("pos1").distinct()
     fp = _bloom_positions(li.select("l_orderkey"), "l_orderkey")
+    # Branch shape deliberately kept as THREE column-pruned fact scans
+    # (n_fact_rows / n_prefilter_pass / n_matched): a round-7 experiment
+    # replaced them with one scan carrying the dim table as a full-width
+    # LEFT join and measured 3.3x SLOWER at sf1 — the unfiltered dim
+    # join shuffles every fact row, where this shape's semi-join only
+    # sees the ~2% the broadcast prefilter passes. Column-pruned scans
+    # are embarrassingly parallel; shuffles are the scarce resource at
+    # 100 TB. Scans stay scan-local + broadcast-joined, no exchange.
     passed = fp.join(broadcast(bits0), "pos0", "left_semi").join(
         broadcast(bits1), "pos1", "left_semi"
     )
