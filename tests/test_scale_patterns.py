@@ -2710,3 +2710,48 @@ class TestMinwiseFamilyIndependence:
             f"candidate inflation: {int(stats['pairs'])} candidates for "
             f"{n_verified} verified pairs"
         )
+
+
+class TestSketchIntersectZeroOverlap:
+    """q_sketch_intersect on a planted corpus where two flag populations
+    are DISJOINT: the (A, B) pair must still emit a row with n_common =
+    0 / est_intersect = 0 (the ADVICE r06 unrepresentable-zero fix —
+    the pair universe is the flag cross product, not the join hits),
+    while the overlapping (A, C) pair estimates exactly (unsaturated
+    sketches degrade to the exact common count)."""
+
+    def test_disjoint_pair_emits_zero_row(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.aggregates import q_sketch_intersect
+
+        # A = {1..30}, B = {1001..1030} (disjoint from A and C),
+        # C = {1..10} (subset of A) — all under K=64 so every sketch is
+        # unsaturated and the theta estimate is exact by construction
+        keys, flags = [], []
+        for k in range(1, 31):
+            keys.append(k), flags.append("A")
+        for k in range(1001, 1031):
+            keys.append(k), flags.append("B")
+        for k in range(1, 11):
+            keys.append(k), flags.append("C")
+        tbl = pa.table(
+            {
+                "l_orderkey": pa.array(keys, pa.int64()),
+                "l_returnflag": pa.array(flags, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+        rows = {
+            (r["flag_a"], r["flag_b"]): r
+            for r in q_sketch_intersect(spark, str(tmp_path)).collect()
+        }
+        assert set(rows) == {("A", "B"), ("A", "C"), ("B", "C")}
+        assert rows[("A", "B")]["n_common"] == 0
+        assert rows[("A", "B")]["est_intersect"] == 0
+        assert rows[("B", "C")]["n_common"] == 0
+        assert rows[("B", "C")]["est_intersect"] == 0
+        # unsaturated sketches: estimate == exact intersection
+        assert rows[("A", "C")]["n_common"] == 10
+        assert rows[("A", "C")]["est_intersect"] == 10
