@@ -2755,3 +2755,142 @@ class TestSketchIntersectZeroOverlap:
         # unsaturated sketches: estimate == exact intersection
         assert rows[("A", "C")]["n_common"] == 10
         assert rows[("A", "C")]["est_intersect"] == 10
+
+
+class TestTputCertificateFires:
+    """q_topk_sharded's proven = 1 branch never executes on the uniform
+    TPC-H fixture (the docstring documents why); plant a Zipf-shaped
+    corpus where it MUST: a whale customer retained in every shard gets
+    an exact [lo, hi] (lo == hi == truth) that clears every other
+    candidate's upper bound, while one over-stuffed shard exercises the
+    nonzero threshold path (n_in_shard > M -> t_eff = min retained
+    partial)."""
+
+    def test_whale_is_proven(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.setops import (
+            TOPK_K,
+            TOPK_M,
+            TOPK_SHARDS,
+            q_topk_sharded,
+        )
+
+        orderkeys, custs, prices = [], [], []
+        # whale: one 10,000.00 order in EVERY shard -> retained in all
+        for s in range(TOPK_SHARDS):
+            orderkeys.append(s), custs.append(1), prices.append(10_000.0)
+        # stuff shard 0 past M with $10 customers -> threshold = 1000c
+        for i in range(TOPK_M + 5):
+            orderkeys.append(TOPK_SHARDS * (i + 1))  # == 0 mod shards
+            custs.append(100 + i)
+            prices.append(10.0)
+        # a few mid customers on other shards to fill the top-K output
+        for i in range(15):
+            orderkeys.append(TOPK_SHARDS * (i + 100) + 1 + i % (TOPK_SHARDS - 1))
+            custs.append(300 + i)
+            prices.append(20.0 + i)
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array(orderkeys, pa.int64()),
+                "o_custkey": pa.array(custs, pa.int64()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+        rows = q_topk_sharded(spark, str(tmp_path)).collect()
+        assert len(rows) == TOPK_K
+        whale = rows[0]
+        assert whale.cust == 1 and whale.rnk == 1
+        truth = TOPK_SHARDS * 1_000_000  # 8 x $10,000 in cents
+        assert whale.lo_cents == truth == whale.hi_cents
+        assert whale.n_shards_seen == TOPK_SHARDS
+        assert whale.proven == 1  # the certificate branch actually fires
+        # every other candidate's upper bound sits below the whale's lo
+        assert all(r.hi_cents < whale.lo_cents for r in rows[1:])
+
+
+class TestTwapZeroDurationDropped:
+    """q_time_weighted_avg's total_us > 0 gate (ADVICE r06 #1): a user
+    whose events all share one timestamp has zero holding time — a 0/0
+    twap — and must be dropped on BOTH engines, while a normal user's
+    LOCF weighting computes exactly."""
+
+    def test_same_timestamp_user_dropped(self, spark, tmp_path):
+        from datetime import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.timeseries import q_time_weighted_avg
+
+        t0 = datetime(2024, 1, 1, 12, 0, 0)
+        t1 = datetime(2024, 1, 1, 13, 0, 0)  # one hour later
+        rows = [
+            # user 1: three events, identical timestamp -> total_us = 0
+            (1, t0, 1, 5.0),
+            (2, t0, 1, 6.0),
+            (3, t0, 1, 7.0),
+            # user 2: 100.0 held for the full hour, 200.0 holds nothing
+            (4, t0, 2, 100.0),
+            (5, t1, 2, 200.0),
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["e"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        out = q_time_weighted_avg(spark, str(tmp_path)).collect()
+        assert [r.user_id for r in out] == [2]
+        r = out[0]
+        assert r.n_events == 2
+        assert r.total_us == 3_600_000_000
+        assert r.twap_cents == 10_000.0  # 100.00 held for 100% of time
+
+
+class TestKmvUnsaturatedBranch:
+    """The KMV estimator's k_used < K branch (est = exact retained
+    count, theta = 1) never executes at the gate scales — every TPC-H
+    flag has >> K distinct orders. Plant a corpus under K so the
+    unsaturated path runs: est_distinct must equal the true distinct
+    count exactly, per group AND for the merged ALL row."""
+
+    def test_small_groups_estimate_exactly(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.aggregates import (
+            KMV_K,
+            q_agg_approx_portable,
+            q_sketch_union,
+        )
+
+        # A: 10 distinct orders (with duplicates), B: 20 distinct
+        keys = list(range(10)) * 3 + list(range(100, 120))
+        flags = ["A"] * 30 + ["B"] * 20
+        assert len({k for k, f in zip(keys, flags) if f == "A"}) < KMV_K
+        tbl = pa.table(
+            {
+                "l_orderkey": pa.array(keys, pa.int64()),
+                "l_returnflag": pa.array(flags, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+        est = {
+            r.l_returnflag: (r.k_used, r.est_distinct)
+            for r in q_agg_approx_portable(spark, str(tmp_path)).collect()
+        }
+        assert est == {"A": (10, 10), "B": (20, 20)}
+        merged = {
+            r.scope: (r.k_used, r.est_distinct)
+            for r in q_sketch_union(spark, str(tmp_path)).collect()
+        }
+        # disjoint key ranges: the merged sketch holds all 30 hashes
+        assert merged["ALL"] == (30, 30)
