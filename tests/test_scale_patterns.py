@@ -2894,3 +2894,39 @@ class TestKmvUnsaturatedBranch:
         }
         # disjoint key ranges: the merged sketch holds all 30 hashes
         assert merged["ALL"] == (30, 30)
+
+
+class TestPrioritySamplingSmallCorpus:
+    """q_sample_priority's corpus <= k branch (DLT convention: tau = 0,
+    est_weight = the true weight) never executes on the fixtures —
+    documents always outnumber PRIO_K. Plant 5 docs: all must be
+    selected, tau contributes nothing, and every est_weight equals the
+    document's exact n_chars (the subset-sum estimator is exact when
+    nothing was left out)."""
+
+    def test_all_selected_exact_weights(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators.sampling import PRIO_K, q_sample_priority
+
+        n = 5
+        assert n <= PRIO_K
+        chars = [100, 2500, 40, 900, 12000]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["x" * c for c in chars], pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["crawl"] * n, pa.string()),
+                "n_chars": pa.array(chars, pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        rows = q_sample_priority(spark, str(tmp_path)).collect()
+        assert len(rows) == n  # the whole corpus is the sample
+        got = {r.doc_id: r.est_weight for r in rows}
+        assert got == {i: c for i, c in enumerate(chars)}
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+            range(1, n + 1)
+        )
