@@ -2030,10 +2030,16 @@ def q_sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: codebook (1,024 rows) and per-query LUTs
     (queries x 8 x 16 rows) broadcast — both bounded by PQ geometry,
-    not data; corpus codes join the LUT on (m, code) and the per-vector
-    ADC reduces map-side on (qid, vec_id); the final top-k is a
-    query-partitioned window over an aggregate-shrunk set. One corpus
-    shuffle total (the code aggregate), reused across all queries."""
+    not data. The corpus-proportional cost is the ENCODE, not the
+    search: the broadcast codebook join fans each component row out to
+    its K = 16 candidate codes before the (vec, m, code) SSE aggregate
+    — N x dims x K multiply-adds, map-side combined; that is the same
+    multiply count FAISS spends in BLAS for PQ encode, and it amortizes
+    across every later query because search touches only the 8-byte
+    codes (a broadcast-LUT join + map-side ADC reduce + query-
+    partitioned top-k window over an aggregate-shrunk set). At 100 TB
+    the codes are a stored table written once by the encode job; the
+    per-query cost is independent of vector width."""
     e = load_table(spark, sf_dir, "embeddings")
     comp = e.select(
         "vec_id",
