@@ -62,13 +62,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # later-round row. All 50 slots are full-oracle.
 # NO new registrations this round (VERDICT r06 #1: the window is
 # oversubscribed at exactly 50; a new key would re-open the never-graded
-# tail). Round-8 rotation plan (write-ahead, same discipline): (a) the
-# remaining 7 round-3 full-oracle keys (q_embed_centroid,
+# tail). Round-8 rotation plan (write-ahead, exact keys so execution is
+# mechanical; any round-7+ registrations go FIRST, displacing the tail):
+# (a) the remaining 7 round-3 full-oracle keys: q_embed_centroid,
 # q_multimodal_audio, q_multimodal_image, q_multimodal_resize,
-# q_curation_pipeline, q_decontaminate, q_domain_cap), then (b) the
-# round-4 cohort (50 keys -- takes the remaining 43 slots in
-# registration order, spilling its tail to round 9), then any round-7+
-# registrations interleaved ahead of the regrades.
+# q_curation_pipeline, q_decontaminate, q_domain_cap;
+# (b) 43 of the 48 stale round-4 full-oracle keys in registration
+# order: q_map_project, q_map_concat, q_map_explode, q_typed_cast,
+# q_cast_quarantine, q_source_scan, q_finality_filter, q_undo_drop,
+# q_agg_approx_portable, q_agg_argminmax, q_grouping_id, q_agg_corr,
+# q_pivot_sums, q_min_cost_supplier, q_supplier_cnt,
+# q_disjunctive_pred, q_gap_fill, q_rollup_multigrain, q_counter_rate,
+# q_subquery_lateral, q_scalar_bitwise, q_scalar_null,
+# q_catalog_tables, q_catalog_columns, q_text_stats, q_token_count,
+# q_quality_score, q_lang_id, q_fingerprint, q_quality_gopher,
+# q_inverted_index, q_template_detect, q_chunk_split, q_token_zipf,
+# q_dedup_exact, q_text_ngram_jaccard, q_dedup_embed,
+# q_dedup_keep_best, q_dedup_clusters_portable,
+# q_dedup_simhash_portable, q_sim_topk, q_kmeans_assign, q_pq_encode
+# -- the remaining 5 (q_sim_lsh_portable, q_sim_ivf_portable,
+# q_embed_outlier, q_udf_pandas, q_mix_rebalance) spill to round 9
+# with the round-5 cohort. Rows-only keys (q_dedup_clusters,
+# q_multimodal) stay excluded per the portable-twin policy.
 GRADING_ORDER: list[str] = [
     # (a) round-6 additions never driver-graded, in registration order
     "q_sketch_intersect",
