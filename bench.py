@@ -145,6 +145,58 @@ HEADLINE = [
 ]
 
 
+# --- self-interpreting drift fields (VERDICT r07 #3) -----------------
+# The driver stores only the LAST 2000 chars of bench stdout, which
+# truncates the common-17 prefix out of the queries dict — so a driver
+# BENCH row alone could not answer "within 2x of the r1 baseline?" and
+# box-drift attribution lived in BASELINE.md prose. Two first-class
+# fields fix that, emitted AFTER "queries" so tail truncation can never
+# eat them:
+#   common17_sec  — sum of the 17-query common prefix (r1 suite), the
+#                   cross-round comparable. r1 anchors: 28.06 s
+#                   (driver-recorded row) / 24.27 s (idle-box rerun).
+#   canary_ratio  — measured fixed-work canary vs the stored idle-box
+#                   anchor. The canary is a timed scan+groupBy+noop over
+#                   lineitem (fixed plan, run post-warmup), a DIRECT
+#                   throughput probe of this box at bench time — unlike
+#                   load_1m, which only sees *other* processes. A row
+#                   with canary_ratio ~= 2.0 says "box is 2x slower
+#                   today"; divide per-query ratios by it before calling
+#                   anything a regression (BASELINE.md attribution rule).
+R1_COMMON17_SEC = 28.06  # round-1 driver row, the 2x-gate denominator
+COMMON17_N = 17
+# Idle-box canary anchors per sf tag (load_1m < 1, round-8 measurement;
+# BASELINE.md round-8 section documents the run).
+CANARY_ANCHOR_SEC = {"0.1": 0.55}
+
+
+def _canary_sec(spark, sf_dir: str) -> float:
+    """Fixed-work throughput probe: full lineitem scan, 2-key groupBy,
+    4 aggregates, noop sink — the q_agg_tpch1 shape minus the query's
+    own filters, plan-stable since round 1, so its wall time moves only
+    with box state. MEDIAN of 3 runs: a single sub-second sample
+    jitters ~±40% (measured 0.40-0.68 s back-to-back); the median of
+    three is stable enough to anchor a ratio."""
+    from pyspark.sql import functions as _F
+
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                _F.sum("l_quantity"),
+                _F.sum("l_extendedprice"),
+                _F.avg("l_discount"),
+                _F.count(_F.lit(1)),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[1], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -246,6 +298,10 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # fixed-work canary AFTER warmup, BEFORE the suite (and again after
+    # it, to catch a mid-suite load ramp)
+    canary_start = _canary_sec(spark, sf_dir)
+
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
     for name in suite:
@@ -258,10 +314,24 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_suite, 3)
 
+    canary_end = _canary_sec(spark, sf_dir)
+    anchor = CANARY_ANCHOR_SEC.get(f"{sf:g}")
+    canary_ratio = (
+        round(min(canary_start, canary_end) / anchor, 2) if anchor else None
+    )
+    prefix = suite[:COMMON17_N]
+    common17 = (
+        round(sum(timings[q] for q in prefix), 3)
+        if prefix == HEADLINE[:COMMON17_N]
+        else None
+    )
+
     # Box-state telemetry: three rounds of driver-bench attribution work
     # (BASELINE.md) traced every >2x per-query "regression" to box load,
     # not code. load_1m_start is the pre-existing-load signal; the end
-    # sample shows whether anything ramped up mid-suite.
+    # sample shows whether anything ramped up mid-suite. Scalar summary
+    # fields come AFTER "queries" so the driver's 2000-char stdout tail
+    # always retains them (VERDICT r07 #3).
     print(
         json.dumps(
             {
@@ -270,6 +340,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "common17_sec": common17,
+                "common17_vs_r1": (
+                    round(common17 / R1_COMMON17_SEC, 3) if common17 else None
+                ),
+                "canary_start_sec": canary_start,
+                "canary_end_sec": canary_end,
+                "canary_ratio": canary_ratio,
                 "load_1m_start": load_start,
                 "load_1m_end": round(os.getloadavg()[0], 2),
             }

@@ -684,27 +684,20 @@ def _hex7_sql(expr: str, start: int) -> str:
 # The full portable-minhash pair pipeline as a reusable CTE chain: the
 # minhash twin selects from `pairs` directly; the clusters twin appends a
 # recursive-CTE connected-components stage on top of the SAME pair graph.
-def _portable_candidates(spark: SparkSession, grams: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs from the md5-portable MinHash+LSH
-    banding — the shared blocking stage of q_dedup_minhash_portable,
-    q_dedup_clusters_portable, q_dedup_containment, q_dedup_cross_source
-    and the curation_v2/v3 cascades. ONE md5 per distinct gram, split
-    into two 28-bit halves, then K=16 minhashes from the Carter-Wegman
-    family h_k = (a_k*xa + b_k*xb + c_k) mod (2^31-1) (Carter & Wegman
-    1979; the standard cheap min-wise family, e.g. Broder 1997) — all
-    integer arithmetic both engines evaluate identically, so the
-    pipeline still replays bit-for-bit in DuckDB
-    (_PORTABLE_PAIR_CTES is the SQL twin of this function).
+def portable_band_signatures(spark: SparkSession, grams: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band signatures from a (doc_id, g)
+    gram-set DF — the row-local half of the portable MinHash pipeline,
+    shared by the batch candidate generator (_portable_candidates) and
+    the STREAMING ingest-time index (streaming/ingest_dedup.py), which
+    must compute bit-identical signatures for a new micro-batch so its
+    incremental probe reproduces batch banding exactly.
 
-    Why not md5 per (gram, k): the first cut hashed every gram 16 times
-    (md5(gram#k)) through a 16x crossJoin — 41.6M md5 calls at the sf1
-    decade, and with the compact fixture scanning as ONE split the
-    whole hash stage ran single-threaded (measured 80s at sf1, 23.6x
-    per decade). This form computes 2.6M md5s + codegen integer mixing
-    behind an explicit repartition, one 16-column min-aggregate
-    (map-side combined, shuffles n_docs rows), and builds band
-    signatures ROW-LOCALLY (plain value concat — no second hash, no
-    (doc_id, band) shuffle)."""
+    ONE md5 per distinct gram, split into two 28-bit halves, then K=16
+    minhashes from the Carter-Wegman family
+    h_k = (a_k*xa + b_k*xb + c_k) mod (2^31-1) (Carter & Wegman 1979;
+    the standard cheap min-wise family, e.g. Broder 1997), band
+    signatures assembled ROW-LOCALLY (plain value concat — no second
+    hash, no (doc_id, band) shuffle)."""
     rpb = PORTABLE_K // PORTABLE_BANDS
     par = spark.sparkContext.defaultParallelism
     # repartition BEFORE the hash work: compact parquet sources scan as
@@ -741,9 +734,33 @@ def _portable_candidates(spark: SparkSession, grams: DataFrame) -> DataFrame:
         )
         for bb in range(PORTABLE_BANDS)
     ]
-    bands = mh.select(
+    return mh.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", "bs.band", "bs.sig")
+
+
+def _portable_candidates(spark: SparkSession, grams: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from the md5-portable MinHash+LSH
+    banding — the shared blocking stage of q_dedup_minhash_portable,
+    q_dedup_clusters_portable, q_dedup_containment, q_dedup_cross_source
+    and the curation_v2/v3 cascades. ONE md5 per distinct gram, split
+    into two 28-bit halves, then K=16 minhashes from the Carter-Wegman
+    family h_k = (a_k*xa + b_k*xb + c_k) mod (2^31-1) (Carter & Wegman
+    1979; the standard cheap min-wise family, e.g. Broder 1997) — all
+    integer arithmetic both engines evaluate identically, so the
+    pipeline still replays bit-for-bit in DuckDB
+    (_PORTABLE_PAIR_CTES is the SQL twin of this function).
+
+    Why not md5 per (gram, k): the first cut hashed every gram 16 times
+    (md5(gram#k)) through a 16x crossJoin — 41.6M md5 calls at the sf1
+    decade, and with the compact fixture scanning as ONE split the
+    whole hash stage ran single-threaded (measured 80s at sf1, 23.6x
+    per decade). This form computes 2.6M md5s + codegen integer mixing
+    behind an explicit repartition, one 16-column min-aggregate
+    (map-side combined, shuffles n_docs rows), and builds band
+    signatures ROW-LOCALLY (plain value concat — no second hash, no
+    (doc_id, band) shuffle)."""
+    bands = portable_band_signatures(spark, grams)
     # slice of the sorted member set = the cap's keep-lowest-ids rule
     ds = F.slice(F.array_sort(F.collect_set("doc_id")), 1, PMH_BUCKET_CAP)
     pair_expr = F.flatten(
@@ -2316,4 +2333,54 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_caught").cast("double") / F.col("n_truth"), 6
             ).alias("recall"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ingest-order near-dup verdict (round 8): the batch contract for the
+# STREAMING ingest-time dedup path (streaming/ingest_dedup.py, VERDICT
+# r07 #4). A document arriving at ingest time is judged against EARLIER
+# documents only (doc_id = arrival order); this query states that
+# verdict batch-side, and the foreachBatch incremental probe must
+# reproduce it exactly (tests/test_streaming_dedup.py asserts
+# stream == batch on the union of micro-batches).
+#
+# The equivalence is sound because every stage of the portable pipeline
+# is prefix-stable under id-ordered arrival: band signatures are
+# row-local; the PMH_BUCKET_CAP keep-lowest-256-ids rule admits exactly
+# the docs an incremental index (which freezes a bucket once it holds
+# 256 members) would have admitted, since lowest ids arrive first; and
+# Jaccard verification is pairwise.
+@query(
+    "q_dedup_stream_batch",
+    oracle=f"""
+WITH {_PORTABLE_PAIR_CTES}
+SELECT doc_b AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_earlier_dups,
+       min(doc_a) AS first_partner,
+       max(jaccard) AS best_jaccard
+FROM pairs
+GROUP BY doc_b
+""",
+)
+def q_dedup_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document ingest-order duplicate verdict: for each doc that
+    near-duplicates at least one EARLIER doc (portable MinHash banding,
+    capped buckets, word-3-gram Jaccard >= 0.5 — q_dedup_minhash_portable's
+    exact pair semantics), report how many earlier partners it hits,
+    the earliest partner (the doc a dedup policy would keep), and the
+    best Jaccard. doc_a < doc_b by construction, so grouping the shared
+    pair set by doc_b IS the "judged against earlier docs only" rule.
+
+    Scale shape: rides the memoized portable_pairs_for build (one gram/
+    signature pass per session, localCheckpoint-ed pair-sized result)
+    plus one pair-grain groupBy. The streaming twin in
+    streaming/ingest_dedup.py runs the same math incrementally per
+    micro-batch against a persisted band index; its cost per batch is
+    batch-sized, not corpus-sized — the 100 TB ingest path."""
+    pairs = portable_pairs_for(spark, sf_dir)
+    return pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_earlier_dups"),
+        F.min("doc_a").alias("first_partner"),
+        F.max("jaccard").alias("best_jaccard"),
     )

@@ -869,8 +869,12 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaced them with one scan carrying the dim table as a full-width
     # LEFT join and measured 3.3x SLOWER at sf1 — the unfiltered dim
     # join shuffles every fact row, where this shape's semi-join only
-    # sees the ~2% the broadcast prefilter passes. Column-pruned scans
-    # are embarrassingly parallel; shuffles are the scarce resource at
+    # sees what the broadcast prefilter passes: pass rate =
+    # selectivity + FPR*(1-selectivity), measured 10.0% at sf0.1 /
+    # 11.5% at sf1 (ADVICE r07: an earlier "~2%" note here was a
+    # misremembered figure), bounded ~21% at sf3 where fill reaches
+    # ~35% (FPR ~ fill^2 ~ 12%). Column-pruned scans are
+    # embarrassingly parallel; shuffles are the scarce resource at
     # 100 TB. Scans stay scan-local + broadcast-joined, no exchange.
     passed = fp.join(broadcast(bits0), "pos0", "left_semi").join(
         broadcast(bits1), "pos1", "left_semi"

@@ -476,8 +476,26 @@ class TestKmvTwoLevelPlan:
         # the salted exchange, where they consume the K x S merge set;
         # the distinct() exchange on (key, h) is fine (uniform on h).
         def n_part_cols(ln: str) -> int:
-            inner = ln.split("hashpartitioning(", 1)[1].rsplit(")", 1)[0]
-            return inner.count(",")  # cols = commas (last arg = numParts)
+            """Count TOP-LEVEL args of hashpartitioning(...) with a
+            balanced-paren split, minus 1 for the trailing numPartitions
+            arg. Naive comma counting miscounts any partition expression
+            containing a nested call (extra commas/parens) and would
+            silently skip the corpus-exchange assert (ADVICE r07)."""
+            inner = ln.split("hashpartitioning(", 1)[1]
+            depth_p, n_args, saw_any = 0, 1, False
+            for ch in inner:
+                if ch == "(":
+                    depth_p += 1
+                elif ch == ")":
+                    if depth_p == 0:
+                        break
+                    depth_p -= 1
+                elif ch == "," and depth_p == 0:
+                    n_args += 1
+                elif not ch.isspace():
+                    saw_any = True
+            assert saw_any, f"empty hashpartitioning arg list: {ln}"
+            return n_args - 1  # last top-level arg is numPartitions
 
         def depth(ln: str) -> int:
             for marker in ("+- ", ":- "):

@@ -31,25 +31,19 @@ def test_registry_iteration_leads_with_grading_order():
     assert ordered[:n] == registry.GRADING_ORDER
 
 
-def test_first_50_covers_never_graded_round6_additions():
-    """The round-7 grading window must contain every query without a
-    green driver row in ANY round (VERDICT r06 next-round #1 — the 27
-    round-6 additions that registered past the round-6 window), and
-    every slot must be oracle-backed (no slots on rows-only keys; their
-    value contracts are carried by graded portable twins)."""
+def test_first_50_covers_never_graded_registrations():
+    """STANDING window invariant (VERDICT r06 #1, restated each
+    rotation): the union of ever-driver-graded keys closed at 216/216
+    in round 7, so every key REGISTERED SINCE (i.e. with no driver row
+    in any round) must occupy a grading slot — a new registration must
+    never re-open the never-graded tail. Round-8 additions listed
+    explicitly; extend this set when registering a key in a future
+    round. Every slot must also be oracle-backed (no rows-only keys in
+    slots; their value contracts are carried by graded portable
+    twins)."""
     front = list(registry.QUERIES)[:50]
-    must_grade = {
-        "q_sketch_intersect", "q_chisq_independence", "q_join_bloom",
-        "q_scd2_history", "q_sample_priority", "q_topk_sharded",
-        "q_entropy_filter", "q_lm_bigram", "q_bpe_learn", "q_bpe_apply",
-        "q_keyword_textrank", "q_sim_pq_search", "q_sim_ivfpq",
-        "q_embed_rp", "q_dedup_bloom", "q_dedup_recall_eval",
-        "q_nucleus_curation", "q_graph_kcore", "q_graph_linkpred",
-        "q_zorder_layout", "q_shard_rendezvous", "q_markov_transitions",
-        "q_assoc_rules", "q_attribution", "q_time_weighted_avg",
-        "q_lttb_downsample", "q_seasonal_decompose",
-    }
-    evicted = must_grade - set(front)
+    never_graded = {"q_curation_v4", "q_dedup_stream_batch"}
+    evicted = never_graded - set(front)
     assert not evicted, f"evicted from the 50-query grading window: {evicted}"
     rows_only = [q for q in front if q not in registry.ORACLES]
     assert not rows_only, f"rows-only keys occupy grading slots: {rows_only}"

@@ -59,13 +59,17 @@ def run_bench_isolated(sf_dir: str, queries: str, settle: int = 15) -> dict:
     for triage; confirm any SUPERLINEAR flag with --isolate before
     treating it as a plan bug (q_join_bloom's 2^16 saturation was real
     and survived isolation; three other flags that round did not)."""
+    qlist = [s.strip() for s in queries.split(",") if s.strip()]
+    if not qlist:
+        raise SystemExit("--isolate requires an explicit query list")
     merged: dict = {}
-    for q in [s.strip() for s in queries.split(",") if s.strip()]:
+    for i, q in enumerate(qlist):
+        if i:  # settle BETWEEN queries only — not after the last one
+            time.sleep(settle)
         r = run_bench(sf_dir, q)
         merged.setdefault("queries", {}).update(r["queries"])
         for k in ("metric", "unit", "sf"):
             merged[k] = r[k]
-        time.sleep(settle)
     merged["value"] = round(sum(merged["queries"].values()), 3)
     return merged
 
@@ -111,7 +115,7 @@ def main() -> None:
                 "big": big,
                 "small_total": a["value"],
                 "big_total": b["value"],
-                "ratio": round(b["value"] / a["value"], 2),
+                "ratio": round(b["value"] / max(a["value"], 0.01), 2),
                 "decade_exp": round(exp, 3),
                 "worst": [
                     {"query": n, "ratio": round(r, 1), "per_decade": round(r**exp, 1)}
