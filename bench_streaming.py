@@ -52,10 +52,89 @@ FLOOR_MIN_BLOCKS = 10_000  # short runs are overhead-dominated; don't gate
 FLOOR_BY_MODE = {"json": FLOOR_BLOCKS_PER_SEC, "protobuf": 308.0}
 
 
+# Ingest-dedup mode floor: sf0.1 corpus (5,000 docs) through the
+# incremental near-dup probe in 10 id-ordered micro-batches. Round-8
+# calibration: 86.8 docs/s at load_1m ~4 and 69.7 at load ~1.5 with a
+# concurrent fixture-generation job — both LOADED boxes; the number is
+# dominated by per-epoch plan+probe fixed cost at this tiny 500-doc
+# batch size (real deliveries batch 100x more docs per epoch and
+# amortize it). The floor gates only on idle starts (load_1m < 1),
+# which measure above the loaded readings; 80 catches a >20%
+# regression there.
+DEDUP_FLOOR_DOCS_PER_SEC = 80.0
+DEDUP_N_BATCHES = 10
+
+
+def run_dedup_mode(load_start: float) -> None:
+    """`bench_streaming.py dedup [sf_dir]`: the ingest-time near-dup
+    stage (streaming/ingest_dedup.py) over the documents corpus split
+    into id-ordered micro-batches — the stream twin of
+    q_dedup_stream_batch, benched at delivery granularity."""
+    import tempfile as _tf
+
+    from elric_rs_spark.session import get_spark
+    from elric_rs_spark.streaming.ingest_dedup import run_ingest_dedup_stream
+
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("elric_rs_spark_dedup_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = _tf.mkdtemp(prefix="elric_dbench_")
+    try:
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        n = len(docs)
+        per = (n + DEDUP_N_BATCHES - 1) // DEDUP_N_BATCHES
+        landing = f"{d}/landing"
+        os.makedirs(landing)
+        for b in range(DEDUP_N_BATCHES):
+            chunk = docs.iloc[b * per : (b + 1) * per]
+            if len(chunk):
+                chunk.to_parquet(f"{landing}/batch_{b:04d}.parquet", index=False)
+        t0 = time.monotonic()
+        index = run_ingest_dedup_stream(
+            spark, landing, f"{d}/state", f"{d}/ckpt"
+        )
+        wall = time.monotonic() - t0
+        n_verdicts = index.read_verdicts(spark).count()
+        dps = round(n / wall, 1)
+        idle = load_start < 1.0
+        print(
+            json.dumps(
+                {
+                    "metric": "ingest_dedup_docs_per_sec",
+                    "value": dps,
+                    "unit": "docs/sec",
+                    "n_docs": n,
+                    "n_batches": DEDUP_N_BATCHES,
+                    "n_verdicts": n_verdicts,
+                    "wall_sec": round(wall, 2),
+                    "load_1m_start": load_start,
+                    "load_1m_end": round(os.getloadavg()[0], 2),
+                    "floor_gate": (
+                        ("pass" if dps >= DEDUP_FLOOR_DOCS_PER_SEC else "FAIL")
+                        if idle
+                        else "not-enforced (loaded box)"
+                    ),
+                }
+            )
+        )
+        if idle and dps < DEDUP_FLOOR_DOCS_PER_SEC:
+            sys.exit(2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
+    load_start = round(os.getloadavg()[0], 2)
+    if len(sys.argv) > 1 and sys.argv[1] == "dedup":
+        run_dedup_mode(load_start)
+        return
     n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     decode_mode = sys.argv[2] if len(sys.argv) > 2 else "json"
-    load_start = round(os.getloadavg()[0], 2)
     from elric_rs_spark.session import get_spark
     from elric_rs_spark.streaming.pipeline import TypedPerTableSink, run_pipeline
     from elric_rs_spark.streaming.source import land_blocks

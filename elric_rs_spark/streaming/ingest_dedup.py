@@ -1,0 +1,304 @@
+"""Ingest-time near-duplicate detection (VERDICT r07 #4): the streaming
+twin of the batch portable-MinHash dedup, run as a foreachBatch probe of
+each new micro-batch against a PERSISTED band index.
+
+A 100 TB training-data pipeline does not re-run corpus-wide dedup per
+delivery; it keeps a fingerprint index and judges each arriving document
+against what it has already accepted (reference topology: the cursor-
+persisted incremental sink of loader.rs:111-125 — state lives next to
+the data, each batch advances it transactionally). This module composes
+the EXISTING batch kernels into that incremental path:
+
+- band signatures per new doc: `portable_band_signatures`
+  (operators/dedup.py) — the row-local half of the portable pipeline,
+  bit-identical to what the batch query computes;
+- candidate generation: (band, sig) probe of the persisted index with
+  the same PMH_BUCKET_CAP keep-lowest-ids rule;
+- verification: exact word-3-gram Jaccard >= 0.5 against the persisted
+  gram store, the batch threshold.
+
+EQUIVALENCE CONTRACT (tests/test_streaming_dedup.py): when micro-batches
+arrive in doc_id order, the union of per-batch verdicts equals
+`q_dedup_stream_batch` run batch-side on the full corpus. The claim is
+sound because every stage is prefix-stable under id-ordered arrival:
+signatures are row-local; the cap admits the lowest `cap` ids of each
+bucket, and ids arrive ascending, so a bucket frozen at `cap` members
+holds exactly the members the batch slice would keep; Jaccard is
+pairwise. Arrival order is ENFORCED (watermark file, ValueError on
+regression) — out-of-order delivery belongs upstream in the finality
+buffer (streaming/finality.py), which releases blocks in order.
+
+Scale shape per batch: batch-side work is batch-sized (signatures,
+grams); the index probe is a broadcast-semi join (batch bands broadcast,
+index scanned — no index shuffle); the bucket re-slice groups ONLY the
+affected buckets (left-semi pruned), each bounded at cap + batch
+members. At 100 TB the index store would be a bucketed table on
+(band, sig) (or Delta + z-order on sig) so the probe prunes to touched
+buckets instead of scanning; the parquet layout here keeps the same
+logical plan. Crash replay: every append is epoch-tagged and every read
+de-duplicates, so a replayed foreachBatch epoch (deterministic
+recompute) is absorbed — the SummingMart idempotency pattern
+(streaming/mart.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from elric_rs_spark.functions.hashing import word_ngrams
+from elric_rs_spark.operators.dedup import (
+    PMH_BUCKET_CAP,
+    portable_band_signatures,
+)
+
+INDEX_SCHEMA = StructType(
+    [
+        StructField("band", LongType()),
+        StructField("sig", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("epoch_id", LongType()),
+    ]
+)
+
+VERDICT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_earlier_dups", LongType()),
+        StructField("first_partner", LongType()),
+        StructField("best_jaccard", DoubleType()),
+        StructField("epoch_id", LongType()),
+    ]
+)
+
+
+class IngestDedupIndex:
+    """Persisted near-dup state: band index + gram store + verdicts,
+    all epoch-tagged parquet under `base_dir`. One instance per
+    pipeline; `process_batch` is the foreachBatch handler."""
+
+    def __init__(self, base_dir: str, cap: int = PMH_BUCKET_CAP):
+        self.base = base_dir.rstrip("/")
+        self.cap = cap
+        self.index_path = f"{self.base}/band_index"
+        self.grams_path = f"{self.base}/gram_store"
+        self.verdicts_path = f"{self.base}/verdicts"
+        self._watermark_path = f"{self.base}/ingest_watermark"
+
+    # -- watermark: enforce the id-ordered-arrival precondition --------
+    def _read_watermark(self) -> tuple[int, int]:
+        """(max_doc_id_seen, last_epoch). -1/-1 before the first batch."""
+        try:
+            with open(self._watermark_path) as f:
+                a, b = f.read().strip().split(":")
+                return int(a), int(b)
+        except (FileNotFoundError, ValueError):
+            return -1, -1
+
+    def _write_watermark(self, max_id: int, epoch_id: int) -> None:
+        os.makedirs(self.base, exist_ok=True)
+        tmp = f"{self._watermark_path}.tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{max_id}:{epoch_id}")
+        os.replace(tmp, self._watermark_path)
+
+    # -- persisted-state readers (replay-absorbing) --------------------
+    def _read_or_empty(self, spark: SparkSession, path: str, schema) -> DataFrame:
+        if os.path.isdir(path):
+            return spark.read.schema(schema).parquet(path)
+        return spark.createDataFrame([], schema)
+
+    def read_index(self, spark: SparkSession) -> DataFrame:
+        """(band, sig, doc_id) membership; distinct absorbs epoch
+        replays (a replayed epoch appends identical rows)."""
+        return (
+            self._read_or_empty(spark, self.index_path, INDEX_SCHEMA)
+            .select("band", "sig", "doc_id")
+            .distinct()
+        )
+
+    def read_grams(self, spark: SparkSession) -> DataFrame:
+        if os.path.isdir(self.grams_path):
+            # one gram-array row per doc; replays duplicate whole rows
+            return (
+                spark.read.parquet(self.grams_path)
+                .select("doc_id", "g")
+                .dropDuplicates(["doc_id"])
+            )
+        from pyspark.sql.types import ArrayType
+
+        gs = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("g", ArrayType(StringType())),
+            ]
+        )
+        return spark.createDataFrame([], gs)
+
+    def read_verdicts(self, spark: SparkSession) -> DataFrame:
+        """Union of per-batch verdicts: (doc_id, n_earlier_dups,
+        first_partner, best_jaccard) — the q_dedup_stream_batch
+        contract columns."""
+        return (
+            self._read_or_empty(spark, self.verdicts_path, VERDICT_SCHEMA)
+            .select("doc_id", "n_earlier_dups", "first_partner", "best_jaccard")
+            .distinct()
+        )
+
+    # -- the foreachBatch handler --------------------------------------
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Judge `batch_df` (doc_id, text) against the persisted index,
+        append verdicts, admit new docs to the index. All heavy work is
+        DataFrame-plan; the only collects are two one-row scalars
+        (batch id range) used for the ordering guard."""
+        spark = batch_df.sparkSession
+        rng = batch_df.agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if rng["n"] == 0:
+            return
+        max_seen, last_epoch = self._read_watermark()
+        if epoch_id == last_epoch:
+            # foreachBatch replay of a committed epoch (crash between
+            # our appends and the checkpoint commit): recompute is
+            # deterministic and reads de-duplicate, so re-running is
+            # safe — but skipping is cheaper.
+            return
+        if rng["lo"] <= max_seen:
+            raise ValueError(
+                f"ingest order violation: batch min doc_id {rng['lo']} <= "
+                f"watermark {max_seen}; the stream==batch equivalence "
+                "requires id-ordered arrival (order upstream via the "
+                "finality buffer)"
+            )
+
+        grams_b = batch_df.select(
+            "doc_id", F.array_distinct(word_ngrams(F.col("text"), 3)).alias("g")
+        ).filter(F.size("g") > 0)
+        bands_b = portable_band_signatures(spark, grams_b)
+
+        idx = self.read_index(spark)
+        # existing members of AFFECTED buckets only (left-semi prune);
+        # the batch band set is small — broadcast it, never shuffle the
+        # index
+        touched = bands_b.select("band", "sig").distinct()
+        existing = idx.join(F.broadcast(touched), ["band", "sig"], "left_semi")
+        members = existing.unionByName(bands_b.select("band", "sig", "doc_id"))
+        # the batch cap rule, incrementally: sorted member slice per
+        # bucket. Existing ids are all < batch ids (watermark guard), so
+        # existing members always survive the slice — admission only
+        # fills the remaining cap slots, lowest batch ids first.
+        ds = F.slice(F.array_sort(F.collect_set("doc_id")), 1, self.cap)
+        buckets = (
+            members.groupBy("band", "sig")
+            .agg(ds.alias("ds"))
+            .filter(F.size("ds") > 1)
+        )
+        pair_expr = F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        lo = int(rng["lo"])
+        cand = (
+            buckets.select(F.explode(pair_expr).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            # only pairs whose LATER member is in this batch are new;
+            # earlier-earlier pairs were emitted by previous epochs
+            .filter(F.col("doc_b") >= lo)
+            .distinct()
+        )
+        # exact Jaccard verification against gram sets: doc_a may be an
+        # index doc (gram store) or an earlier batch doc (batch grams)
+        grams_all = self.read_grams(spark).unionByName(grams_b)
+        ga = grams_all.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+        gb = grams_b.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+        inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+        union = F.size(F.array_union("ga", "gb"))
+        pairs = (
+            cand.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .filter(inter / union >= 0.5)
+            .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        )
+        verdicts = (
+            pairs.groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_earlier_dups"),
+                F.min("doc_a").alias("first_partner"),
+                F.max("jaccard").alias("best_jaccard"),
+            )
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+        )
+        # admitted newcomers = slice members that are batch docs
+        admitted = (
+            buckets.select("band", "sig", F.explode("ds").alias("doc_id"))
+            .filter(F.col("doc_id") >= lo)
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+        )
+        # buckets touched for the FIRST time by a single batch doc never
+        # enter `buckets` (size 1 filter) — admit those members too, or
+        # the next batch would miss them
+        singles = (
+            bands_b.join(
+                members.groupBy("band", "sig")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .select("band", "sig"),
+                ["band", "sig"],
+                "left_anti",
+            )
+            .select("band", "sig", "doc_id")
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+        )
+        verdicts.write.mode("append").parquet(self.verdicts_path)
+        admitted.unionByName(singles).write.mode("append").parquet(self.index_path)
+        grams_b.withColumn("epoch_id", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(self.grams_path)
+        self._write_watermark(int(rng["hi"]), int(epoch_id))
+
+
+def run_ingest_dedup_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    cap: int = PMH_BUCKET_CAP,
+    max_files_per_trigger: int = 1,
+) -> IngestDedupIndex:
+    """Tail `landing_dir` (parquet doc deliveries, id-ordered) through
+    the incremental near-dup probe with availableNow semantics; returns
+    the index handle for verdict reads. The production form replaces
+    the trigger with a continuous one and puts the finality buffer
+    upstream; the topology is identical."""
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    index = IngestDedupIndex(state_dir, cap=cap)
+    (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(index.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return index
