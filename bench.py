@@ -142,6 +142,9 @@ HEADLINE = [
     "q_seasonal_decompose",
     # round-6 wave-7 append (same contract)
     "q_topk_sharded",
+    # round-8 appends (same contract: never interleave into the prefix)
+    "q_curation_v4",
+    "q_dedup_stream_batch",
 ]
 
 
@@ -166,8 +169,11 @@ HEADLINE = [
 R1_COMMON17_SEC = 28.06  # round-1 driver row, the 2x-gate denominator
 COMMON17_N = 17
 # Idle-box canary anchors per sf tag (load_1m < 1, round-8 measurement;
-# BASELINE.md round-8 section documents the run).
-CANARY_ANCHOR_SEC = {"0.1": 0.55}
+# BASELINE.md round-8 section documents the run). Observed idle-box
+# medians span 0.34-0.59 s across back-to-back suite runs (page-cache /
+# JIT state), so the anchor is the band midpoint and ratios below ~1.5
+# are "box normal"; treat only canary_ratio >= 1.5 as a slow-box flag.
+CANARY_ANCHOR_SEC = {"0.1": 0.45}
 
 
 def _canary_sec(spark, sf_dir: str) -> float:
@@ -208,6 +214,16 @@ def main() -> None:
     # pre-existing box load — sampled BEFORE the JVM starts, since the
     # diagnosis this exists for is "was the box already busy"
     load_start = round(os.getloadavg()[0], 2)
+    # data-proportional shuffle partitions (session.py rule): pinning
+    # partitions to core count at sf10 spilled every heavy reduce task
+    # (41.6x/decade on the KMV build); the driver's sf0.1 runs resolve
+    # to the same 32 as before, so recorded rows stay comparable
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ:
+        from elric_rs_spark.session import shuffle_partitions_for
+
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(
+            shuffle_partitions_for(sf_dir)
+        )
     spark = get_spark("elric_rs_spark_bench")
 
     # Warmup (VERDICT r03 #3): a trivial count is NOT enough — the first
@@ -223,6 +239,18 @@ def main() -> None:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     ord_ = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # Warmup exists to pay C2 JIT on each operator family's generated
+    # code — that needs the BYTECODE paths, not the data volume. Above
+    # the driver's sf0.1 the full-table warmup is itself a massive job
+    # (60M x 15M join at sf10) whose heap churn then INFLATES the first
+    # timed heavy queries: the round-8 sf10 decade measured
+    # q_agg_approx_portable at 110.6 s inside bench.py vs 40.6 s in a
+    # fresh JVM with a count-only warmup, same code/partitions/box. Cap
+    # warmup inputs at big scales; at sf <= 0.1 the tables are already
+    # small and the r1-comparable warmup is kept bit-identical.
+    if sf > 0.1:
+        li = li.limit(200_000)
+        ord_ = ord_.limit(100_000)
     # shuffle agg + sort-merge join + broadcast join
     (
         li.join(ord_, li.l_orderkey == ord_.o_orderkey)
@@ -241,9 +269,12 @@ def main() -> None:
         .filter(_F.col("rn") <= 3)
         .write.format("noop").mode("overwrite").save()
     )
-    # HOF / string-expression paths over documents
+    # HOF / string-expression paths over documents (same big-scale cap)
+    docs_w = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if sf > 0.1:
+        docs_w = docs_w.limit(10_000)
     (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs_w
         .select(_F.explode(_F.split(_F.lower("text"), " ")).alias("tok"))
         .groupBy("tok").count()
         .write.format("noop").mode("overwrite").save()
@@ -299,8 +330,17 @@ def main() -> None:
     )
 
     # fixed-work canary AFTER warmup, BEFORE the suite (and again after
-    # it, to catch a mid-suite load ramp)
-    canary_start = _canary_sec(spark, sf_dir)
+    # it, to catch a mid-suite load ramp). Only at scales with a stored
+    # anchor (the driver's sf0.1): at sf10 the canary is itself three
+    # 60M-row aggregations whose heap churn inflates the first timed
+    # heavy query — the same contamination class as the uncapped warmup
+    # — and its ratio would be null anyway.
+    anchor = CANARY_ANCHOR_SEC.get(f"{sf:g}")
+    canary_start = _canary_sec(spark, sf_dir) if anchor else None
+    if sf > 0.1:
+        # big-scale decade runs: settle the heap after warmup so the
+        # first timed query doesn't inherit warmup garbage
+        spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
@@ -314,8 +354,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_suite, 3)
 
-    canary_end = _canary_sec(spark, sf_dir)
-    anchor = CANARY_ANCHOR_SEC.get(f"{sf:g}")
+    canary_end = _canary_sec(spark, sf_dir) if anchor else None
     canary_ratio = (
         round(min(canary_start, canary_end) / anchor, 2) if anchor else None
     )

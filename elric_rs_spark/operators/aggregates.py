@@ -166,27 +166,60 @@ KMV_SALTS = 32
 
 
 def _kmv_bottom_k(hashes: DataFrame, key_cols: list[str], k: int = KMV_K) -> DataFrame:
-    """Two-level (salted) bottom-K per key over a distinct-hash set.
+    """Two-level (salted) bottom-K DISTINCT hashes per key, over a hash
+    MULTISET — callers pass the raw projection, no corpus-wide
+    .distinct() anywhere.
 
-    `hashes` must carry the key columns plus a hash column `h` that is
-    unique within each key group (the callers all feed a .distinct()
-    projection, so row_number ties cannot occur and the merge is exact).
-    Returns the bottom-k rows per key with the same schema as the input.
-    """
-    w_local = Window.partitionBy(*key_cols, "kmv_salt").orderBy("h")
+    Round-8 rework (the sf1->sf10 decade finding): the previous build
+    required pre-distinct input, and that corpus-wide (key, h) hash
+    aggregate WAS the scale bug — on 60M rows it deduplicates only
+    ~25% (the key carries a ~1.3x dup factor) while every map task
+    builds a ~1.4M-entry string-keyed hash table; per-row cost GROWS
+    with corpus size as the tables fall out of cache (measured
+    41.6x/decade wall at 32 shuffle partitions, 25x at the
+    data-proportional count, zero spill — pure cache-locality
+    superlinearity, unfixable by partitioning because map tasks are
+    input-split-sized). The fix removes the aggregate entirely:
+
+    1. salt each row into (key, kmv_salt = pmod(xxhash64(h), S));
+    2. local cap with DENSE_RANK <= k over (key, salt | h): dense_rank
+       (not row_number) makes duplicate h values share a rank, so the
+       cap keeps every copy of the bottom-k DISTINCT values — Spark's
+       InferWindowGroupLimit turns the filter into a map-side Partial
+       WindowGroupLimit, a cache-friendly per-split sort that emits
+       <= |key| x S x k x dup rows per split (kilobytes, vs the 2.1 GB
+       the distinct-aggregate shuffled at sf10);
+    3. distinct() on the capped survivor set (sketch-sized, trivial);
+    4. merge: row_number <= k per key over K x S distinct survivors.
+
+    Bottom-k-distinct of a union == bottom-k of per-split
+    bottom-k-distincts (every member of the true bottom-k survives its
+    split's dense_rank cap), so the output is IDENTICAL to the old
+    build and the simple one-window DuckDB oracles are unchanged.
+    Returns the bottom-k rows per key with the input schema."""
+    # numeric-first sort key: lowercase hex is ASCII-ordered, so
+    # lexicographic h order == numeric order of the hash value; sorting
+    # by (52-bit prefix, h) compares longs and falls back to the string
+    # only on 13-hex-prefix ties (~never at any realistic cardinality).
+    # The corpus-sized local sort is this build's dominant cost — long
+    # comparisons cut it ~2x vs 32-char string comparisons at 60M rows.
+    hnum = F.conv(F.substring(F.col("h"), 1, 13), 16, 10).cast("long")
+    w_local = Window.partitionBy(*key_cols, "kmv_salt").orderBy("kmv_hnum", "h")
     local = (
-        hashes.withColumn(
+        hashes.withColumn("kmv_hnum", hnum)
+        .withColumn(
             "kmv_salt", F.pmod(F.xxhash64(F.col("h")), F.lit(KMV_SALTS))
         )
-        .withColumn("rn", F.row_number().over(w_local))
+        .withColumn("rn", F.dense_rank().over(w_local))
         .filter(F.col("rn") <= k)
         .drop("rn", "kmv_salt")
+        .distinct()
     )
-    w_merge = Window.partitionBy(*key_cols).orderBy("h")
+    w_merge = Window.partitionBy(*key_cols).orderBy("kmv_hnum", "h")
     return (
         local.withColumn("rn", F.row_number().over(w_merge))
         .filter(F.col("rn") <= k)
-        .drop("rn")
+        .drop("rn", "kmv_hnum")
     )
 # substring(kth_hash, i, 1) as a hex digit, times its positional weight —
 # all INTEGER LITERALS so DuckDB never leaves BIGINT (16^j as a double is
@@ -237,9 +270,11 @@ def q_agg_approx_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Estimator arithmetic is driver-free and exact (see module
     comment)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # no corpus-wide distinct: _kmv_bottom_k dedups inside the capped
+    # sketch-sized set (round-8 decade fix — see its docstring)
     hashes = li.select(
         "l_returnflag", F.md5(F.col("l_orderkey").cast("string")).alias("h")
-    ).distinct()
+    )
     bottom = _kmv_bottom_k(hashes, ["l_returnflag"])
     agg = bottom.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("k_used"),
@@ -1039,9 +1074,11 @@ def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel local bottom-Ks, and every stage after it runs over
     sketch-sized (K x groups) rows, not the corpus."""
     li = load_table(spark, sf_dir, "lineitem")
+    # no corpus-wide distinct: _kmv_bottom_k dedups inside the capped
+    # sketch-sized set (round-8 decade fix — see its docstring)
     hashes = li.select(
         "l_returnflag", F.md5(F.col("l_orderkey").cast("string")).alias("h")
-    ).distinct()
+    )
     kept = _kmv_bottom_k(hashes, ["l_returnflag"])
     per_group = kept.groupBy(F.col("l_returnflag").alias("scope")).agg(
         F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth_hash")
@@ -1260,10 +1297,12 @@ def q_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_kmv_bottom_k), every join input is at most |flags| x K rows,
     shipped from 1000 shards exactly like the q_sketch_union merge."""
     li = load_table(spark, sf_dir, "lineitem")
+    # no corpus-wide distinct: _kmv_bottom_k dedups inside the capped
+    # sketch-sized set (round-8 decade fix — see its docstring)
     hashes = li.select(
         F.col("l_returnflag").alias("flag"),
         F.md5(F.col("l_orderkey").cast("string")).alias("h"),
-    ).distinct()
+    )
     kept = _kmv_bottom_k(hashes, ["flag"])
     hex13 = lambda c: F.conv(F.substring(c, 1, 13), 16, 10).cast("long")  # noqa: E731
     thr = kept.groupBy("flag").agg(

@@ -1457,6 +1457,17 @@ def q_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_pack_shards' shape). The four stages chain without an action in
     between, so Catalyst prunes documents.text out of every branch
     that only needs token counts."""
+    return curation_v4_frames(spark, sf_dir)["manifest"]
+
+
+def curation_v4_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The v4 DAG's stage-boundary frames, for per-stage cost
+    accounting (tools/curation_dryrun.py, VERDICT r07 #5): 'keep'
+    (classifier survivors), 'uniq' (after exact-dedup collapse),
+    'clean' (after decontamination), 'manifest' (packed shard report —
+    what q_curation_v4 returns). Production materializes only the
+    manifest plan; the intermediate frames exist so a dry run can
+    measure each stage boundary's wall and shuffle volume."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -1539,10 +1550,11 @@ def q_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(offset + local_excl) div {V3_SHARD_TOKENS}").cast("long"),
     )
     # stage 5: per-shard manifest
-    return packed.groupBy("shard_id").agg(
+    manifest = packed.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").alias("sum_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
         F.countDistinct("source").alias("n_sources"),
     )
+    return {"keep": keep, "uniq": uniq, "clean": clean, "manifest": manifest}

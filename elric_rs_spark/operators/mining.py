@@ -130,40 +130,50 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand grain): support, confidence and lift for every directed brand
     pair co-ordered in >= 1.5% of baskets.
 
-    The basket relation is distinct (order, brand) — the broadcast
-    part-dim join plus DISTINCT bounds every basket at k = 25 brands,
-    so the candidate self-join on okey blows up at most k^2 per order
-    (in practice ~14 pairs for the fixture's ~3.75 brands/basket):
-    candidate generation is O(rows * k), never all-pairs. One shuffle
-    on okey for the pair stage, a k^2-cell map-side-combined count,
-    then two 25-row broadcast joins against the per-brand supports and
-    a one-row broadcast total. The support gate is integer permille
-    arithmetic (`n_both * 1000 >= t * n_orders`) so both engines apply
-    the exact same cut; ratios are single-division round-6dp doubles
-    on exact integers (< 2^53).
+    Scale shape (round-8 rework — the sf1->sf10 decade found the
+    original distinct + okey self-join paying THREE corpus-sized
+    exchanges): the basket table is ONE corpus shuffle —
+    groupBy(okey).collect_set(brand), whose map-side partial both
+    combines the ~4 lineitems per order AND dedups brands (subsuming
+    the old DISTINCT) — and everything downstream is row-local array
+    work over baskets bounded at k = 25 brands: directed pairs explode
+    k(k-1) per basket (~14 for the fixture's ~3.75 brands/basket) into
+    a <= k^2-cell map-side-combined count; supports explode one row
+    per basket member. Two 25-row broadcast joins + a one-row
+    broadcast total close the rule stats. The support gate is integer
+    permille arithmetic (`n_both * 1000 >= t * n_orders`) so both
+    engines apply the exact same cut; ratios are single-division
+    round-6dp doubles on exact integers (< 2^53).
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    ob = (
+    baskets = (
         li.join(
             F.broadcast(part.select("p_partkey", "p_brand")),
             li["l_partkey"] == part["p_partkey"],
         )
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy("okey")
+        .agg(F.collect_set("brand").alias("bs"))
     )
-    tot = ob.agg(F.countDistinct("okey").alias("n_orders"))
-    supp = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
-    a, b = ob.alias("a"), ob.alias("b")
-    pr = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") != F.col("b.brand")),
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    supp = baskets.select(F.explode("bs").alias("brand")).groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_brand")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("bs"),
+            lambda x: F.transform(
+                F.filter(F.col("bs"), lambda y: y != x),
+                lambda y: F.struct(x.alias("a"), y.alias("c")),
+            ),
         )
+    )
+    pr = (
+        baskets.select(F.explode(pair_expr).alias("p"))
         .groupBy(
-            F.col("a.brand").alias("antecedent"),
-            F.col("b.brand").alias("consequent"),
+            F.col("p.a").alias("antecedent"),
+            F.col("p.c").alias("consequent"),
         )
         .agg(F.count(F.lit(1)).alias("n_both"))
     )

@@ -18,13 +18,43 @@ from pyspark.sql import SparkSession
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Shuffle partitions must scale with DATA, not stay pinned to core
+# count: the round-8 sf1->sf10 decade measured q_agg_approx_portable at
+# 41.6x/decade with partitions pinned at 32 — each reduce task's hash
+# agg + window sort outgrew its share of the execution-memory pool and
+# spilled — and at 9.3x (linear) with 256. One parquet byte expands
+# ~4-6x decompressed plus JVM object overhead, so ~8 MB of parquet per
+# reduce task keeps in-flight partitions ~50 MB — comfortably inside a
+# 16g/32-slot pool. Floor at cpus so small inputs keep full
+# parallelism; AQE coalesces the excess away on small shuffles, which
+# is why the rule costs ~0 at sf0.1 (measured +6% worst-case on the
+# common-17, inside run noise).
+_PARQUET_BYTES_PER_PARTITION = 8 << 20
+
+
+def shuffle_partitions_for(sf_dir: str, cpus: str | int | None = None) -> int:
+    """Data-proportional shuffle-partition count for a dataset dir:
+    max(cpus, parquet_bytes / 8 MB). The cluster form of the same rule
+    is targeting ~100-200 MB of shuffle data per task."""
+    cpus = int(cpus or CPUS)
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return cpus
+    return max(cpus, total // _PARQUET_BYTES_PER_PARTITION)
+
 
 def get_spark(app_name: str = "elric_rs_spark", cpus: str | None = None) -> SparkSession:
     cpus = cpus or CPUS
+    parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

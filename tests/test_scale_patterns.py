@@ -2930,3 +2930,60 @@ class TestPrioritySamplingSmallCorpus:
         assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
             range(1, n + 1)
         )
+
+
+class TestBloomNearSaturationAudit:
+    """The q_join_bloom audit row IS the saturation alarm (VERDICT r07
+    #8): the round-7 sf3 decade caught a 2^16 filter at 99.9% bit fill
+    passing 99.8% of fact rows. TPC-H-shaped data never saturates the
+    production 2^20 filter, so plant the regime: shrink BLOOM_M to 64
+    and feed a dim side dense enough to set ~every bit — the audit row
+    must expose it (near-full position sets, ~100% prefilter pass on a
+    fact side with ZERO true matches)."""
+
+    def test_planted_saturation_is_visible_in_audit_row(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elric_rs_spark.operators import joins
+
+        monkeypatch.setattr(joins, "BLOOM_M", 64)
+        # 300 hot-price dim keys -> expected fill 1-(1-1/64)^600 ~ 1.0
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(300), pa.int64()),
+                    "o_totalprice": pa.array([500_000.0] * 300, pa.float64()),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        # fact keys disjoint from dim: every prefilter pass is a false
+        # positive
+        pq.write_table(
+            pa.table(
+                {"l_orderkey": pa.array(range(10_000, 10_500), pa.int64())}
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        row = joins.q_join_bloom(spark, str(tmp_path)).collect()[0]
+        fill0 = row["n_bits0"] / 64
+        fill1 = row["n_bits1"] / 64
+        pass_rate = row["n_prefilter_pass"] / 500
+        assert row["n_dim_keys"] == 300
+        assert fill0 > 0.95 and fill1 > 0.95, (fill0, fill1)
+        assert pass_rate > 0.9, pass_rate
+        assert row["n_matched"] == 0
+        assert row["n_false_pos"] == row["n_prefilter_pass"]
+
+    def test_production_m_stays_unsaturated_at_gate_scale(self, spark):
+        """Companion bound: at sf0.01 the production 2^20 filter's fill
+        must stay far from the alarm regime (the m-sizing rule's local
+        check)."""
+        from elric_rs_spark.operators import joins
+
+        row = joins.q_join_bloom(spark, "/root/testdata/sf0.01").collect()[0]
+        assert row["n_bits0"] / joins.BLOOM_M < 0.05
+        assert row["n_false_pos"] <= row["n_prefilter_pass"] * 0.05
