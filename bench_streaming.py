@@ -54,14 +54,15 @@ FLOOR_BY_MODE = {"json": FLOOR_BLOCKS_PER_SEC, "protobuf": 308.0}
 
 # Ingest-dedup mode floor: sf0.1 corpus (5,000 docs) through the
 # incremental near-dup probe in 10 id-ordered micro-batches. Round-8
-# calibration: 86.8 docs/s at load_1m ~4 and 69.7 at load ~1.5 with a
-# concurrent fixture-generation job — both LOADED boxes; the number is
-# dominated by per-epoch plan+probe fixed cost at this tiny 500-doc
-# batch size (real deliveries batch 100x more docs per epoch and
-# amortize it). The floor gates only on idle starts (load_1m < 1),
-# which measure above the loaded readings; 80 catches a >20%
-# regression there.
-DEDUP_FLOOR_DOCS_PER_SEC = 80.0
+# calibration across box states: 77.8 docs/s at a true idle start
+# (load 0.38), 70.9 at load 1.4, 86.8 at load ~4 (post-warm page
+# cache), 69.7 with a concurrent fixture-generation job — a 70-87
+# band, dominated by per-epoch plan+probe fixed cost at this tiny
+# 500-doc batch size (real deliveries batch 100x more docs per epoch
+# and amortize it). The floor gates only on idle starts (load_1m < 1);
+# 60 catches a >20% regression from the band's low end without false
+# FAILs inside it.
+DEDUP_FLOOR_DOCS_PER_SEC = 60.0
 DEDUP_N_BATCHES = 10
 
 
