@@ -145,6 +145,7 @@ HEADLINE = [
     # round-8 appends (same contract: never interleave into the prefix)
     "q_curation_v4",
     "q_dedup_stream_batch",
+    "q_split_leakage_safe",
 ]
 
 

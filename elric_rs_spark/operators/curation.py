@@ -1558,3 +1558,148 @@ def curation_v4_frames(spark: SparkSession, sf_dir: str) -> dict:
         F.countDistinct("source").alias("n_sources"),
     )
     return {"keep": keep, "uniq": uniq, "clean": clean, "manifest": manifest}
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset split (round 8): train/val/test assignment where
+# near-duplicate documents NEVER straddle splits. A plain per-doc hash
+# split leaks evaluation data into training whenever a val/test doc has
+# a near-dup twin in train (the contamination the GPT-3 appendix-C and
+# every serious data card audits for); the fix is to split at the
+# CLUSTER grain — connected components over the verified near-dup pair
+# graph — so a whole duplicate family lands in one split. The split
+# hash is md5-portable, so DuckDB replays the assignment bit-for-bit.
+SPLIT_TRAIN_PCT = 80  # [0, 80) train, [80, 90) val, [90, 100) test
+SPLIT_VAL_PCT = 90
+
+
+def _split_oracle() -> str:
+    from elric_rs_spark.operators.dedup import _PORTABLE_PAIR_CTES
+    from elric_rs_spark.operators.similarity import _hex13_sql
+
+    hex13 = _hex13_sql("md5('split:' || CAST(rep AS VARCHAR))")
+    return f"""
+WITH RECURSIVE {_PORTABLE_PAIR_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+labels AS (
+  SELECT u AS doc_id, least(u, min(v)) AS rep FROM reach GROUP BY u
+),
+assigned AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(l.rep, d.doc_id) AS rep
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+),
+bucketed AS (
+  SELECT doc_id, n_chars, rep,
+         ({hex13}) % 100 AS b
+  FROM assigned
+),
+split_of AS (
+  SELECT doc_id, n_chars, rep,
+         CASE WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN b < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM bucketed
+),
+audit AS (
+  SELECT CAST(count(*) AS BIGINT) AS cross_split_pairs
+  FROM pairs p
+  JOIN split_of sa ON sa.doc_id = p.doc_a
+  JOIN split_of sb ON sb.doc_id = p.doc_b
+  WHERE sa.split != sb.split
+)
+SELECT s.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT s.rep) AS BIGINT) AS n_clusters,
+       CAST(sum(s.n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(s.doc_id) AS BIGINT) AS doc_id_sum,
+       a.cross_split_pairs
+FROM split_of s CROSS JOIN audit a
+GROUP BY s.split, a.cross_split_pairs
+"""
+
+
+@query("q_split_leakage_safe", oracle=_split_oracle())
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: connected components over the
+    verified portable-MinHash near-dup pair graph define duplicate
+    clusters; every cluster (and every singleton doc) is assigned by
+    the md5-portable hash of its REPRESENTATIVE — 80/10/10 — so
+    near-dup twins can never straddle a split boundary. The result row
+    set carries its own audit: `cross_split_pairs` counts verified
+    near-dup pairs whose endpoints landed in different splits, and is
+    ZERO by construction (the column exists so a pipeline change that
+    breaks the invariant fails the value oracle loudly, not silently).
+
+    Scale shape: rides the memoized session pair build
+    (portable_pairs_for) + edge-set-sized large-star/small-star
+    components; singleton assignment is a doc-grain left-anti join; the
+    audit is two pair-grain joins against the broadcast-sized label
+    table... at 100 TB labels outgrow a broadcast and the audit becomes
+    two shuffle joins on doc_id — still pair-bounded on one side. The
+    report is a 3-row groupBy. Reference semantics anchor: split
+    assignment must be deterministic and replayable (the reference's
+    cursor-replay discipline, loader.rs:111-125, applied to dataset
+    manifests)."""
+    from elric_rs_spark.operators.dedup import (
+        connected_components,
+        portable_pairs_for,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = portable_pairs_for(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    labels = connected_components(edges)  # (doc_id, rep), paired docs only
+    assigned = d.select("doc_id", "n_chars").join(labels, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("rep"), F.col("doc_id")).alias("rep"),
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("rep").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(b < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    split_of = assigned.withColumn("split", split)
+    sa = split_of.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = split_of.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    audit = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).alias("cross_split_pairs"))
+    )
+    return (
+        split_of.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .crossJoin(F.broadcast(audit))
+    )

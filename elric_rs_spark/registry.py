@@ -69,9 +69,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Round-9 rotation plan (write-ahead, exact keys so execution is
 # mechanical; any round-9 registrations go FIRST, displacing the tail):
 # (a) the 5 round-4 spill keys: q_sim_lsh_portable, q_sim_ivf_portable,
-# q_embed_outlier, q_udf_pandas, q_mix_rebalance, plus any round-4
+# q_embed_outlier, q_udf_pandas, q_mix_rebalance, plus the round-4
 # keys displaced from this round's tail by round-8 registrations
-# (currently: q_kmeans_assign, q_pq_encode);
+# (q_sim_topk, q_kmeans_assign, q_pq_encode);
 # (b) the round-5 full-oracle cohort in registration order:
 # q_join_salted, q_join_multiway, q_join_semi, q_join_anti,
 # q_agg_tpch1, q_window_rank, q_window_frame, q_stream_window,
@@ -85,6 +85,7 @@ GRADING_ORDER: list[str] = [
     # (a) round-8 registrations, never driver-graded
     "q_curation_v4",
     "q_dedup_stream_batch",
+    "q_split_leakage_safe",
     # (b) remaining round-3 full-oracle keys (stalest in registry)
     "q_embed_centroid",
     "q_multimodal_audio",
@@ -134,10 +135,9 @@ GRADING_ORDER: list[str] = [
     "q_dedup_keep_best",
     "q_dedup_clusters_portable",
     "q_dedup_simhash_portable",
-    "q_sim_topk",
-    # ---- exactly 50 entries: the window ends at q_sim_topk ----
-    # (q_kmeans_assign, q_pq_encode displaced to round 9 by the two
-    # round-8 registrations above)
+    # ---- exactly 50 entries: the window ends here ----
+    # (q_sim_topk, q_kmeans_assign, q_pq_encode displaced to round 9
+    # by the three round-8 registrations above)
 ]
 
 

@@ -42,7 +42,7 @@ def test_first_50_covers_never_graded_registrations():
     slots; their value contracts are carried by graded portable
     twins)."""
     front = list(registry.QUERIES)[:50]
-    never_graded = {"q_curation_v4", "q_dedup_stream_batch"}
+    never_graded = {"q_curation_v4", "q_dedup_stream_batch", "q_split_leakage_safe"}
     evicted = never_graded - set(front)
     assert not evicted, f"evicted from the 50-query grading window: {evicted}"
     rows_only = [q for q in front if q not in registry.ORACLES]
