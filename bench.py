@@ -359,6 +359,17 @@ def main() -> None:
     canary_ratio = (
         round(min(canary_start, canary_end) / anchor, 2) if anchor else None
     )
+    # min() picks the faster half, so a box that is slow for only half
+    # the suite can still over-attribute drift to code for queries that
+    # ran in the slow half. canary_spread makes that self-diagnosing:
+    # spread > ~1.3 means the two halves disagree and the single ratio
+    # is not a valid whole-suite correction (interpretation contract in
+    # BASELINE.md).
+    canary_spread = (
+        round(max(canary_start, canary_end) / min(canary_start, canary_end), 2)
+        if anchor
+        else None
+    )
     prefix = suite[:COMMON17_N]
     common17 = (
         round(sum(timings[q] for q in prefix), 3)
@@ -387,6 +398,7 @@ def main() -> None:
                 "canary_start_sec": canary_start,
                 "canary_end_sec": canary_end,
                 "canary_ratio": canary_ratio,
+                "canary_spread": canary_spread,
                 "load_1m_start": load_start,
                 "load_1m_end": round(os.getloadavg()[0], 2),
             }

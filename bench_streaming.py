@@ -91,10 +91,15 @@ def run_dedup_mode(load_start: float) -> None:
         per = (n + DEDUP_N_BATCHES - 1) // DEDUP_N_BATCHES
         landing = f"{d}/landing"
         os.makedirs(landing)
+        # strictly increasing mtimes: FileStreamSource orders by mtime,
+        # not name; same-mtime files could deliver out of id order
+        t_mt = time.time()
         for b in range(DEDUP_N_BATCHES):
             chunk = docs.iloc[b * per : (b + 1) * per]
             if len(chunk):
-                chunk.to_parquet(f"{landing}/batch_{b:04d}.parquet", index=False)
+                p = f"{landing}/batch_{b:04d}.parquet"
+                chunk.to_parquet(p, index=False)
+                os.utime(p, (t_mt + b, t_mt + b))
         t0 = time.monotonic()
         index = run_ingest_dedup_stream(
             spark, landing, f"{d}/state", f"{d}/ckpt"

@@ -1703,3 +1703,295 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(audit))
     )
+
+
+# ---------------------------------------------------------------------------
+# curation v5 (round 9, VERDICT r08 #3): the COMPLETE pretraining data
+# pipeline as ONE plan — v4's four stages EXTENDED with the two
+# cluster-grain stages a shippable data card cites: portable near-dup
+# CLUSTER drop (connected components over the verified MinHash pair
+# graph; keep the lowest-id survivor per duplicate family) and
+# leakage-safe train/val/test split assignment at the SAME cluster
+# grain (q_split_leakage_safe's rule), so packing happens per split and
+# the manifest carries its own zero-cross-split audit column.
+#
+#   classifier keep -> exact dedup -> near-dup cluster drop ->
+#   decontaminate -> leakage-safe split -> per-split shard packing
+#
+# Stage ORDER is part of the contract (near-dup drop runs BEFORE
+# decontamination, so the cluster minimum is taken over exact-dedup
+# survivors, not post-decon survivors); both engines implement the same
+# order, so the oracle replays bit-for-bit.
+
+
+def _curation_v5_oracle() -> str:
+    from elric_rs_spark.operators.dedup import _PORTABLE_PAIR_CTES
+    from elric_rs_spark.operators.similarity import _hex13_sql
+
+    split_md5 = "md5('split:' || CAST(rep AS VARCHAR))"
+    split_b = f"({_hex13_sql(split_md5)}) % 100"
+    split_case = f"""CASE WHEN {split_b} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {split_b} < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END"""
+    return f"""
+WITH RECURSIVE {_PORTABLE_PAIR_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+labels AS (
+  SELECT u AS doc_id, least(u, min(v)) AS rep FROM reach GROUP BY u
+),
+qtoks AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+w AS (
+  SELECT printf('%02x', i) AS bucket,
+         ({_qlogit_hex13("md5('w' || printf('%02x', i))")}) % {QLOGIT_SPAN}
+           - 1000 AS w_mnat
+  FROM range(0, {QLOGIT_BUCKETS}) t(i)
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(w.w_mnat) AS BIGINT) AS logit_sum
+  FROM qtoks t JOIN w ON w.bucket = substr(md5(t.tok), 1, 2)
+  GROUP BY t.doc_id
+),
+keep AS (
+  SELECT doc_id, n_toks FROM scored
+  WHERE (logit_sum - ((logit_sum % n_toks + n_toks) % n_toks)) // n_toks >= 0
+),
+kept AS (
+  SELECT d.doc_id, d.source, md5(d.text) AS h, k.n_toks
+  FROM documents d JOIN keep k USING (doc_id)
+),
+uniq AS (
+  SELECT source, h, min(doc_id) AS doc_id, min(n_toks) AS n_toks
+  FROM kept GROUP BY source, h
+),
+u2 AS (
+  SELECT u.doc_id, u.source, u.n_toks, COALESCE(l.rep, u.doc_id) AS rep
+  FROM uniq u LEFT JOIN labels l ON l.doc_id = u.doc_id
+),
+nodup AS (
+  SELECT doc_id, source, n_toks, rep FROM (
+    SELECT u2.*, min(doc_id) OVER (PARTITION BY rep) AS keep_min FROM u2
+  ) WHERE doc_id = keep_min
+),
+dgrams AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+3], ' ')
+                        FOR i IN range(1, len(t) - 2)])) AS g4
+  FROM toks WHERE len(t) >= 4
+),
+bench AS (SELECT DISTINCT g4 FROM dgrams WHERE doc_id % 97 = 0),
+flagged AS (
+  SELECT DISTINCT gr.doc_id FROM dgrams gr JOIN bench USING (g4)
+  WHERE gr.doc_id % 97 != 0
+),
+clean AS (
+  SELECT n.doc_id, n.source, n.n_toks, n.rep FROM nodup n
+  WHERE n.doc_id % 97 != 0
+    AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = n.doc_id)
+),
+split_of AS (
+  SELECT doc_id, source, n_toks, {split_case} AS split FROM clean
+),
+packed AS (
+  SELECT doc_id, source, n_toks, split,
+         CAST((sum(n_toks) OVER (PARTITION BY split ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_toks) // {V3_SHARD_TOKENS}
+           AS BIGINT) AS shard_id
+  FROM split_of
+),
+lsplit AS (SELECT doc_id, {split_case} AS split FROM labels),
+audit AS (
+  SELECT CAST(count(*) AS BIGINT) AS cross_split_pairs
+  FROM pairs p
+  JOIN lsplit sa ON sa.doc_id = p.doc_a
+  JOIN lsplit sb ON sb.doc_id = p.doc_b
+  WHERE sa.split != sb.split
+)
+SELECT p.split, p.shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       a.cross_split_pairs
+FROM packed p CROSS JOIN audit a
+GROUP BY p.split, p.shard_id, a.cross_split_pairs
+"""
+
+
+@query("q_curation_v5", oracle=_curation_v5_oracle())
+def q_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete pretraining-data pipeline in ONE Catalyst plan:
+    hashed-classifier keep (mean logit >= 0) -> exact-duplicate collapse
+    per source (md5(text), keep-lowest-id) -> NEAR-DUP CLUSTER DROP
+    (connected components over the verified portable-MinHash pair graph;
+    only the lowest-id exact-dedup survivor of each duplicate family
+    survives) -> benchmark decontamination (word-4-gram probe against
+    the ``doc_id % 97 == 0`` pseudo-benchmark) -> LEAKAGE-SAFE SPLIT
+    (train/val/test hashed at the cluster-representative grain, 80/10/10
+    — near-dup twins can never straddle a split) -> greedy token-budget
+    shard packing PER SPLIT in doc_id order -> per-(split, shard)
+    manifest carrying the zero-cross-split audit column. This is the
+    artifact a data card cites end-to-end (VERDICT r08 #3).
+
+    Scale shape: stages 1-4 are v4's shapes (broadcast weight join +
+    one doc-grain groupBy; broadcast benchmark gram probe — no corpus
+    shuffle); the cluster stages ride the memoized session pair build
+    (portable_pairs_for) + edge-set-sized star contraction; the
+    cluster-min filter is ONE window over the pair-bounded rep key; the
+    split column is pure row arithmetic; packing reuses v4's
+    per-bucket parallel cumsum with the offset table partitioned by
+    split (3x |docs|/1000 rows, broadcast back). Exact integers and
+    md5-portable hashes end to end, so DuckDB replays the whole DAG
+    bit-for-bit.
+
+    Reference semantics anchor: deterministic, replayable manifests —
+    the reference's cursor-replay discipline (loader.rs:111-125)
+    applied to the dataset-card artifact."""
+    return curation_v5_frames(spark, sf_dir)["manifest"]
+
+
+def curation_v5_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The v5 DAG's stage-boundary frames for per-stage cost accounting
+    (tools/curation_dryrun.py --v5): 'uniq' (after v4 stages 1-2),
+    'nodup' (after near-dup cluster drop), 'clean' (after
+    decontamination), 'manifest' (per-(split, shard) report — what
+    q_curation_v5 returns). Production materializes only the manifest
+    plan."""
+    from pyspark.sql import Window
+
+    from elric_rs_spark.functions.hashing import word_ngrams
+    from elric_rs_spark.operators.dedup import (
+        connected_components,
+        portable_pairs_for,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # stages 1-2 (classifier keep + exact-dedup collapse): v4's frames
+    uniq = curation_v4_frames(spark, sf_dir)["uniq"]
+    # stage 3: near-dup cluster drop at the exact-dedup-survivor grain
+    pairs = portable_pairs_for(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    labels = connected_components(edges)  # (doc_id, rep), paired docs only
+    u2 = (
+        uniq.join(labels, "doc_id", "left")
+        .withColumn("rep", F.coalesce(F.col("rep"), F.col("doc_id")))
+    )
+    wmin = Window.partitionBy("rep")
+    nodup = (
+        u2.withColumn("keep_min", F.min("doc_id").over(wmin))
+        .filter(F.col("doc_id") == F.col("keep_min"))
+        .drop("keep_min")
+    )
+    # stage 4: benchmark decontamination (v4's broadcast gram probe)
+    grams4 = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 4))).alias("g4"),
+    )
+    bench = grams4.filter(F.col("doc_id") % 97 == 0).select("g4").distinct()
+    flagged = (
+        grams4.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g4")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = nodup.filter(F.col("doc_id") % 97 != 0).join(
+        flagged, "doc_id", "left_anti"
+    )
+
+    # stage 5: leakage-safe split at the cluster-representative grain
+    def _split_col(rep_col):
+        b = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split:"), rep_col.cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        return (
+            F.when(b < SPLIT_TRAIN_PCT, F.lit("train"))
+            .when(b < SPLIT_VAL_PCT, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    split_of = clean.withColumn("split", _split_col(F.col("rep"))).drop("rep")
+    # stage 6: per-split token-budget packing (v4's parallel bucketed
+    # cumsum, partitioned by split)
+    bucketed = split_of.withColumn(
+        "bucket", F.expr(f"doc_id div {V4_PACK_BUCKET_SPAN}")
+    )
+    wloc = (
+        Window.partitionBy("split", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn(
+        "local_excl", F.sum("n_toks").over(wloc) - F.col("n_toks")
+    )
+    woff = (
+        Window.partitionBy("split")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("split", "bucket")
+        .agg(F.sum("n_toks").alias("bucket_tokens"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("bucket_tokens").over(woff), F.lit(0))
+        )
+        .select("split", "bucket", "offset")
+    )
+    packed = local.join(F.broadcast(offsets), ["split", "bucket"]).withColumn(
+        "shard_id",
+        F.expr(f"(offset + local_excl) div {V3_SHARD_TOKENS}").cast("long"),
+    )
+    # the in-manifest leakage audit: every verified pair's endpoints
+    # share a rep, hence a split — zero by construction, loud if broken
+    lsplit = labels.withColumn("split", _split_col(F.col("rep")))
+    audit = (
+        pairs.join(
+            lsplit.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            lsplit.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("cross_split_pairs"))
+    )
+    manifest = (
+        packed.groupBy("split", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .crossJoin(F.broadcast(audit))
+    )
+    return {
+        "uniq": uniq,
+        "nodup": nodup.select("doc_id", "source", "n_toks"),
+        "clean": clean.select("doc_id", "source", "n_toks"),
+        "manifest": manifest,
+    }

@@ -38,11 +38,22 @@ def shuffle_partitions_for(sf_dir: str, cpus: str | int | None = None) -> int:
     is targeting ~100-200 MB of shuffle data per task."""
     cpus = int(cpus or CPUS)
     try:
-        total = sum(
-            os.path.getsize(os.path.join(sf_dir, f))
-            for f in os.listdir(sf_dir)
-            if f.endswith(".parquet")
-        )
+        total = 0
+        for f in os.listdir(sf_dir):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(sf_dir, f)
+            if os.path.isdir(p):
+                # Spark-written dataset: foo.parquet/ is a DIRECTORY and
+                # getsize would return the ~4KB inode size, silently
+                # disengaging the spill fix — sum the part files instead
+                total += sum(
+                    os.path.getsize(os.path.join(root, name))
+                    for root, _, names in os.walk(p)
+                    for name in names
+                )
+            else:
+                total += os.path.getsize(p)
     except OSError:
         return cpus
     return max(cpus, total // _PARQUET_BYTES_PER_PARTITION)

@@ -2987,3 +2987,39 @@ class TestBloomNearSaturationAudit:
         row = joins.q_join_bloom(spark, "/root/testdata/sf0.01").collect()[0]
         assert row["n_bits0"] / joins.BLOOM_M < 0.05
         assert row["n_false_pos"] <= row["n_prefilter_pass"] * 0.05
+
+
+class TestShufflePartitionsFor:
+    """session.shuffle_partitions_for must see the real parquet bytes for
+    BOTH layouts — flat files (the testdata shape) and Spark-written
+    directory datasets (foo.parquet/ with part files), where a naive
+    getsize reads the ~4KB directory inode and the sf10 spill fix would
+    silently disengage (ADVICE r8)."""
+
+    def test_flat_file_layout(self, tmp_path):
+        from elric_rs_spark.session import (
+            _PARQUET_BYTES_PER_PARTITION,
+            shuffle_partitions_for,
+        )
+
+        (tmp_path / "t.parquet").write_bytes(b"x" * (40 << 20))
+        got = shuffle_partitions_for(str(tmp_path), cpus=2)
+        assert got == max(2, (40 << 20) // _PARQUET_BYTES_PER_PARTITION)
+
+    def test_directory_dataset_layout(self, tmp_path):
+        from elric_rs_spark.session import (
+            _PARQUET_BYTES_PER_PARTITION,
+            shuffle_partitions_for,
+        )
+
+        d = tmp_path / "t.parquet"
+        (d / "sub").mkdir(parents=True)
+        (d / "part-00000.snappy.parquet").write_bytes(b"x" * (24 << 20))
+        (d / "sub" / "part-00001.snappy.parquet").write_bytes(b"x" * (16 << 20))
+        got = shuffle_partitions_for(str(tmp_path), cpus=2)
+        assert got == max(2, (40 << 20) // _PARQUET_BYTES_PER_PARTITION)
+
+    def test_missing_dir_falls_back_to_cpus(self):
+        from elric_rs_spark.session import shuffle_partitions_for
+
+        assert shuffle_partitions_for("/nonexistent/dir", cpus=7) == 7

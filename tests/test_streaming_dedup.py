@@ -28,6 +28,23 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def _write_landing_batches(pdf, landing, n_batches, per):
+    """One parquet file per micro-batch with STRICTLY INCREASING mtimes:
+    Spark's FileStreamSource orders by modification time, not name, and
+    rapidly-written files can share an mtime — which would deliver
+    batches out of order and trip the watermark guard."""
+    import os
+    import time
+
+    t0 = time.time()
+    for b in range(n_batches):
+        chunk = pdf.iloc[b * per : (b + 1) * per]
+        if len(chunk):
+            p = landing / f"batch_{b:04d}.parquet"
+            chunk.to_parquet(p, index=False)
+            os.utime(p, (t0 + b, t0 + b))
+
+
 def test_stream_equals_batch(spark, tmp_path):
     """Full corpus through 4 id-ordered micro-batches == the batch
     verdict query, value-exact (including rounded Jaccard)."""
@@ -43,10 +60,7 @@ def test_stream_equals_batch(spark, tmp_path):
     # one parquet FILE per micro-batch, written in id order; file names
     # sort in delivery order so maxFilesPerTrigger=1 tails them 0,1,2,3
     pdf = docs.toPandas()
-    for b in range(N_BATCHES):
-        chunk = pdf.iloc[b * per : (b + 1) * per]
-        if len(chunk):
-            chunk.to_parquet(landing / f"batch_{b:04d}.parquet", index=False)
+    _write_landing_batches(pdf, landing, N_BATCHES, per)
 
     index = run_ingest_dedup_stream(
         spark,
@@ -99,6 +113,36 @@ def test_replayed_epoch_is_absorbed(spark, tmp_path):
     assert _rows(idx.read_verdicts(spark)) == before
 
 
+def test_partial_commit_replay_is_absorbed(spark, tmp_path):
+    """Crash window BETWEEN the gram-store append and the watermark
+    write: the replayed epoch (epoch_id != last_epoch, so the
+    short-circuit does not fire) re-reads its own batch docs from the
+    gram store while also unioning grams_b. Without the union dedup,
+    ga holds two rows per batch doc, same-batch candidate pairs join
+    twice, and a divergent double-counted verdict row survives
+    read_verdicts().distinct(). The replay must be value-absorbed:
+    identical verdicts, exactly one row per doc_id."""
+    idx = IngestDedupIndex(str(tmp_path / "state"))
+    idx.process_batch(_mk_batch(spark, [(0, DUP_TEXT)]), epoch_id=0)
+    with open(idx._watermark_path) as f:
+        wm_committed = f.read()
+    # batch 1 has a SAME-BATCH dup pair (1,2) — the pair class that
+    # double-counts when ga duplicates batch docs
+    b1 = _mk_batch(spark, [(1, DUP_TEXT), (2, DUP_TEXT)])
+    idx.process_batch(b1, epoch_id=1)
+    clean = _rows(idx.read_verdicts(spark))
+    assert [r[:3] for r in clean] == [(1, 1, 0), (2, 2, 0)]
+    # simulate the crash: all three stores hold epoch-1 rows, but the
+    # watermark still says epoch 0 -> foreachBatch redelivers epoch 1
+    with open(idx._watermark_path, "w") as f:
+        f.write(wm_committed)
+    idx.process_batch(b1, epoch_id=1)
+    replayed = _rows(idx.read_verdicts(spark))
+    assert replayed == clean
+    ids = [r[0] for r in replayed]
+    assert len(ids) == len(set(ids)), "divergent duplicate verdict rows"
+
+
 def test_out_of_order_batch_rejected(spark, tmp_path):
     """Arrival order is the equivalence precondition; a batch whose ids
     regress below the watermark must fail loudly, not corrupt state."""
@@ -139,10 +183,7 @@ def test_verdicts_match_oracle_sql(spark, tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()
     per = (len(pdf) + 1) // 2
-    for b in range(2):
-        chunk = pdf.iloc[b * per : (b + 1) * per]
-        if len(chunk):
-            chunk.to_parquet(landing / f"batch_{b:04d}.parquet", index=False)
+    _write_landing_batches(pdf, landing, 2, per)
     index = run_ingest_dedup_stream(
         spark, str(landing), str(tmp_path / "state"), str(tmp_path / "ckpt")
     )
@@ -158,3 +199,44 @@ def test_verdicts_match_oracle_sql(spark, tmp_path):
     assert [g[:3] for g in got] == [w[:3] for w in want]
     for g, w in zip(got, want):
         assert g[3] == pytest.approx(w[3], abs=1e-6)
+
+
+def test_index_probe_prunes_partitions(spark, tmp_path):
+    """VERDICT r08 #2: the persisted band index is BUCKETED
+    (pbucket=K/ directory partitions on pmod(xxhash64(band, sig), N));
+    the per-batch probe reads it through an isin PartitionFilter, so
+    untouched bucket directories never leave disk. Gate BOTH halves:
+    the filter appears as a PartitionFilter on the scan, and the pruned
+    read returns exactly the touched buckets' rows."""
+    from elric_rs_spark.plans.inspect import formatted_plan
+    from elric_rs_spark.streaming.ingest_dedup import N_INDEX_BUCKETS
+
+    idx = IngestDedupIndex(str(tmp_path / "state"))
+    # 40 distinct texts -> band signatures spread across many pbuckets
+    rows = [
+        (i, f"unique document number {i} with body " + " ".join(
+            f"w{i}x{j}" for j in range(12)))
+        for i in range(40)
+    ]
+    idx.process_batch(_mk_batch(spark, rows), epoch_id=0)
+    all_pb = sorted(
+        r[0]
+        for r in spark.read.parquet(idx.index_path)
+        .select("pbucket").distinct().collect()
+    )
+    assert len(all_pb) > 4, f"fixture spread too narrow: {all_pb}"
+    probe_pb = all_pb[:2]
+    probed = idx.read_index(spark, pbuckets=probe_pb)
+    fp = formatted_plan(probed)
+    part_lines = [ln for ln in fp.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "pbucket" in part_lines[0], fp
+    # value half: pruned read == full read filtered to the same buckets
+    full = spark.read.parquet(idx.index_path)
+    want = (
+        full.filter(full.pbucket.isin([int(b) for b in probe_pb]))
+        .select("band", "sig", "doc_id").distinct()
+    )
+    assert _rows(probed) == _rows(want)
+    assert probed.count() > 0
+    # sanity: bucket ids stay in range
+    assert all(0 <= b < N_INDEX_BUCKETS for b in all_pb)

@@ -8,7 +8,9 @@ status-store REST API, diffed per run. The deltas between cumulative
 rows are the honest per-stage cost estimates; the manifest row is the
 production number.
 
-Usage: python tools/curation_dryrun.py [sf_dir]
+Usage: python tools/curation_dryrun.py [sf_dir] [--v5]
+--v5 measures the q_curation_v5 DAG instead (v4 + near-dup cluster
+drop + leakage-safe split + per-split packing, VERDICT r08 #3).
 Prints one human table and one JSON line (recorded in DEPLOY.md).
 """
 
@@ -23,6 +25,7 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = ["keep", "uniq", "clean", "manifest"]
+STAGES_V5 = ["uniq", "nodup", "clean", "manifest"]
 
 
 def _rest_totals(port: int, app_id: str) -> dict:
@@ -41,7 +44,9 @@ def _rest_totals(port: int, app_id: str) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf3"
+    args = [a for a in sys.argv[1:] if a != "--v5"]
+    v5 = "--v5" in sys.argv[1:]
+    sf_dir = args[0] if args else ".scratch/sf3"
     load_start = round(os.getloadavg()[0], 2)
 
     from pyspark.sql import SparkSession
@@ -56,13 +61,25 @@ def main() -> None:
         .config("spark.ui.enabled", "true")  # the REST metrics source
         .config("spark.ui.port", "4049")
         .config("spark.sql.session.timeZone", "UTC")
+        # match the engine session (session.py): the v5 DAG broadcasts
+        # the benchmark gram set, which outgrows the 1g driver default
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId
     port = int(spark.sparkContext.uiWebUrl.rsplit(":", 1)[-1])
 
-    from elric_rs_spark.operators.curation import curation_v4_frames
+    from elric_rs_spark.operators.curation import (
+        curation_v4_frames,
+        curation_v5_frames,
+    )
+
+    frames_fn = curation_v5_frames if v5 else curation_v4_frames
+    stages = STAGES_V5 if v5 else STAGES
 
     # warmup: pay scan/JIT once so stage deltas compare plan work
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -70,8 +87,33 @@ def main() -> None:
     rows = []
     prev = _rest_totals(port, app_id)
     prev_wall = 0.0
-    for stage in STAGES:
-        frames = curation_v4_frames(spark, sf_dir)  # fresh plan per run
+    shared_frames = None
+    if v5:
+        # v5's frames construction EAGERLY runs the memoized pair build
+        # + connected components (localCheckpoint per star round) —
+        # real work that must be on the books. Time it as its own row;
+        # the stage writes then share the checkpointed labels, which is
+        # exactly the production execution shape (one plan).
+        t0 = time.perf_counter()
+        shared_frames = frames_fn(spark, sf_dir)
+        wall = round(time.perf_counter() - t0, 2)
+        cur = _rest_totals(port, app_id)
+        d = {k: cur[k] - prev[k] for k in cur}
+        rows.append(
+            {
+                "stage": "pair_cc_build",
+                "cum_wall_sec": wall,
+                "delta_wall_sec": wall,
+                "shuffle_write_mb": round(d["shuffle_write_bytes"] / 1e6, 1),
+                "shuffle_read_mb": round(d["shuffle_read_bytes"] / 1e6, 1),
+                "shuffle_write_records": d["shuffle_write_records"],
+                "input_mb": round(d["input_bytes"] / 1e6, 1),
+            }
+        )
+        prev = cur
+    for stage in stages:
+        # v4: fresh plan per run; v5: shared frames (see above)
+        frames = shared_frames if v5 else frames_fn(spark, sf_dir)
         t0 = time.perf_counter()
         frames[stage].write.format("noop").mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 2)
@@ -103,7 +145,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "curation_v4_dryrun",
+                "metric": "curation_v5_dryrun" if v5 else "curation_v4_dryrun",
                 "sf_dir": sf_dir,
                 "stages": rows,
                 "load_1m_start": load_start,
