@@ -146,6 +146,16 @@ HEADLINE = [
     "q_curation_v4",
     "q_dedup_stream_batch",
     "q_split_leakage_safe",
+    # round-9 appends (VERDICT r08 #6: the heaviest sweep-only keys —
+    # a per-query regression in these was previously invisible to the
+    # driver BENCH row because they rode only the 219-key sweep's
+    # aggregate timing) + the round-9 registration
+    "q_agg_approx_portable",
+    "q_pagerank",
+    "q_dedup_minhash_portable",
+    "q_dedup_clusters_portable",
+    "q_curation_v2",
+    "q_curation_v5",
 ]
 
 

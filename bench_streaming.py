@@ -67,16 +67,22 @@ DEDUP_N_BATCHES = 10
 
 
 def run_dedup_mode(load_start: float) -> None:
-    """`bench_streaming.py dedup [sf_dir]`: the ingest-time near-dup
-    stage (streaming/ingest_dedup.py) over the documents corpus split
-    into id-ordered micro-batches — the stream twin of
-    q_dedup_stream_batch, benched at delivery granularity."""
+    """`bench_streaming.py dedup [sf_dir] [n_batches]`: the ingest-time
+    near-dup stage (streaming/ingest_dedup.py) over the documents
+    corpus split into id-ordered micro-batches — the stream twin of
+    q_dedup_stream_batch, benched at delivery granularity. n_batches
+    sets the delivery granularity: 10 (default) measures the per-epoch
+    fixed-cost regime; 1 over a >=50k-doc corpus measures the MARGINAL
+    per-doc cost (VERDICT r08 #2). The JSON carries the per-epoch
+    index-growth curve (probe wall vs persisted state size) — the
+    number that predicts 100 TB probe cost."""
     import tempfile as _tf
 
     from elric_rs_spark.session import get_spark
     from elric_rs_spark.streaming.ingest_dedup import run_ingest_dedup_stream
 
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else DEDUP_N_BATCHES
     spark = get_spark("elric_rs_spark_dedup_bench")
     spark.sparkContext.setLogLevel("ERROR")
     d = _tf.mkdtemp(prefix="elric_dbench_")
@@ -88,13 +94,13 @@ def run_dedup_mode(load_start: float) -> None:
             .toPandas()
         )
         n = len(docs)
-        per = (n + DEDUP_N_BATCHES - 1) // DEDUP_N_BATCHES
+        per = (n + n_batches - 1) // n_batches
         landing = f"{d}/landing"
         os.makedirs(landing)
         # strictly increasing mtimes: FileStreamSource orders by mtime,
         # not name; same-mtime files could deliver out of id order
         t_mt = time.time()
-        for b in range(DEDUP_N_BATCHES):
+        for b in range(n_batches):
             chunk = docs.iloc[b * per : (b + 1) * per]
             if len(chunk):
                 p = f"{landing}/batch_{b:04d}.parquet"
@@ -108,6 +114,9 @@ def run_dedup_mode(load_start: float) -> None:
         n_verdicts = index.read_verdicts(spark).count()
         dps = round(n / wall, 1)
         idle = load_start < 1.0
+        # the floor is calibrated at the default granularity only; a
+        # different n_batches changes the fixed/marginal mix
+        gate_armed = idle and n_batches == DEDUP_N_BATCHES
         print(
             json.dumps(
                 {
@@ -115,20 +124,21 @@ def run_dedup_mode(load_start: float) -> None:
                     "value": dps,
                     "unit": "docs/sec",
                     "n_docs": n,
-                    "n_batches": DEDUP_N_BATCHES,
+                    "n_batches": n_batches,
                     "n_verdicts": n_verdicts,
                     "wall_sec": round(wall, 2),
+                    "epochs": index.epoch_stats,
                     "load_1m_start": load_start,
                     "load_1m_end": round(os.getloadavg()[0], 2),
                     "floor_gate": (
                         ("pass" if dps >= DEDUP_FLOOR_DOCS_PER_SEC else "FAIL")
-                        if idle
-                        else "not-enforced (loaded box)"
+                        if gate_armed
+                        else "not-enforced (loaded box or non-default batching)"
                     ),
                 }
             )
         )
-        if idle and dps < DEDUP_FLOOR_DOCS_PER_SEC:
+        if gate_armed and dps < DEDUP_FLOOR_DOCS_PER_SEC:
             sys.exit(2)
     finally:
         shutil.rmtree(d, ignore_errors=True)
