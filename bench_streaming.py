@@ -75,14 +75,19 @@ def run_dedup_mode(load_start: float) -> None:
     fixed-cost regime; 1 over a >=50k-doc corpus measures the MARGINAL
     per-doc cost (VERDICT r08 #2). The JSON carries the per-epoch
     index-growth curve (probe wall vs persisted state size) — the
-    number that predicts 100 TB probe cost."""
+    number that predicts 100 TB probe cost. A trailing `--compact` arg
+    runs `IngestDedupIndex.compact_state` after the stream and records
+    the fold wall + per-store (files_before, files_after) — the
+    delivery-count file-growth lever (one file per touched bucket per
+    epoch until the fold collapses it)."""
     import tempfile as _tf
 
     from elric_rs_spark.session import get_spark
     from elric_rs_spark.streaming.ingest_dedup import run_ingest_dedup_stream
 
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else DEDUP_N_BATCHES
+    pos = [a for a in sys.argv[2:] if not a.startswith("--")]
+    sf_dir = pos[0] if len(pos) > 0 else "/root/testdata/sf0.1"
+    n_batches = int(pos[1]) if len(pos) > 1 else DEDUP_N_BATCHES
     spark = get_spark("elric_rs_spark_dedup_bench")
     spark.sparkContext.setLogLevel("ERROR")
     d = _tf.mkdtemp(prefix="elric_dbench_")
@@ -111,6 +116,14 @@ def run_dedup_mode(load_start: float) -> None:
             spark, landing, f"{d}/state", f"{d}/ckpt"
         )
         wall = time.monotonic() - t0
+        compact_stats = None
+        if "--compact" in sys.argv:
+            t_c = time.monotonic()
+            folds = index.compact_state(spark)
+            compact_stats = {
+                "fold_wall_sec": round(time.monotonic() - t_c, 2),
+                **{k: list(v) for k, v in folds.items()},
+            }
         n_verdicts = index.read_verdicts(spark).count()
         dps = round(n / wall, 1)
         idle = load_start < 1.0
@@ -127,6 +140,7 @@ def run_dedup_mode(load_start: float) -> None:
                     "n_batches": n_batches,
                     "n_verdicts": n_verdicts,
                     "wall_sec": round(wall, 2),
+                    "compact": compact_stats,
                     "epochs": index.epoch_stats,
                     "load_1m_start": load_start,
                     "load_1m_end": round(os.getloadavg()[0], 2),

@@ -1799,23 +1799,41 @@ def substring_coverage(d: DataFrame) -> DataFrame:
 # exact BIGINT micro-component arithmetic, so every stage is
 # bit-identical in DuckDB.
 #
-# Band width is CORPUS-ADAPTIVE: bits = clamp(ceil(log2(n / 16)), 4, 14)
-# over a 56-plane signature, so the expected bucket load stays ~16
-# vectors at every corpus size and candidate generation stays LINEAR in
-# n. The first cut fixed bits=4 (16 buckets per band): fine at the
-# grading scales, but the round-5 sf1 decade measured it at 86x wall
-# for 10x data — 200k vectors / 16 buckets = 12.5k-vector buckets and a
-# quadratic pair explosion. Fixed-parameter LSH is quadratic at SOME
-# scale; the scale-correct form derives the parameter from the corpus
-# (inside the plan — a one-row count broadcast, no driver round-trip),
-# exactly like a production index sizes its hash tables. A deterministic
-# 256-member bucket cap (lowest vec_ids kept, replayed by the oracle)
-# bounds the worst case even past the 14-bit ceiling.
+# Band width is CORPUS-ADAPTIVE: bits = clamp(ceil(log2(n / 16)), 4, 24),
+# so the expected bucket load stays ~16 vectors at every corpus size and
+# candidate generation stays LINEAR in n. The first cut fixed bits=4
+# (16 buckets per band): fine at the grading scales, but the round-5 sf1
+# decade measured it at 86x wall for 10x data — 200k vectors / 16
+# buckets = 12.5k-vector buckets and a quadratic pair explosion.
+# Fixed-parameter LSH is quadratic at SOME scale; the scale-correct form
+# derives the parameter from the corpus (inside the plan — a one-row
+# count broadcast, no driver round-trip), exactly like a production
+# index sizes its hash tables.
+#
+# ROUND-9 sf30 finding: the original form packed all 4 tables' keys into
+# ONE 56-bit BIGINT signature, which silently capped bits at 56/4 = 14 —
+# and past the ceiling (n > 2^14 * 16 = 262k vectors, first crossed at
+# sf30's 600k) bucket occupancy grows with n again and pair volume goes
+# QUADRATIC (measured: ~8M capped candidate pairs at sf10 -> 74.5M at
+# sf30, 9.3x for 3x data). The fix drops the single-BIGINT pack: each
+# table's key is aggregated DIRECTLY over its own plane slice
+# (key_t = sum of [dot_{t*bits+j} >= 0] << j), so the width cap is now
+# per-TABLE (24 bits = 268M expected vectors per table before the next
+# ceiling — and lifting it further is one constant). Plane work is
+# corpus-adaptive too: only tables*bits of the PDLSH_MAX_PLANES seed
+# family are computed (56 planes at sf10, 64 at sf30, 16 at the grading
+# scales — the md5 (p, d) seed family is unchanged, so keys, candidates
+# and output are bit-identical to the packed form wherever bits <= 14).
+# A deterministic 256-member bucket cap (lowest vec_ids kept, replayed
+# by the oracle) still bounds pathological buckets.
 PDLSH_TABLES = 4
-PDLSH_PLANES = 56          # 4 bands x up to 14 bits
 PDLSH_TARGET_BUCKET = 16   # expected vectors per band-bucket
 PDLSH_MIN_BITS = 4
-PDLSH_MAX_BITS = 14
+PDLSH_MAX_BITS = 24        # per-table key width (was 14: the 4x14=56-bit pack ceiling)
+PDLSH_MAX_PLANES = PDLSH_TABLES * PDLSH_MAX_BITS
+# legacy alias: the planted pure-Python twin (tests/test_scale_patterns)
+# packs sigs over all seed planes, then slices — value-identical
+PDLSH_PLANES = PDLSH_MAX_PLANES
 PDLSH_BUCKET_CAP = 256
 
 # bits = smallest b in [MIN, MAX] with (1 << b) * TARGET_BUCKET >= n,
@@ -1853,30 +1871,29 @@ WITH comp AS (
   FROM embeddings, range(1, 65) t(i)
   WHERE i <= len(embedding)
 ),
+nb AS (
+  SELECT {_PDLSH_BITS_SQL} AS bits
+  FROM embeddings
+),
 w AS (
   SELECT p, i AS d,
          CASE WHEN strpos('01234567', substring(md5(p || '#' || i), 1, 1)) > 0
               THEN 1 ELSE -1 END AS w
-  FROM range(0, {PDLSH_PLANES}) pp(p), range(1, 65) t(i)
+  FROM range(0, {PDLSH_MAX_PLANES}) pp(p), range(1, 65) t(i), nb
+  WHERE p < {PDLSH_TABLES} * nb.bits
 ),
 dots AS (
   SELECT c.vec_id, w.p, SUM(c.micro * w.w) AS dot
   FROM comp c JOIN w ON w.d = c.d
   GROUP BY c.vec_id, w.p
 ),
-sig AS (
-  SELECT vec_id,
-         SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
-  FROM dots GROUP BY vec_id
-),
-nb AS (
-  SELECT {_PDLSH_BITS_SQL} AS bits
-  FROM embeddings
-),
 bands AS (
-  SELECT vec_id, t,
-         (sig >> (nb.bits * t)) & ((CAST(1 AS BIGINT) << nb.bits) - 1) AS key
-  FROM sig, range(0, {PDLSH_TABLES}) tt(t), nb
+  SELECT d.vec_id, d.p // nb.bits AS t,
+         SUM(CASE WHEN d.dot >= 0
+                  THEN (CAST(1 AS BIGINT) << CAST(d.p % nb.bits AS INT))
+                  ELSE 0 END) AS key
+  FROM dots d, nb
+  GROUP BY d.vec_id, d.p // nb.bits
 ),
 members AS (
   SELECT vec_id, t, key,
@@ -1929,60 +1946,61 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine touches candidates only, final top-20 is TakeOrdered —
     with the band width derived IN-PLAN from the corpus size (one-row
     count broadcast; see the PDLSH constants comment for the measured
-    sf1 quadratic blow-up that fixed bits=4 produced) and a
-    deterministic PDLSH_BUCKET_CAP guard on pathological buckets."""
+    sf1 quadratic blow-up that fixed bits=4 produced, and the round-9
+    sf30 pack-ceiling finding that moved key aggregation per-TABLE) and
+    a deterministic PDLSH_BUCKET_CAP guard on pathological buckets."""
     from elric_rs_spark.operators.similarity import EMB_DIM, _micro_comp
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
     comp = _micro_comp(e)
-    # 56-plane md5 ±1-sign weight table (same (p, d) seed family as the
-    # 16-plane _plsh_bands signature; planes 0..15 coincide)
+    # corpus-adaptive band width, derived inside the plan by integer
+    # threshold counting (see PDLSH_BIT_THRESHOLDS — no cross-engine libm)
+    nb = e.agg(_pdlsh_bits_col().alias("bits"))
+    # md5 ±1-sign weight table (same (p, d) seed family as the 16-plane
+    # _plsh_bands signature; planes 0..15 coincide), trimmed IN-PLAN to
+    # the tables*bits planes this corpus actually needs
     dims = spark.range(1, EMB_DIM + 1).select(F.col("id").alias("d"))
-    planes = spark.range(PDLSH_PLANES).select(F.col("id").cast("int").alias("p"))
+    planes = spark.range(PDLSH_MAX_PLANES).select(
+        F.col("id").cast("int").alias("p")
+    )
     sign_src = F.md5(
         F.concat(F.col("p").cast("string"), F.lit("#"), F.col("d").cast("string"))
     )
-    w = planes.crossJoin(dims).select(
-        "p",
-        "d",
-        F.when(
-            F.substring(sign_src, 1, 1).isin(*"01234567"), F.lit(1)
-        ).otherwise(F.lit(-1)).cast("long").alias("w"),
+    w = (
+        planes.crossJoin(dims)
+        .select(
+            "p",
+            "d",
+            F.when(
+                F.substring(sign_src, 1, 1).isin(*"01234567"), F.lit(1)
+            ).otherwise(F.lit(-1)).cast("long").alias("w"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("p") < F.lit(PDLSH_TABLES) * F.col("bits"))
+        .select("p", "d", "w")
     )
     dots = (
         comp.join(F.broadcast(w), "d")
         .groupBy("vec_id", "p")
         .agg(F.sum(F.col("micro") * F.col("w")).alias("dot"))
     )
-    sig = dots.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("sig")
-    )
-    # corpus-adaptive band width, derived inside the plan by integer
-    # threshold counting (see PDLSH_BIT_THRESHOLDS — no cross-engine libm)
-    nb = e.agg(_pdlsh_bits_col().alias("bits"))
+    # per-table key aggregated DIRECTLY over the table's plane slice
+    # (key_t bit j = sign of plane t*bits+j) — no single-BIGINT
+    # signature pack, hence no 4*bits <= 63 width ceiling
     bands = (
-        sig.crossJoin(F.broadcast(nb))
-        .select(
-            "vec_id",
-            F.explode(
-                F.array(*[F.lit(t) for t in range(PDLSH_TABLES)])
-            ).alias("t"),
-            "sig",
-            "bits",
-        )
-        .select(
-            "vec_id",
-            "t",
-            F.expr(
-                "shiftrightunsigned(sig, CAST(bits * t AS INT)) & "
-                "(shiftleft(CAST(1 AS BIGINT), CAST(bits AS INT)) - 1)"
-            ).alias("key"),
+        dots.crossJoin(F.broadcast(nb))
+        .groupBy("vec_id", F.expr("p div bits").cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") >= 0,
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(p % bits AS INT))"
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("key")
         )
     )
     from pyspark.sql import Window as _W

@@ -733,8 +733,21 @@ def _hex13_sql(expr: str) -> str:
 def _micro_comp(e: DataFrame) -> DataFrame:
     """(vec_id, d, micro): 1-based dimension index, component scaled to
     exact integer micro-units — BIGINT from here on, so every downstream
-    sum is order-independent and engine-exact."""
-    return e.select(
+    sum is order-independent and engine-exact.
+
+    The input is repartitioned on vec_id BEFORE the explode: parallelism
+    of every downstream expansion (the 64x dim fan-out, then plane/anchor
+    fan-outs of 16-900x) must never key off the WRITER's file/row-group
+    layout. The round-9 sf30 decade caught exactly that: embeddings
+    parquet written as ONE row group put the whole 2.15B-row 56-plane
+    expansion of q_dedup_embed_lsh_portable into a single task (53+ min
+    on one core before the kill; 21 of 22 scan splits were empty). The
+    exchange moved is just the raw (vec_id, embedding) rows — orders of
+    magnitude smaller than what it parallelizes — and branching plans
+    share it via ReusedExchange. Partition count = the session's
+    data-proportional spark.sql.shuffle.partitions (session.py rule)."""
+    n_parts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return e.repartition(n_parts, "vec_id").select(
         "vec_id", F.posexplode(F.col("embedding")).alias("pos", "val")
     ).select(
         "vec_id",

@@ -45,6 +45,13 @@ Crash replay: every append is epoch-tagged and every read
 de-duplicates, so a replayed foreachBatch epoch (deterministic
 recompute) is absorbed — the SummingMart idempotency pattern
 (streaming/mart.py).
+
+Long-run maintenance: appends leave one file per touched bucket per
+EPOCH, so probe file-count grows with delivery count; ``compact_state``
+(round 9) folds the stores back to one file per bucket between
+deliveries — the routine part-merge every long-lived streaming table
+needs. Replay-safe without a fold watermark because all three stores
+hold membership facts absorbed by the readers' distinct().
 """
 
 from __future__ import annotations
@@ -73,6 +80,10 @@ from elric_rs_spark.operators.dedup import (
 # of index rows, so a batch probe reads |touched buckets| ~ batch-band
 # count files, independent of total index size).
 N_INDEX_BUCKETS = 64
+
+# reserved epoch id stamped on compaction-folded rows (the SummingMart
+# convention, streaming/mart.py); real foreachBatch epochs are >= 0
+COMPACTED_EPOCH = -1
 
 INDEX_SCHEMA = StructType(
     [
@@ -354,6 +365,87 @@ class IngestDedupIndex:
                 "grams_bytes_before": grams_bytes_before,
             }
         )
+
+
+    # -- table maintenance ----------------------------------------------
+    def compact_state(self, spark: SparkSession) -> dict:
+        """Fold the epoch-appended stores: band index to ONE file per
+        pbucket, gram store and verdicts to ~128 MB-target files.
+
+        Why a long-lived pipeline needs this: every epoch appends at
+        most one file per TOUCHED bucket, so after E deliveries a probe
+        that partition-prunes to B buckets still opens O(B*E) files —
+        footer reads and scan planning grow with delivery count even
+        though the pruned BYTES stay batch-proportional. Folding
+        restores O(B) files per probe. Run it between deliveries (e.g.
+        every N epochs); at 100 TB this is the routine part-merge every
+        streaming table needs (plans/compaction.py rationale).
+
+        Why it is replay-safe WITHOUT SummingMart's watermark dance
+        (mart.py:69-91): index/gram/verdict rows are MEMBERSHIP FACTS,
+        not summed partials — every reader distincts or dropDuplicates,
+        so a crash-replayed epoch appending duplicate rows after a fold
+        is absorbed exactly as before, and the fold itself only
+        collapses physical duplicates. The ingest watermark file is
+        untouched, so the ordering guard and the committed-epoch
+        short-circuit behave identically. NOT safe concurrently with an
+        active writer on the same base_dir (same contract as
+        SummingMart.compact)."""
+        import math
+        import shutil
+
+        stats: dict = {}
+        fold_epoch = F.lit(int(COMPACTED_EPOCH))
+
+        def _n_files(path: str) -> int:
+            return sum(
+                1
+                for root, _d, names in os.walk(path)
+                for n in names
+                if n.endswith(".parquet")
+            )
+
+        if os.path.isdir(self.index_path):
+            before = _n_files(self.index_path)
+            folded = (
+                spark.read.schema(INDEX_SCHEMA)
+                .parquet(self.index_path)
+                .dropDuplicates(["band", "sig", "doc_id"])
+                .withColumn("epoch_id", fold_epoch)
+            )
+            tmp = f"{self.index_path}__compact"
+            # hash-partition on the layout key: each pbucket lands in
+            # exactly one task -> exactly one file per bucket dir (the
+            # same file-count rule as the process_batch append)
+            (
+                folded.repartition("pbucket")
+                .write.mode("overwrite")
+                .partitionBy("pbucket")
+                .parquet(tmp)
+            )
+            # atomic-enough swap for a local fs (mart.py convention);
+            # an object store would write a versioned prefix + manifest
+            shutil.rmtree(self.index_path)
+            shutil.move(tmp, self.index_path)
+            stats["index_files"] = (before, _n_files(self.index_path))
+
+        for path, key, label in (
+            (self.grams_path, ["doc_id"], "grams_files"),
+            (self.verdicts_path, ["doc_id"], "verdicts_files"),
+        ):
+            if not os.path.isdir(path):
+                continue
+            before = _n_files(path)
+            df = spark.read.parquet(path).dropDuplicates(key)
+            if "epoch_id" in df.columns:
+                df = df.withColumn("epoch_id", fold_epoch)
+            n_out = max(1, math.ceil(self._state_bytes(path) / (128 << 20)))
+            tmp = f"{path}__compact"
+            df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path)
+            shutil.move(tmp, path)
+            stats[label] = (before, _n_files(path))
+        return stats
 
 
 def run_ingest_dedup_stream(

@@ -240,3 +240,58 @@ def test_index_probe_prunes_partitions(spark, tmp_path):
     assert probed.count() > 0
     # sanity: bucket ids stay in range
     assert all(0 <= b < N_INDEX_BUCKETS for b in all_pb)
+
+
+def test_compaction_folds_files_and_preserves_semantics(spark, tmp_path):
+    """compact_state (round 9): fold the epoch-appended stores to one
+    file per pbucket (index) without changing ANY observable state.
+    Twin protocol: index A is compacted mid-stream, index B never is;
+    after the same three epochs their verdicts and memberships must be
+    value-identical, A's post-fold file count must equal its pbucket
+    dir count, and a replayed committed epoch must still be absorbed."""
+    import os
+
+    def _pq_files(path):
+        return [
+            os.path.join(r, n)
+            for r, _d, ns in os.walk(path)
+            for n in ns
+            if n.endswith(".parquet")
+        ]
+
+    batches = [
+        [(0, DUP_TEXT), (1, DUP_TEXT)],
+        [(2, DUP_TEXT), (3, "completely different words here entirely")],
+        [(4, DUP_TEXT), (5, "another unrelated body of fresh tokens")],
+    ]
+    a = IngestDedupIndex(str(tmp_path / "a"))
+    b = IngestDedupIndex(str(tmp_path / "b"))
+    for e, rows in enumerate(batches[:2]):
+        a.process_batch(_mk_batch(spark, rows), epoch_id=e)
+        b.process_batch(_mk_batch(spark, rows), epoch_id=e)
+
+    files_before = len(_pq_files(a.index_path))
+    stats = a.compact_state(spark)
+    # one file per touched pbucket directory
+    n_dirs = sum(
+        1 for d in os.listdir(a.index_path) if d.startswith("pbucket=")
+    )
+    assert stats["index_files"] == (files_before, n_dirs)
+    assert len(_pq_files(a.index_path)) == n_dirs
+    # fold changed no observable state
+    assert _rows(a.read_verdicts(spark)) == _rows(b.read_verdicts(spark))
+    assert _rows(a.read_index(spark)) == _rows(b.read_index(spark))
+    assert _rows(a.read_grams(spark)) == _rows(b.read_grams(spark))
+
+    # the pipeline keeps working: epoch 2 on both, same verdicts
+    a.process_batch(_mk_batch(spark, batches[2]), epoch_id=2)
+    b.process_batch(_mk_batch(spark, batches[2]), epoch_id=2)
+    va, vb = _rows(a.read_verdicts(spark)), _rows(b.read_verdicts(spark))
+    assert va == vb
+    assert len(va) >= 2, "fixture produced too few dup verdicts: vacuous"
+
+    # crash-replay of a committed epoch AFTER a fold is still absorbed
+    a.compact_state(spark)
+    before = _rows(a.read_verdicts(spark))
+    a.process_batch(_mk_batch(spark, batches[2]), epoch_id=2)
+    assert _rows(a.read_verdicts(spark)) == before
