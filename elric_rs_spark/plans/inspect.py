@@ -95,3 +95,31 @@ def count_shuffles(df: DataFrame) -> int:
             physical_plan(df),
         )
     )
+
+
+def broadcast_exchange_inputs(df: DataFrame) -> list[list[str]]:
+    """Column-name lists of every BroadcastExchange node's input, parsed
+    from the formatted plan's detail sections. The 100 TB gate built on
+    this: NO broadcast may carry a per-row corpus column (a per-vector
+    or per-doc id) — a broadcast table must be dimension-, aggregate-,
+    or constant-sized, never corpus-proportional (the round-9 embed-LSH
+    norm-broadcast cliff, VERDICT r9 #3)."""
+    import re
+
+    out: list[list[str]] = []
+    lines = formatted_plan(df).splitlines()
+    for i, line in enumerate(lines):
+        if not re.match(r"^\(\d+\) BroadcastExchange", line.strip()):
+            continue
+        for j in range(i + 1, min(i + 4, len(lines))):
+            detail = lines[j].strip()
+            if detail.startswith("Input"):
+                body = detail.split(":", 1)[1].strip().strip("[]")
+                cols = [
+                    re.sub(r"#\d+L?", "", c.strip())
+                    for c in body.split(",")
+                    if c.strip()
+                ]
+                out.append(cols)
+                break
+    return out

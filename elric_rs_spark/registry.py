@@ -61,8 +61,32 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # union governs, per the r7-established rule).
 # Rows-only keys (q_dedup_clusters, q_multimodal, ...) stay excluded
 # per the portable-twin policy.
-# Round-10 rotation plan (write-ahead, exact keys so execution is
-# mechanical; any round-10 registrations go FIRST, displacing the
+# Round-11 rotation plan (write-ahead, exact keys so execution is
+# mechanical; any round-11 registrations go FIRST, displacing the
+# tail): (a) the 9 keys whose latest grading after round 10 dates to
+# round 6, in registration order: q_dedup_winnow,
+# q_sim_ivf_trained_portable, q_mmr_diversify,
+# q_dedup_embed_lsh_portable, q_dedup_cross_source, q_quality_logit,
+# q_quality_calibration, q_token_budget_mix, q_curation_v3;
+# (b) the round-7 full-oracle cohort in registration order (first 41
+# of the 50: q_sketch_intersect, q_chisq_independence, q_join_bloom,
+# q_scd2_history, q_sample_priority, q_subquery_scalar,
+# q_subquery_bigorders, q_subquery_idlerich, q_topk, q_setops,
+# q_distinct, q_topk_sharded, q_scalar_string, q_scalar_date,
+# q_scalar_math, q_scalar_json, q_decode_props, q_explode_pos,
+# q_scalar_regex, q_scalar_array, q_topk_cursor, q_cursor_latest,
+# q_profile, q_tfidf, q_quality_repetition, q_doclen_trim,
+# q_vocab_oov, q_entropy_filter, q_lm_bigram, q_bpe_learn,
+# q_bpe_apply, q_keyword_textrank, q_dedup_minhash_portable,
+# q_embed_quantize, q_sim_pq_search, q_sim_ivfpq, q_embed_rp,
+# q_dedup_bloom, q_dedup_recall_eval, q_nucleus_curation,
+# q_graph_kcore — and onward in registration order until the 50
+# slots fill: q_graph_linkpred, q_zorder_layout, q_shard_rendezvous,
+# q_markov_transitions, q_assoc_rules, q_attribution,
+# q_time_weighted_avg, q_lttb_downsample, q_seasonal_decompose).
+#
+# Round-10 rotation plan (EXECUTED below, written ahead in round 9;
+# any round-10 registrations go FIRST, displacing the
 # tail): (a) the 9 round-5 keys this window displaces:
 # q_substring_dedup, q_pii_scrub, q_url_dedup, q_importance_weight,
 # q_c4_filter, q_curation_v2, q_pagerank, q_graph_triangles,
@@ -80,62 +104,63 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # q_token_pretokenize, q_winnow_fingerprint (and onward in
 # registration order until the 50 slots fill).
 GRADING_ORDER: list[str] = [
-    # (a) round-9 registration, never driver-graded
-    "q_curation_v5",
-    # (b) the 8 round-4-stale keys (freshness contract closers)
-    "q_sim_lsh_portable",
-    "q_sim_ivf_portable",
-    "q_embed_outlier",
-    "q_udf_pandas",
-    "q_mix_rebalance",
-    "q_sim_topk",
-    "q_kmeans_assign",
-    "q_pq_encode",
-    # (c) round-5 cohort, registration order (first 41 of 50)
-    "q_window_rank",
-    "q_window_frame",
-    "q_stream_window",
-    "q_session_window",
-    "q_filter_msgtype",
-    "q_sink_roundtrip",
-    "q_agg_tpch1",
-    "q_groupby_count",
-    "q_revenue_forecast",
-    "q_unpivot",
-    "q_sketch_cms",
-    "q_join_broadcast",
-    "q_join_multiway",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_outer",
-    "q_join_salted",
-    "q_volume_shipping",
-    "q_market_share",
-    "q_returned_items",
-    "q_latest_per_key",
-    "q_sessionize",
-    "q_join_interval",
-    "q_rolling_active",
-    "q_ewma",
-    "q_sample_stratified",
-    "q_priority_waiting",
-    "q_small_qty_revenue",
-    "q_excess_supplier",
-    "q_waiting_suppliers",
-    "q_skyline",
-    "q_lm_score",
-    "q_ngram_novelty",
-    "q_bm25",
-    "q_bigram_pmi",
-    "q_dedup_containment",
-    "q_sim_recall",
-    "q_sim_ivf_curve",
-    "q_embed_norm",
-    "q_dedup_semantic",
-    "q_passage_dedup",
+    # ROUND-10 window — executes the round-10 write-ahead above to the
+    # letter (no round-10 registrations, so the 50 slots are exactly
+    # (a) the 9 round-5-stale keys + (b) the first 41 of the round-6
+    # full-oracle cohort in registration order).
+    # (a) freshness-contract closers: latest rows date to round 5
+    "q_substring_dedup",
+    "q_pii_scrub",
+    "q_url_dedup",
+    "q_importance_weight",
+    "q_c4_filter",
+    "q_curation_v2",
+    "q_pagerank",
+    "q_graph_triangles",
+    "q_graph_labelprop",
+    # (b) round-6 full-oracle cohort, registration order
+    "q_window_sliding",
+    "q_window_dist",
+    "q_window_nth",
+    "q_window_range",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_stats",
+    "q_agg_groupsets",
+    "q_pivot",
+    "q_agg_percentile",
+    "q_agg_custdist",
+    "q_agg_topview",
+    "q_agg_concentration",
+    "q_agg_strings",
+    "q_top_supplier",
+    "q_sketch_union",
+    "q_sketch_quantile",
+    "q_join_fullouter",
+    "q_join_star",
+    "q_ship_priority",
+    "q_promo_share",
+    "q_join_asof",
+    "q_join_range",
+    "q_rollup_timebucket",
+    "q_funnel",
+    "q_retention",
+    "q_ohlc",
+    "q_anomaly",
+    "q_outlier_iqr",
+    "q_join_asof_forward",
+    "q_sample_hash",
+    "q_histogram",
+    "q_term_freq",
+    "q_fuzzy_match",
+    "q_split_train",
+    "q_pack_shards",
+    "q_pack_padding",
+    "q_subquery_exists",
+    "q_subquery_not_exists",
+    "q_token_pretokenize",
+    "q_winnow_fingerprint",
     # ---- exactly 50 entries: the window ends here ----
-    # (q_substring_dedup .. q_graph_labelprop displaced to round 10 by
-    # the q_curation_v5 registration; see the round-10 write-ahead)
 ]
 
 

@@ -151,9 +151,24 @@ class IngestDedupIndex:
         os.replace(tmp, self._watermark_path)
 
     # -- persisted-state readers (replay-absorbing) --------------------
+    @staticmethod
+    def _guard_missing(path: str) -> None:
+        """ADVICE r9 crash-consistency guard: a missing store with a
+        compaction sibling on disk means compact_state died mid-swap —
+        the state EXISTS (in __compact and/or __old) and reading it as
+        empty would silently lose dedup history. Fail loudly instead."""
+        for suffix in ("__compact", "__old"):
+            if os.path.isdir(path + suffix):
+                raise RuntimeError(
+                    f"store {path} is missing but {path + suffix} exists: "
+                    "compact_state was interrupted mid-swap; rename the "
+                    "sibling back into place before resuming ingest"
+                )
+
     def _read_or_empty(self, spark: SparkSession, path: str, schema) -> DataFrame:
         if os.path.isdir(path):
             return spark.read.schema(schema).parquet(path)
+        self._guard_missing(path)
         return spark.createDataFrame([], schema)
 
     def read_index(
@@ -177,6 +192,7 @@ class IngestDedupIndex:
                 .select("doc_id", "g")
                 .dropDuplicates(["doc_id"])
             )
+        self._guard_missing(self.grams_path)
         from pyspark.sql.types import ArrayType
 
         gs = StructType(
@@ -405,6 +421,21 @@ class IngestDedupIndex:
                 if n.endswith(".parquet")
             )
 
+        def _swap_in(tmp: str, dst: str) -> None:
+            """Crash-safe store swap (ADVICE r9): the old rmtree-then-move
+            left a window where the store path was MISSING and readers
+            silently treated the state as empty. Move the old dir aside
+            first, move tmp into place, then delete the aside copy — a
+            crash in any window leaves either the main dir intact or a
+            `__compact` sibling that _read_or_empty refuses to read past,
+            so lost-state can only fail LOUDLY, never silently."""
+            old = f"{dst}__old"
+            if os.path.isdir(old):
+                shutil.rmtree(old)  # leftover from a prior completed swap
+            os.rename(dst, old)
+            os.rename(tmp, dst)
+            shutil.rmtree(old)
+
         if os.path.isdir(self.index_path):
             before = _n_files(self.index_path)
             folded = (
@@ -423,27 +454,49 @@ class IngestDedupIndex:
                 .partitionBy("pbucket")
                 .parquet(tmp)
             )
-            # atomic-enough swap for a local fs (mart.py convention);
-            # an object store would write a versioned prefix + manifest
-            shutil.rmtree(self.index_path)
-            shutil.move(tmp, self.index_path)
+            # aside-swap (crash-safe; an object store would write a
+            # versioned prefix + manifest instead)
+            _swap_in(tmp, self.index_path)
             stats["index_files"] = (before, _n_files(self.index_path))
 
+        # verdicts dedup on ALL contract columns (ADVICE r9): keying on
+        # doc_id alone would silently collapse a divergent replayed
+        # verdict row — exactly the divergence read_verdicts().distinct()
+        # exists to surface — so compaction folds physical duplicates
+        # only and then ASSERTS one row per doc_id, failing loudly on a
+        # real divergence instead of picking an arbitrary winner.
         for path, key, label in (
             (self.grams_path, ["doc_id"], "grams_files"),
-            (self.verdicts_path, ["doc_id"], "verdicts_files"),
+            (
+                self.verdicts_path,
+                ["doc_id", "n_earlier_dups", "first_partner", "best_jaccard"],
+                "verdicts_files",
+            ),
         ):
             if not os.path.isdir(path):
                 continue
             before = _n_files(path)
             df = spark.read.parquet(path).dropDuplicates(key)
+            if label == "verdicts_files":
+                div = (
+                    df.groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .filter(F.col("n") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                if div:
+                    raise RuntimeError(
+                        f"verdict divergence for doc_id={div[0]['doc_id']}: "
+                        "a replayed epoch produced conflicting verdict rows; "
+                        "refusing to compact (inspect read_verdicts() output)"
+                    )
             if "epoch_id" in df.columns:
                 df = df.withColumn("epoch_id", fold_epoch)
             n_out = max(1, math.ceil(self._state_bytes(path) / (128 << 20)))
             tmp = f"{path}__compact"
             df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(path)
-            shutil.move(tmp, path)
+            _swap_in(tmp, path)
             stats[label] = (before, _n_files(path))
         return stats
 

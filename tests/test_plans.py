@@ -535,3 +535,44 @@ class TestKmvTwoLevelPlan:
             "WindowGroupLimit" in ln and "kmv_salt" in ln and "Partial" in ln
             for ln in lines
         ), f"{name}: no map-side bottom-K cap before the salted exchange"
+
+
+class TestNoCorpusBroadcast:
+    """VERDICT r9 #3 gate: a FORCED F.broadcast of a per-vector/per-doc
+    table is a scale cliff — fine at sf30 (~10 MB) but ~1 GB+ at 60M+
+    rows, with no AQE escape hatch because the hint overrides
+    statistics. With autoBroadcastJoinThreshold=-1 every remaining
+    BroadcastExchange in the initial plan is hint-forced, so the gate
+    is exact: none may carry a corpus id column (vec_id/doc_id). The
+    embed-dedup family is pinned because that's where the round-9
+    cliff lived (the deleted norms broadcast, dedup.py verify stage)."""
+
+    FAMILY = [
+        "q_dedup_embed_lsh_portable",
+        "q_dedup_embed_lsh",
+        "q_sim_lsh",
+        "q_dedup_semantic",
+        "q_dedup_cross_source",
+        "q_curation_full",
+    ]
+
+    @pytest.mark.parametrize("name", FAMILY)
+    def test_forced_broadcasts_carry_no_corpus_ids(self, spark, name):
+        from elric_rs_spark.plans.inspect import broadcast_exchange_inputs
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = QUERIES[name](spark, SF_DIR)
+            bad = [
+                cols
+                for cols in broadcast_exchange_inputs(df)
+                if any(c in ("vec_id", "doc_id", "vec_a", "vec_b", "doc_a", "doc_b") for c in cols)
+            ]
+            assert not bad, (
+                f"{name}: hint-forced broadcast of a corpus-keyed table "
+                f"(inputs {bad}) — a 100 TB plan cliff; compute the value "
+                "inline or drop the hint and let AQE decide"
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -36,14 +36,13 @@ def test_first_50_covers_never_graded_registrations():
     rotation): the union of ever-driver-graded keys closed at 216/216
     in round 7, so every key REGISTERED SINCE (i.e. with no driver row
     in any round) must occupy a grading slot — a new registration must
-    never re-open the never-graded tail. Round-9 additions listed
-    explicitly (the round-8 trio got its driver rows in
-    CORRECTNESS_r08, all green); extend this set when registering a
-    key in a future round. Every slot must also be oracle-backed (no
-    rows-only keys in slots; their value contracts are carried by
-    graded portable twins)."""
+    never re-open the never-graded tail. After round 9 the set is EMPTY
+    (q_curation_v5 got its green driver row in CORRECTNESS_r09 slot 1);
+    extend this set when registering a key in a future round. Every
+    slot must also be oracle-backed (no rows-only keys in slots; their
+    value contracts are carried by graded portable twins)."""
     front = list(registry.QUERIES)[:50]
-    never_graded = {"q_curation_v5"}
+    never_graded: set[str] = set()
     evicted = never_graded - set(front)
     assert not evicted, f"evicted from the 50-query grading window: {evicted}"
     rows_only = [q for q in front if q not in registry.ORACLES]
