@@ -344,54 +344,134 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_embed",
     oracle="""
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT
-  a.vec_id AS vec_a,
-  b.vec_id AS vec_b,
-  a.label,
-  round(list_dot_product(a.v, b.v)
-        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5)
-    AS cosine
-FROM e a JOIN e b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.4
+WITH comp AS (
+  SELECT vec_id, label, i AS d,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)
+),
+prods AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         SUM(a.micro * b.micro) AS sab,
+         SUM(a.micro * a.micro) AS saa,
+         SUM(b.micro * b.micro) AS sbb
+  FROM comp a JOIN comp b
+    ON a.label = b.label AND a.d = b.d AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id, a.label
+)
+SELECT vec_a, vec_b, label,
+       round(CAST(sab AS DOUBLE)
+             / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 5)
+         AS cosine
+FROM prods
+WHERE CAST(sab AS DOUBLE)
+      / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))) > 0.4
 """,
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (X15, threshold 0.4 — the synthetic
     embeddings top out at ~0.47 within-label cosine, so 0.4 yields a real
     non-empty result to value-check): candidate pairs from a blocking
-    key (label here; LSH bucket at scale — see similarity.py), cosine via
-    built-in array ops. The label-blocked join is the LSH-bucket join
-    shape: shuffle on the block key, pairs only within blocks."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    key (label here; LSH bucket at scale — see similarity.py), exact
+    cosine within each block.
+
+    ROUND-10 rewrite (the sf1 coverage run measured the old row-form
+    DNF > 480 s): within-block all-pairs is this query's SEMANTICS —
+    there is no sub-quadratic exact algorithm — but the old form paid
+    the quadratic as |block|^2 JOIN ROWS each evaluating an interpreted
+    zip_with cosine (~60k-row blocks at sf1 -> 1.8B pair rows -> DNF).
+    The rewrite pays it as BLAS FLOPs instead: one applyInPandas per
+    label block, micro-int components (exact BIGINT-in-double products
+    — every partial sum is an integer < 2^53, so float64 GEMM is EXACT
+    and order-independent), tiled A_tile @ B.T gram slices (tile rows
+    bounded so the transient slice stays ~256 MB at any block size),
+    threshold filter per tile. sf1: DNF -> seconds; the FLOP count is
+    still quadratic in block size — that is the operator's honest
+    contract (SemDeDup-style within-cluster verify); corpus-scale
+    near-dup belongs to the LSH-blocked twin below. At 100 TB a block
+    must fit one executor (64-dim micro rows: ~1 GB per 2M-vector
+    block); shard oversized blocks upstream (q_dedup_semantic's
+    SEMANTIC_CELL_CAP pattern).
+
+    Cross-engine exactness: identical integer sums on both sides, then
+    the same double ops in the same order (sab / (sqrt(saa) *
+    sqrt(sbb)), IEEE correctly-rounded), half-away-from-zero rounding
+    to 5dp mirroring SQL round()."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+    out_schema = StructType(
+        [
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("label", IntegerType()),
+            StructField("cosine", DoubleType()),
+        ]
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cosine = dot / (norm("a") * norm("b"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            F.round(cosine, 5).alias("cosine"),
-            cosine.alias("_raw"),
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "label": pd.Series(dtype="int32"),
+                "cosine": pd.Series(dtype="float64"),
+            }
         )
-        .filter(F.col("_raw") > 0.4)
-        .drop("_raw")
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        label = int(pdf["label"].iloc[0])
+        # micro-int components in float64: round half away from zero,
+        # matching Spark/DuckDB round() on doubles (np.round is half-even)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        t = m * 1e6
+        micro = np.where(t >= 0, np.floor(t + 0.5), np.ceil(t - 0.5))
+        nsq = (micro * micro).sum(axis=1)  # exact integer-valued doubles
+        rnorm = np.sqrt(nsq)
+        outs = []
+        tile = max(1, (256 << 20) // (8 * max(n, 1)))  # ~256 MB gram slices
+        for lo in range(0, n, tile):
+            hi = min(lo + tile, n)
+            sab = micro[lo:hi] @ micro.T  # exact: integer partials < 2^53
+            cos = sab / (rnorm[lo:hi, None] * rnorm[None, :])
+            ii, jj = np.nonzero(cos > 0.4)
+            keep = (ii + lo) < jj  # vec_a < vec_b by sorted position
+            ii, jj = ii[keep], jj[keep]
+            if len(ii):
+                c = cos[ii, jj]
+                r = np.where(
+                    c >= 0,
+                    np.floor(c * 1e5 + 0.5),
+                    np.ceil(c * 1e5 - 0.5),
+                ) / 1e5
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[ii + lo],
+                            "vec_b": ids[jj],
+                            "label": np.full(len(ii), label, dtype="int32"),
+                            "cosine": r,
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
     )
+    return e.groupBy("label").applyInPandas(block_pairs, out_schema)
 
 
 @query("q_dedup_embed_lsh")  # rows-only: LSH recall is approximate by design
