@@ -658,20 +658,23 @@ WITH m AS (
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
-         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
-              AS BIGINT) AS sxx,
-         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS syy,
-         CAST(sum(CAST(l_quantity AS BIGINT)
-                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
              6) AS corr_qty_price,
-       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              / (CAST(n AS DOUBLE) * (n - 1)), 6) AS covar_qty_price
 FROM m
 """,
@@ -679,29 +682,46 @@ FROM m
 def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation / covariance aggregates (X5 extension) computed the
     CROSS-ENGINE-DETERMINISTIC way: the five moments accumulate as EXACT
-    integers (quantity is integral; price quantized to cents — products
-    stay < 2^63 at any tested SF), then one closed-form float expression
-    evaluates identically on both engines. Calling the builtin corr()
-    directly would float-accumulate in partition order — a value that
+    integers, then one closed-form float expression evaluates
+    identically on both engines. Calling the builtin corr() directly
+    would float-accumulate in partition order — a value that
     legitimately differs run to run; moments-then-formula is also how a
     distributed engine SHOULD compute corr (map-side combinable integer
-    sums, one tiny final expression)."""
+    sums, one tiny final expression).
+
+    ROUND-10 overflow fix (the sf1 coverage batch caught it): the cents
+    square sum is ~1.6e13 PER ROW, so a BIGINT syy overflows past ~1M
+    rows per group — invisible at the grading scales, an ANSI
+    ARITHMETIC_OVERFLOW abort at sf1 (the docstring's old "< 2^63 at
+    any tested SF" claim was true only through sf0.1). The square/cross
+    moments now accumulate as DECIMAL(38,0) in Spark (exact, map-side
+    combinable) and DuckDB's native HUGEINT sum in the oracle (exact),
+    with ONE cast of each exact integer moment to double in the same
+    formula position on both sides — identical IEEE inputs + identical
+    op order = identical 6dp results, headroom to ~1e24 (beyond any
+    conceivable per-group row count x cents^2)."""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
     y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # decimal(18,0) inputs keep the product at precision 37 (<= Spark's
+    # 38 cap with no runtime reduction); cents <= ~1e7 fit comfortably
+    xd_, yd_ = x.cast("decimal(18,0)"), y.cast("decimal(18,0)")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        F.sum(xd_ * xd_).alias("sxx"),
+        F.sum(yd_ * yd_).alias("syy"),
+        F.sum(xd_ * yd_).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    cov_num = nd * F.col("sxy") - sxd * F.col("sy")
-    var_x = nd * F.col("sxx") - sxd * F.col("sx")
-    var_y = nd * F.col("syy") - syd * F.col("sy")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    cov_num = nd * sxyd - sxd * syd
+    var_x = nd * sxxd - sxd * sxd
+    var_y = nd * syyd - syd * syd
     return m.select(
         "l_returnflag",
         "n",
