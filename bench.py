@@ -393,27 +393,44 @@ def main() -> None:
     # sample shows whether anything ramped up mid-suite. Scalar summary
     # fields come AFTER "queries" so the driver's 2000-char stdout tail
     # always retains them (VERDICT r07 #3).
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "common17_sec": common17,
-                "common17_vs_r1": (
-                    round(common17 / R1_COMMON17_SEC, 3) if common17 else None
-                ),
-                "canary_start_sec": canary_start,
-                "canary_end_sec": canary_end,
-                "canary_ratio": canary_ratio,
-                "canary_spread": canary_spread,
-                "load_1m_start": load_start,
-                "load_1m_end": round(os.getloadavg()[0], 2),
-            }
+    payload = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "common17_sec": common17,
+        "common17_vs_r1": (
+            round(common17 / R1_COMMON17_SEC, 3) if common17 else None
+        ),
+        "canary_start_sec": canary_start,
+        "canary_end_sec": canary_end,
+        "canary_ratio": canary_ratio,
+        "canary_spread": canary_spread,
+        "load_1m_start": load_start,
+        "load_1m_end": round(os.getloadavg()[0], 2),
+    }
+    # The driver stores only the LAST 2000 chars of stdout, which
+    # truncates the suite PREFIX — the entire common-17 and the
+    # similarity-family headlines — out of the recorded queries dict,
+    # blinding per-query envelope checks for ~50 keys (VERDICT r10
+    # wrong #3). Persist the FULL payload to a repo file the recorded
+    # row can reference; full_json_path is emitted after "queries" so
+    # tail truncation never eats the pointer. Driver-scale full-suite
+    # runs only (a subset/decade run must never clobber the canonical
+    # per-round record).
+    if suite is HEADLINE:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"
         )
-    )
+        try:
+            with open(full_path, "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=False)
+                fh.write("\n")
+            payload["full_json_path"] = "BENCH_FULL_LATEST.json"
+        except OSError:
+            payload["full_json_path"] = None  # read-only checkout: stdout only
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

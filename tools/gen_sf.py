@@ -8,13 +8,21 @@ per-key fan-outs, and group cardinalities exactly (each replica is the
 original universe under a key shift). Two tables get a per-replica
 TRANSFORM so similarity structure scales instead of degenerating:
 
-- documents: replica r>0 applies a deterministic vocabulary
-  permutation (word -> vocab[(i + r*7) % V]). Word-frequency shape and
-  within-replica dup structure are preserved; across replicas the
-  permuted texts are far apart, so near-dup pair counts grow linearly
-  with the corpus (10 identical copies of every doc would instead grow
-  candidate pairs 45x and turn the dedup family into a different
-  benchmark).
+- documents: replica r>0 applies a deterministic AFFINE vocabulary
+  permutation (word i -> vocab[(a*i + b) % V] with a coprime to V).
+  Word-frequency shape and within-replica dup structure are preserved;
+  across replicas the permuted texts are far apart (two distinct
+  affine maps agree on at most ONE word), so near-dup pair counts grow
+  linearly with the corpus (10 identical copies of every doc would
+  instead grow candidate pairs 45x and turn the dedup family into a
+  different benchmark). The affine family gives V*phi(V) distinct
+  permutations (930 for the driver's 31-word vocab) — the round-10
+  verdict caught the old shift-only form (i + r*7) cycling every V
+  replicas, so sf10+ corpora repeated texts verbatim (dup factor 3.23
+  at factor 100) and gram-sharing queries (q_decontaminate,
+  q_dedup_containment) inflated ~10x/decade from FIXTURE duplication,
+  not plan growth. The generator asserts the no-repeat bound and the
+  output dup factor.
 - embeddings: replica r>0 multiplies each dimension by an
   (r, d)-derived ±1 sign. Norms and per-dim magnitude distributions
   are exactly preserved; directions decorrelate across replicas.
@@ -116,11 +124,28 @@ def generate(factor: int, src: str, out: str) -> None:
     base_doc = dtbl.column("doc_id").to_pylist()
     base_lang = dtbl.column("lang").to_pylist()
     base_src = dtbl.column("source").to_pylist()
+    from math import gcd
+
+    # affine permutation family over the vocab ring: replica r maps
+    # word i -> (a_r * i + b_r) % v. b cycles fastest (pure shifts for
+    # r < v, so small factors keep the old scheme's zero-fixed-point
+    # geometry); a steps through the units of Z_v beyond that. Distinct
+    # (a, b) pairs = distinct permutations, so texts never repeat for
+    # factor <= v * phi(v) (930 at v=31); two distinct maps agree on at
+    # most one word (affine difference has <= 1 fixed point), keeping
+    # cross-replica Jaccard ~1/(2v-1) — far below near-dup thresholds.
+    units = [a for a in range(1, v) if gcd(a, v) == 1]
+    assert factor <= v * len(units), (
+        f"factor {factor} exceeds the {v * len(units)} distinct affine "
+        f"permutations of a {v}-word vocab — texts would repeat verbatim "
+        "and re-inflate gram-family decade ratios (VERDICT r10 wrong #5)"
+    )
     for r in range(factor):
         if r == 0:
-            perm = None
+            perm = None  # (a, b) = (1, 0): identity, the source replica
         else:
-            perm = {w: vocab[(i + r * 7) % v] for w, i in idx.items()}
+            a, b = units[r // v], r % v
+            perm = {w: vocab[(a * i + b) % v] for w, i in idx.items()}
         for did, t, lg, sc in zip(base_doc, texts, base_lang, base_src):
             nt = t if perm is None else " ".join(perm[w] for w in t.split(" "))
             doc_ids.append(did + r * n_doc)
@@ -139,7 +164,18 @@ def generate(factor: int, src: str, out: str) -> None:
         f"{outp}/documents.parquet",
     )
     assert len(doc_ids) == sizes["documents"] * factor
-    print(f"documents: {len(doc_ids)} rows (vocab {v})")
+    # injective per-replica renames preserve within-replica dup structure
+    # and add NO cross-replica repeats, so the output dup factor must
+    # equal the source's (the old shift-cycle form measured 3.23 at
+    # factor 100 — fixture duplication masquerading as data)
+    src_dup = con.sql(
+        f"select count(*)*1.0/count(distinct text) FROM read_parquet('{src}/documents.parquet')"
+    ).fetchone()[0]
+    out_dup = con.sql(
+        f"select count(*)*1.0/count(distinct text) FROM read_parquet('{outp}/documents.parquet')"
+    ).fetchone()[0]
+    assert abs(out_dup - src_dup) < 1e-9, (out_dup, src_dup)
+    print(f"documents: {len(doc_ids)} rows (vocab {v}, dup factor {out_dup:.4f})")
 
     # embeddings: per-replica ±1 sign flip per dimension
     tbl = pq.read_table(f"{src}/embeddings.parquet")
