@@ -398,36 +398,37 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: per part, the best supplier under a correlated
     extremum (Q2's min(ps_supplycost); here max account balance over a
     deterministic part-supplier affinity since the synthetic schema has
-    no partsupp table). The decorrelated plan is the point: compute the
-    per-part extremum ONCE as an aggregate and join back — not a
+    no partsupp table). The decorrelated plan is the point: never a
     correlated subquery per row.
 
-    Implemented as one max(struct(bal, -suppkey, payload)) aggregate
-    (map-side combinable, one shuffle on p_partkey); the oracle uses the
-    equivalent window form. The supplier side is dimension-sized —
-    broadcast; at 100 TB with a real partsupp fact both sides bucket on
-    partkey."""
+    ROUND-11 rewrite (the batch-C decade caught the old form at
+    18.9x/decade, 11 s -> 208 s): the extremum's partition key
+    (p_partkey) is functionally determined by the JOIN key (aff), so
+    the per-part answer equals the per-AFF answer — pre-aggregate the
+    supplier side to ONE max(struct(bal, -suppkey, payload)) row per
+    aff BEFORE the join (map-side combinable over |supplier| rows),
+    then broadcast the 100-row best table to the part scan. The old
+    form joined first (|part| x |supplier|/100 rows — QUADRATIC in sf
+    because the affinity domain is a schema constant) and aggregated
+    after. General rule this encodes: when an extremum-join's partition
+    key is implied by the equi-join key, push the aggregate below the
+    join — Catalyst cannot see this through the struct max. At 100 TB
+    with a real partsupp fact the same pre-aggregation keys on
+    ps_partkey and both sides bucket on partkey."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 30).select(
         "p_partkey", "p_brand", (F.col("p_partkey") % 100).alias("aff")
     )
     s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        "s_name",
         (F.col("s_suppkey") % 100).alias("aff"),
-        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
-    )
-    costs = p.join(F.broadcast(s), "aff").select(
-        "p_partkey",
-        "p_brand",
         F.struct(
-            F.col("bal_cents").alias("bal"),
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("bal"),
             (-F.col("s_suppkey")).alias("neg_key"),
             F.col("s_suppkey").alias("s_suppkey"),
             F.col("s_name").alias("s_name"),
         ).alias("cand"),
     )
-    best = costs.groupBy("p_partkey", "p_brand").agg(F.max("cand").alias("b"))
-    return best.select(
+    best_per_aff = s.groupBy("aff").agg(F.max("cand").alias("b"))
+    return p.join(F.broadcast(best_per_aff), "aff").select(
         "p_partkey",
         "p_brand",
         F.col("b.s_suppkey").alias("best_suppkey"),
