@@ -74,6 +74,25 @@ def get_spark(app_name: str = "elric_rs_spark", cpus: str | None = None) -> Spar
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Input splits sized for CPU-heavy per-row work, not for scan
+        # I/O: the round-11 batch-B decade measured the whole per-doc
+        # text family (lang-id, quality scores, n-gram explosions) at
+        # 6-11x/decade because their heavy expressions are PIPELINED
+        # INTO THE SCAN stage, and a compact single-file table at the
+        # default 128 MB split is 1-2 tasks no matter how many cores
+        # exist. ~16 MB of parquet per split keeps scan-stage work
+        # data-proportional (the input-side mirror of the 8 MB/shuffle-
+        # partition rule above); Spark still packs multiple small files
+        # per task via openCostInBytes, so many-file dirs are unhurt.
+        # On a real cluster the same rule holds per executor core.
+        # NOTE: one-row-group files CANNOT be split at any setting
+        # (rows go to the split holding the group midpoint) — fixture
+        # writers must emit bounded row groups (tools/gen_sf.py writes
+        # 8,192-row groups).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

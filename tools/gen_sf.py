@@ -162,6 +162,11 @@ def generate(factor: int, src: str, out: str) -> None:
             "n_chars": pa.array(n_chars, type=pa.int64()),
         }),
         f"{outp}/documents.parquet",
+        # bounded row groups: a single-group file is UNSPLITTABLE (all
+        # rows land in the split holding the group midpoint), which
+        # serialized every per-doc text query's scan stage onto one
+        # task at sf10 (round-11 batch-B, 6-11x/decade inflation)
+        row_group_size=8192,
     )
     assert len(doc_ids) == sizes["documents"] * factor
     # injective per-replica renames preserve within-replica dup structure
@@ -195,7 +200,7 @@ def generate(factor: int, src: str, out: str) -> None:
         "embedding": pa.array(embs, type=pa.list_(pa.float32())),
         "label": pa.array(labels, type=pa.int32()),
     })
-    pq.write_table(out_tbl, f"{outp}/embeddings.parquet")
+    pq.write_table(out_tbl, f"{outp}/embeddings.parquet", row_group_size=8192)
     print(f"embeddings: {len(vec_ids)} rows")
 
 
