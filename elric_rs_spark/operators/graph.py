@@ -17,6 +17,10 @@ replay bit-for-bit in the oracle. No float appears anywhere.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -32,13 +36,13 @@ PR_ITERS = 3
 # co-purchase pair table (a per-order supplier self-join over distinct
 # (order, supplier) rows + a pair-count aggregate). Each query used to
 # rebuild it (~60% of each query's wall time, VERDICT r04 next-round
-# #3); it is now built ONCE per (session, sf_dir), localCheckpoint-ed,
-# and memoized — the in-process stand-in for the production shape, an
-# explicit materialized edge table every graph job scans. The memo key
-# is (applicationId, sf_dir): a new SparkSession gets a fresh build
-# (checkpointed blocks die with the context), and different fixtures
-# never collide. _COPURCHASE_BUILDS is the test-visible build counter
-# (tests/test_plans.py proves one build serves the quartet).
+# #3); it is now built ONCE per (session, sf_dir), written to a
+# session-scoped parquet table, and memoized — the production shape,
+# an explicit materialized edge table every graph job scans. The memo
+# key is (applicationId, sf_dir): a new SparkSession gets a fresh
+# build (its temp table is namespaced by applicationId), and different
+# fixtures never collide. _COPURCHASE_BUILDS is the test-visible build
+# counter (tests/test_plans.py proves one build serves the quartet).
 _COPURCHASE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _COPURCHASE_BUILDS = 0
 
@@ -46,7 +50,22 @@ _COPURCHASE_BUILDS = 0
 def copurchase_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted undirected co-purchase pairs `(a, b, w)` with a < b:
     suppliers a and b co-appear in w distinct orders. Built once per
-    (session, sf_dir) and reused by every graph query."""
+    (session, sf_dir) and reused by every graph query.
+
+    Materialization is a session-scoped PARQUET table, not a
+    localCheckpoint: the pair table is linear in the data (measured
+    exactly x-replica growth, 1.19M pairs at sf0.1 -> 358M expanded
+    pair rows at sf30, max 16 suppliers/order at every scale) but a
+    checkpoint stores it as deserialized JVM row blocks — ~8 GB of
+    heap at sf30's ~136M distinct pairs — which the round-11 sf30
+    triplicate measured as task-level `OutOfMemoryError: Java heap
+    space` (intermittent) plus GC-driven superlinear walls (x5.03 for
+    3x data) on a 16g driver. Compressed columnar parquet in the JVM
+    temp dir holds the same rows in ~100x less residency, read-back
+    scans stay splittable/prunable, AQE is unaffected (no pinned plan,
+    the verify-skill cache caveat), and the shape IS the production
+    analogue this comment always claimed: an explicit materialized
+    edge table every graph job scans from shared storage."""
     global _COPURCHASE_BUILDS
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _COPURCHASE_CACHE.get(key)
@@ -62,15 +81,18 @@ def copurchase_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
-        # materialize: every downstream consumer (max-weight scalar,
-        # threshold probe, both PageRank directions, 3 iteration loops)
-        # reads these shuffle-free checkpointed blocks instead of
-        # re-running the dominant self-join
-        .localCheckpoint()
     )
-    _COPURCHASE_CACHE[key] = raw
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "elric_copurchase",
+        spark.sparkContext.applicationId,
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    raw.write.mode("overwrite").parquet(out)
+    stored = spark.read.parquet(out)
+    _COPURCHASE_CACHE[key] = stored
     _COPURCHASE_BUILDS += 1
-    return raw
+    return stored
 # damping 0.85 as the integer pair (85, 100)
 _EDGES_SQL = """
   SELECT l1.l_suppkey AS src, l2.l_suppkey AS dst, count(*) AS w
