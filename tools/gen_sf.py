@@ -21,8 +21,13 @@ TRANSFORM so similarity structure scales instead of degenerating:
   replicas, so sf10+ corpora repeated texts verbatim (dup factor 3.23
   at factor 100) and gram-sharing queries (q_decontaminate,
   q_dedup_containment) inflated ~10x/decade from FIXTURE duplication,
-  not plan growth. The generator asserts the no-repeat bound and the
-  output dup factor.
+  not plan growth. Replicas past the affine bound (factor > 930, i.e.
+  sf100's factor 1000) extend the family with Lehmer-unranked
+  permutations, each construction-checked to agree with every earlier
+  permutation on <= 1 word — same no-verbatim-repeat and low
+  cross-replica-overlap guarantees, bound raised to ~V!. Replicas
+  < 930 stay byte-identical to affine-only fixtures. The generator
+  asserts the output dup factor equals the source's.
 - embeddings: replica r>0 multiplies each dimension by an
   (r, d)-derived ±1 sign. Norms and per-dim magnitude distributions
   are exactly preserved; directions decorrelate across replicas.
@@ -135,17 +140,52 @@ def generate(factor: int, src: str, out: str) -> None:
     # most one word (affine difference has <= 1 fixed point), keeping
     # cross-replica Jaccard ~1/(2v-1) — far below near-dup thresholds.
     units = [a for a in range(1, v) if gcd(a, v) == 1]
-    assert factor <= v * len(units), (
-        f"factor {factor} exceeds the {v * len(units)} distinct affine "
-        f"permutations of a {v}-word vocab — texts would repeat verbatim "
-        "and re-inflate gram-family decade ratios (VERDICT r10 wrong #5)"
-    )
+    n_affine = v * len(units)
+
+    def _lehmer_perm(index: int) -> list[int]:
+        """Deterministic index -> permutation of range(v) via the
+        factorial number system (Lehmer code): distinct indices give
+        distinct permutations for index < v!."""
+        elems = list(range(v))
+        out = []
+        for i in range(v - 1, -1, -1):
+            fact = 1
+            for j in range(2, i + 1):
+                fact *= j
+            q, index = divmod(index, fact)
+            out.append(elems.pop(q % len(elems)))
+        return out
+
+    # Replicas beyond the affine family (r >= v*phi(v) = 930 at v=31)
+    # extend it with Lehmer-unranked permutations. The affine family's
+    # key property — any two maps agree on <= 1 word, so cross-replica
+    # shingle overlap is ~0 — is preserved by CONSTRUCTION CHECK: a
+    # candidate sharing >= 2 fixed mappings with any already-used
+    # permutation is skipped (deterministically, by bumping the index),
+    # so the no-verbatim-repeat bound rises from 930 to ~v! while
+    # replicas < 930 stay byte-identical to the affine-only fixtures.
+    used_tables: list[list[int]] = []
+    lehmer_cursor = 12345  # fixed offset, away from tiny near-identity codes
     for r in range(factor):
         if r == 0:
             perm = None  # (a, b) = (1, 0): identity, the source replica
-        else:
+            used_tables.append(list(range(v)))
+        elif r < n_affine:
             a, b = units[r // v], r % v
-            perm = {w: vocab[(a * i + b) % v] for w, i in idx.items()}
+            table = [(a * i + b) % v for i in range(v)]
+            used_tables.append(table)
+            perm = {w: vocab[table[i]] for w, i in idx.items()}
+        else:
+            while True:
+                table = _lehmer_perm(lehmer_cursor)
+                lehmer_cursor += 1
+                if all(
+                    sum(x == y for x, y in zip(table, u)) <= 1
+                    for u in used_tables
+                ):
+                    break
+            used_tables.append(table)
+            perm = {w: vocab[table[i]] for w, i in idx.items()}
         for did, t, lg, sc in zip(base_doc, texts, base_lang, base_src):
             nt = t if perm is None else " ".join(perm[w] for w in t.split(" "))
             doc_ids.append(did + r * n_doc)
