@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from elric_rs_spark.registry import query
 from elric_rs_spark.tables import load_table
@@ -1516,25 +1517,22 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     in place (see the pair-stage comment for the measured decade cost
     of the exploded per-dim form it replaces)."""
     e = load_table(spark, sf_dir, "embeddings")
-    # comp feeds the centroid sums and the assignment scores (the pair
-    # stage uses the array form below). A repartition exchange after the
-    # explode materializes it once (ReusedExchange — the q_dedup_minhash
-    # pattern; .persist() would pin the plan and disable AQE), and
-    # vec_id partitioning satisfies every downstream vec_id-led groupBy
-    # without a further shuffle.
-    comp = (
-        e.select(
-            "vec_id",
-            "label",
-            F.posexplode(F.col("embedding")).alias("pos", "val"),
-        )
-        .select(
-            "vec_id",
-            "label",
-            (F.col("pos") + 1).cast("long").alias("dim"),
-            F.round(F.col("val").cast("double") * 1000).cast("long").alias("mil"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # Centroid build (exploded form — the only consumer of per-dim rows;
+    # output is O(k x dims), tiny at any corpus size). The r11
+    # optimization round removed the exploded form from every OTHER
+    # stage: the old plan recomputed the comp explode + centroid join +
+    # two-level score aggregate SIX times across its branches (16
+    # embeddings scans / 31 shuffles in the final adaptive plan —
+    # plans/r11/q_dedup_semantic_before.txt) because column pruning
+    # differentiates the branch subtrees below each repartition and
+    # defeats AQE stage reuse.
+    comp = e.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("val").cast("double") * 1000).cast("long").alias("mil"),
     )
     sums = comp.groupBy(F.col("label").alias("c_label"), "dim").agg(
         F.sum("mil").alias("s"), F.count(F.lit(1)).alias("n")
@@ -1542,31 +1540,119 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = sums.select(
         "c_label", "dim", F.expr("(s - pmod(s, n)) div n").alias("icent")
     )
-    scores = (
-        comp.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "c_label")
-        .agg(F.sum(F.col("mil") * F.col("icent")).alias("score"))
-    )
-    assign = (
-        scores.groupBy("vec_id")
+    # Assemble each centroid into a dim-ascending array (dims per label
+    # are contiguous 1..max_member_len — posexplode of an array yields
+    # every prefix dim — so array position i IS dim i+1). The k x dims
+    # centroid table is collected to the driver (the q_sim_ivf_trained
+    # precedent: driver-side math over k centroids, independent of
+    # corpus size) and closed over by the assignment kernel below.
+    cent_rows = (
+        cent.groupBy("c_label")
         .agg(
-            F.max(
-                F.struct(F.col("score"), (-F.col("c_label")).alias("neg_label"))
-            ).alias("top")
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "icent"))),
+                lambda s: s["icent"],
+            ).alias("cvec")
         )
-        .select("vec_id", (-F.col("top.neg_label")).cast("long").alias("cluster"))
-        # assign feeds three branches (both pair sides + the final
-        # rollup); same ReusedExchange treatment
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .collect()
+    )
+    # Assignment + milli quantization + norm in ONE Arrow-vectorized
+    # pass over the corpus (guide §4.2: hand whole batches to NumPy
+    # instead of interpreted expression trees — the old zip_with/
+    # aggregate HOF dots are CodegenFallback and evaluated interpreted
+    # per element, measured ~1.4 s/pass at sf0.1). Exactness contract:
+    # milli components are integers; every GEMM partial sum is an
+    # integer < 2^53, so float64 matmul is EXACT and order-free — the
+    # same sum the old per-dim join aggregate produced. Ties pick the
+    # smallest label: labels are sorted ascending and argmax returns
+    # the FIRST maximum. The empty/null-embedding filter replicates the
+    # old join-form semantics exactly: a vector with no dims produced
+    # no comp rows, hence no score rows, hence never appeared in the
+    # output.
+    import numpy as np  # local: Python worker import cost, not module
+
+    labels_sorted = sorted(cent_rows, key=lambda r: r["c_label"])
+    c_labels = [int(r["c_label"]) for r in labels_sorted]
+    c_vecs = [list(r["cvec"]) for r in labels_sorted]
+    c_dim = max((len(v) for v in c_vecs), default=0)
+    c_mat = np.zeros((len(c_vecs), c_dim), dtype=np.float64)
+    for i, v in enumerate(c_vecs):
+        c_mat[i, : len(v)] = v
+    c_lab_arr = np.asarray(c_labels, dtype=np.int64)
+
+    def _milli(col):
+        """round-half-away-from-zero to milli ints, matching Spark/
+        DuckDB round() on doubles (np.round is half-even)."""
+        t = col * 1000.0
+        return np.where(t >= 0, np.floor(t + 0.5), np.ceil(t - 0.5))
+
+    def _assign_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not len(c_labels):
+                continue
+            vs = [
+                _milli(np.asarray(v, dtype=np.float64))
+                for v in pdf["embedding"]
+            ]
+            lens = np.asarray([len(v) for v in vs], dtype=np.int64)
+            width = max(int(lens.max()), c_dim)
+            m = np.zeros((len(vs), width), dtype=np.float64)
+            for i, v in enumerate(vs):
+                m[i, : len(v)] = v
+            peak = float(np.abs(m).max()) if m.size else 0.0
+            if peak > 2_000_000:
+                raise ValueError(
+                    "q_dedup_semantic: milli component "
+                    f"{peak:.0f} exceeds the exact-float64-GEMM bound "
+                    "(2e6); the documented domain is milli-int "
+                    "components |c| <= ~530"
+                )
+            cm = c_mat
+            if width > c_dim:
+                cm = np.zeros((len(c_vecs), width), dtype=np.float64)
+                cm[:, :c_dim] = c_mat
+            # zero padding == the old coalesce(x*y, 0) join semantics:
+            # a dim missing from either side contributes 0
+            scores = m @ cm.T
+            best = np.argmax(scores, axis=1)  # first max = smallest label
+            nsq = (m * m).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "m": [v.astype(np.int64) for v in vs],
+                    "nsq": nsq.astype(np.int64),
+                    "cluster": c_lab_arr[best],
+                }
+            )
+
+    side0 = (
+        e.filter(F.col("embedding").isNotNull() & (F.size("embedding") >= 1))
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            _assign_batches,
+            "vec_id long, m array<long>, nsq long, cluster long",
+        )
+        # side0 is the materialized assignment table every downstream
+        # branch (csize, the pair stage, the final rollup) scans — ONE
+        # corpus pass instead of six (guide §3.3: materialize a
+        # multi-consumer intermediate to truncate the plan; recomputing
+        # it would re-cross the Python boundary per branch). DISK_ONLY:
+        # corpus-proportional rows must never hold deserialized JVM heap
+        # residency (the sf30 co-purchase OOM lesson, graph.py:55).
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     # oversized-cell guard: hash-split clusters above SEMANTIC_CELL_CAP
     # into ceil(n/CAP) md5-keyed sub-cells; the pairwise stage joins on
     # (cluster, sub) so per-cluster work is linear in cluster size.
     # csize is O(k) rows — always broadcast.
-    csize = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
-    subs = assign.join(F.broadcast(csize), "cluster").select(
+    csize = side0.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
+    side = side0.join(F.broadcast(csize), "cluster").select(
         "vec_id",
         "cluster",
+        "m",
+        "nsq",
         (
             F.conv(
                 F.substring(
@@ -1580,81 +1666,93 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sub"),
     )
-    # pair stage in ARRAY form: one milli-int array + norm per vector
-    # (row-local transform — no explode), members join on (cluster, sub)
-    # ONLY, and each pair row computes its dot in place via zip_with.
-    # The first cut exploded per-dim and joined on (cluster, sub, dim):
-    # a pair's 64 dim-products then land in 64 different partitions, so
-    # the (cluster, ida, idb) dot aggregate re-shuffles the FULL join
-    # output (pairs x dims rows — 3.3B at the sf1 decade; measured 25x
-    # wall per 10x data, pure shuffle+spill). Array form shuffles only
-    # the N member rows; everything after the (cluster, sub) join is
-    # partition-local, and the decade is linear.
-    zero = F.lit(0).cast("long")
-    marr = e.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * 1000).cast("long"),
-        ).alias("m"),
-    ).select(
-        "vec_id",
-        "m",
-        F.aggregate("m", zero, lambda acc, x: acc + x * x).alias("nsq"),
-    )
-    side = subs.join(marr, "vec_id")
-    a = side.select(
-        "cluster",
-        "sub",
-        F.col("vec_id").alias("ida"),
-        F.col("m").alias("ma"),
-        F.col("nsq").alias("nsq_a"),
-    )
-    b = side.select(
-        "cluster",
-        "sub",
-        F.col("vec_id").alias("idb"),
-        F.col("m").alias("mb"),
-        F.col("nsq").alias("nsq_b"),
-    )
-    dots = (
-        a.join(b, ["cluster", "sub"])
-        .filter(F.col("ida") < F.col("idb"))
-        .select(
-            "cluster",
-            "ida",
-            "idb",
-            "nsq_a",
-            "nsq_b",
-            F.aggregate(
-                F.zip_with(F.col("ma"), F.col("mb"), lambda x, y: x * y),
-                zero,
-                lambda acc, x: acc + x,
-            ).alias("dot"),
+    # Pair stage as ONE exact-BLAS kernel per (cluster, sub) cell — the
+    # q_dedup_embed tiled-GEMM pattern (dedup.py block_pairs). The r11
+    # optimization round replaced the pair-row join form here: the old
+    # a JOIN b ON (cluster, sub) emitted every pair as a row and
+    # computed its dot via zip_with/aggregate HOFs, which are
+    # CodegenFallback — interpreted per element, measured ~3 s/pass at
+    # sf0.1 (~1M pairs x 64 dims) and the dominant wall of the whole
+    # query. The kernel computes the same dots as ONE float64 GEMM per
+    # cell (every partial sum is an integer < 2^53 — exact and
+    # order-free), applies the same integer threshold in int64 (the
+    # 400*dot^2 comparison overflows float64's 2^53 but fits int64 by
+    # the documented milli-component domain, guarded below), and emits
+    # only the per-cell DROPPED ids — no pair rows cross the boundary,
+    # no distinct shuffle (a vector belongs to exactly ONE cell, so
+    # per-cell drop sets are globally unique by construction). Cells
+    # are bounded by SEMANTIC_CELL_CAP, so per-kernel memory is O(CAP^2).
+    # Semantics preserved bit-for-bit, including:
+    # - STRICT dot > 0: cos >= 0.35 implies a positive dot for nonzero
+    #   norms, and >= 0 would let an all-zero quantized vector (nsq=0,
+    #   dot=0 against everyone) mark its entire cluster as duplicates;
+    # - TWO all-zero vectors ARE exact duplicates and still collapse;
+    # - pairs of DIFFERENT vector lengths: the old zip_with padded with
+    #   NULL, so their dot was NULL and only the all-zero special case
+    #   could drop them — replicated by GEMM-ing per length group.
+    import pandas as pd
+
+    def _cell_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "cluster": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+            }
         )
-    )
-    dropped = (
-        dots
-        # STRICT dot > 0: cos >= 0.35 implies a positive dot for nonzero
-        # norms, and >= 0 would let an all-zero quantized vector (nsq=0,
-        # dot=0 against everyone) mark its entire cluster as duplicates.
-        # TWO all-zero vectors, though, ARE exact duplicates of each
-        # other — special-cased so they still collapse.
-        .filter(
-            (
-                (F.col("dot") > 0)
-                & (
-                    SEMANTIC_T_DEN_SQ * F.col("dot") * F.col("dot")
-                    >= SEMANTIC_T_NUM_SQ * F.col("nsq_a") * F.col("nsq_b")
-                )
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        nsq = pdf["nsq"].to_numpy()
+        lens = np.asarray([len(v) for v in pdf["m"]], dtype=np.int64)
+        drop = np.zeros(n, dtype=bool)
+        # all-zero special case, across the whole cell regardless of
+        # vector length: every zero vector except the lowest-id one drops
+        zpos = np.flatnonzero(nsq == 0)
+        if len(zpos) >= 2:
+            drop[zpos[1:]] = True
+        # exact-dot groups: only same-length pairs have a non-NULL dot
+        for length in np.unique(lens):
+            pos = np.flatnonzero(lens == length)
+            if len(pos) < 2:
+                continue
+            mg = np.stack(
+                [np.asarray(pdf["m"].iloc[int(p)], dtype=np.float64) for p in pos]
             )
-            | ((F.col("nsq_a") == 0) & (F.col("nsq_b") == 0))
+            peak = float(np.abs(mg).max()) if mg.size else 0.0
+            if length * peak * peak > 1.44e8:
+                # 400*dot^2 must stay < 2^63 (the old ANSI-long filter
+                # raised past this; fail just as loudly)
+                raise ValueError(
+                    "q_dedup_semantic: cell dot bound "
+                    f"{length * peak * peak:.3g} exceeds the int64 "
+                    "threshold-comparison domain (milli |c| <= ~530 "
+                    "at dims <= 64 documented)"
+                )
+            g = (mg @ mg.T).astype(np.int64)  # exact: partials < 2^53
+            ng = nsq[pos].astype(np.int64)
+            cond = (g > 0) & (
+                SEMANTIC_T_DEN_SQ * g * g >= SEMANTIC_T_NUM_SQ * np.outer(ng, ng)
+            )
+            # ida < idb == upper triangle by sorted position
+            hit = np.triu(cond, k=1).any(axis=0)
+            drop[pos[hit]] = True
+        if not drop.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "cluster": np.full(int(drop.sum()), int(pdf["cluster"].iloc[0]), dtype=np.int64),
+                "vec_id": ids[drop].astype(np.int64),
+            }
         )
-        .select("cluster", F.col("idb").alias("vec_id"))
-        .distinct()
+
+    dropped = side.groupBy("cluster", "sub").applyInPandas(
+        _cell_drops, "cluster long, vec_id long"
     )
     return (
-        assign.join(dropped.withColumn("is_drop", F.lit(1)), ["cluster", "vec_id"], "left")
+        side0.select("cluster", "vec_id")
+        .join(dropped.withColumn("is_drop", F.lit(1)), ["cluster", "vec_id"], "left")
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),

@@ -331,10 +331,18 @@ def triangle_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """Per-node triangle counts for an undirected (a, b) edge list:
     wedge join at the orientation's common smallest vertex + closing
     edge — each triangle exactly once. Returns (node, n_triangles)."""
-    # materialize once: degree, orientation, and all three join branches
-    # consume the edge list (the q_dedup_minhash ReusedExchange pattern)
-    edges = edges.repartition(spark.sparkContext.defaultParallelism, "a", "b")
-    oriented = oriented_edges(spark, edges)
+    # materialize ONCE: the oriented edge list feeds three join branches
+    # (both wedge sides + the closing probe), and the orientation itself
+    # consumes the raw edge list three times (two degree branches + the
+    # join input). The r11 round replaced the repartition/ReusedExchange
+    # form here: column pruning differentiates the branch subtrees below
+    # the exchange, so AQE stage reuse fired only partially and the final
+    # adaptive plan recomputed the strong-tie build ~90 times (94 parquet
+    # scans / 126 shuffles, plans/r11/q_graph_triangles_before.txt). A
+    # localCheckpoint of the thinned oriented list — the same lineage
+    # truncation q_graph_linkpred/kcore/labelprop already apply to their
+    # edge frames — collapses that to one build (guide §3.3).
+    oriented = oriented_edges(spark, edges).localCheckpoint()
     o1 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
     o2 = oriented.select(F.col("u"), F.col("v").alias("z"), F.col("dv").alias("dz"))
     wedges = o1.join(o2, "u").filter(

@@ -34,6 +34,7 @@ QUERIES = entrymod.queries()
 # Queries whose semantics are Arrow-batched Python by design
 PANDAS_QUERIES = {
     "q_dedup_embed",  # r10: within-block exact cosine as tiled BLAS GEMM
+    "q_dedup_semantic",  # r11: assignment + per-cell pair dots as exact GEMM
     "q_udf_pandas",
     "q_multimodal",
     "q_multimodal_frames",
