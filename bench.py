@@ -340,6 +340,32 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Arrow/pandas boundary (round-11: q_dedup_semantic's kernels moved
+    # to mapInPandas/applyInPandas) — the FIRST pandas exchange in a JVM
+    # pays Python daemon+worker spawn, Arrow serde classload and the
+    # ArrowEvalPython codegen path (~2-3 s measured at sf0.1); that is
+    # engine warmup, not query work, and it otherwise lands on whichever
+    # pandas-built slot runs first. 50 rows keep the data cost nil.
+    import pandas as _pd
+
+    def _wm_map(batches):
+        for b in batches:
+            yield _pd.DataFrame({"vec_id": b["vec_id"], "n": b["vec_id"] * 0 + 1})
+
+    def _wm_grp(pdf):
+        return _pd.DataFrame({"vec_id": pdf["vec_id"][:1], "n": [len(pdf)]})
+
+    _we = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50).select("vec_id")
+    _we.mapInPandas(_wm_map, "vec_id long, n long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    (
+        _we.withColumn("g", _F.pmod("vec_id", _F.lit(4)))
+        .groupBy("g")
+        .applyInPandas(_wm_grp, "vec_id long, n long")
+        .write.format("noop").mode("overwrite").save()
+    )
+
     # fixed-work canary AFTER warmup, BEFORE the suite (and again after
     # it, to catch a mid-suite load ramp). Only at scales with a stored
     # anchor (the driver's sf0.1): at sf10 the canary is itself three

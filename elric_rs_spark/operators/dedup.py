@@ -251,25 +251,48 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # bit i of signature = majority vote of bit i across token hashes.
-    # Formulated as explode + groupBy with 64 sum() aggregates rather than
-    # 64 F.aggregate() higher-order functions: HOF lambdas evaluate
-    # INTERPRETED per element, while sum() stays in whole-stage codegen
-    # with map-side partial aggregation (exploded rows stay co-located, so
-    # the shuffle carries one combined row per doc).
-    tok = hashed.select("doc_id", F.explode("hs").alias("h"))
-    votes = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"s_{i}")
-            for i in range(64)
-        ],
-    )
-    sig = None
-    for i in range(64):
-        mask = (1 << i) if i < 63 else -(1 << 63)
-        bit = F.when(F.col(f"s_{i}") * 2 > F.col("n"), F.lit(mask)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig.bitwiseXOR(bit)
-    sigs = votes.select("doc_id", sig.alias("simhash"))
+    # r11: one Arrow-vectorized kernel replaces the explode + 64-wide
+    # sum() aggregate + 64-term assembly expression. The wide form was
+    # the right call against 64 interpreted HOF aggregates (its r1 note),
+    # but its 64-aggregate plan cost ~3 s of Catalyst analysis+codegen
+    # per run and another ~2 s to execute at sf0.1; the kernel computes
+    # the identical integer votes with three vectorized ops per batch
+    # (unpack bits via LOGICAL shift on the uint64 view — numpy's int64
+    # >> is arithmetic, Spark's shiftrightunsigned is logical — majority
+    # compare 2*s > n, pack bits in uint64 and reinterpret to int64 so
+    # bit 63 keeps the old -(1<<63) two's-complement encoding). All
+    # integer arithmetic — bit-identical signatures, no shuffle (the old
+    # explode+groupBy rode the doc_id repartition; the kernel is
+    # pipelined into the same stage).
+    import numpy as np
+    import pandas as pd
+
+    _shifts = np.arange(64, dtype=np.uint64)
+
+    def _sig_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sigs_out = np.empty(len(pdf), dtype=np.uint64)
+            for i, hs in enumerate(pdf["hs"]):
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                votes = ((h[:, None] >> _shifts) & np.uint64(1)).sum(axis=0)
+                bits = (2 * votes > len(h)).astype(np.uint64)
+                sigs_out[i] = np.bitwise_or.reduce(bits << _shifts)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "simhash": sigs_out.view(np.int64),
+                }
+            )
+
+    # null-text docs produce a NULL hs array; the old explode dropped
+    # them (no rows -> no votes -> absent from sigs) — replicate that
+    # exactly instead of letting np.asarray(None) crash the kernel.
+    # (split of "" yields [""], so an EMPTY hs array cannot occur.)
+    sigs = hashed.filter(
+        F.col("hs").isNotNull() & (F.size("hs") >= 1)
+    ).mapInPandas(_sig_batches, "doc_id long, simhash long")
 
     # (1) collapse identical signatures: rep = min doc_id; member->rep
     # rows are hamming-0 dup pairs, linear in cluster size

@@ -71,15 +71,34 @@ def copurchase_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _COPURCHASE_CACHE.get(key)
     if cached is not None:
         return cached
-    os_ = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    ).distinct()
-    l1 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
-    l2 = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
+    # Pair generation as collect_set + row-local ordered-pair explosion
+    # (the dedup-family in-bucket pair pattern) instead of the old
+    # per-order self-join: the join form paid 4 exchanges (distinct,
+    # both join sides re-keyed to l_orderkey, the (a, b) aggregate) and
+    # a join of the table against itself; this form pays 2 (the distinct
+    # doubles as the per-order grouping, then the (a, b) aggregate) and
+    # pairs explode per order — bounded by lines-per-order squared, the
+    # same fixture-schema constant the old join relied on. Same (a, b, w)
+    # values: both count the distinct orders shared by each a < b pair.
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     raw = (
-        l1.join(l2, "k")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        per_order.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
     out = os.path.join(
@@ -166,13 +185,27 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = n.select(F.expr(f"(15 * ({PR_SCALE} div n)) div 100").alias("b"))
-    wtot = edges.groupBy("src").agg(F.sum("w").cast("long").alias("w_total"))
+    # node-sized (supplier-sized) and consumed once per iteration: without
+    # the checkpoint each iteration's broadcast build re-aggregated the
+    # full directed edge expansion (3 extra corpus passes over 3 rounds)
+    wtot = (
+        edges.groupBy("src")
+        .agg(F.sum("w").cast("long").alias("w_total"))
+        .localCheckpoint()
+    )
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "node", F.expr(f"{PR_SCALE} div n").alias("rank")
     )
     for _ in range(PR_ITERS):
+        # broadcast the rank vector: nodes are SUPPLIERS — dimension-
+        # sized by construction, never corpus-sized — while the edge
+        # list is the big side. The old shuffle join re-exchanged the
+        # full edge expansion every iteration (the checkpointed rank
+        # vector has no size statistics, so the planner fell back to a
+        # shuffle join); broadcasting ranks makes each iteration one
+        # map-side join pass + one dst-keyed aggregate (guide §3.1).
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
             .join(F.broadcast(wtot), "src")
             .select(
                 "dst", F.expr("(rank * w) div w_total").alias("c")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.storagelevel import StorageLevel
 
 from elric_rs_spark.registry import query
 from elric_rs_spark.tables import load_table
@@ -877,18 +878,46 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~35% (FPR ~ fill^2 ~ 12%). Column-pruned scans are
     # embarrassingly parallel; shuffles are the scarce resource at
     # 100 TB. Scans stay scan-local + broadcast-joined, no exchange.
-    passed = fp.join(broadcast(bits0), "pos0", "left_semi").join(
-        broadcast(bits1), "pos1", "left_semi"
+    # r11: the old six-branch audit recomputed its subtrees per count —
+    # the 600k-row md5-position pass over lineitem ran FIVE times (fp,
+    # passed, matched and their count branches) and dominated the wall
+    # (~4.2 s steady at sf0.1). Restructured to flag columns + shared
+    # passes (guide §1.2 "don't compute things you throw away"):
+    # - the two broadcast semi-joins become broadcast LEFT marker joins
+    #   (bits0/bits1 are DISTINCT, so no row multiplication — identical
+    #   membership semantics) and n_fact_rows / n_prefilter_pass fold
+    #   into ONE aggregate over that pass;
+    # - the fact position pass is materialized once (DISK_ONLY: fact-
+    #   proportional) and feeds both the flag aggregate and the exact
+    #   membership check, which still joins ONLY prefilter-passed rows
+    #   against dim — the shape the round-7 experiment proved (never
+    #   shuffle unmatched fact rows).
+    # All six counts are value-identical to the branch form.
+    f = (
+        fp.join(broadcast(bits0.withColumn("b0", F.lit(1))), "pos0", "left")
+        .join(broadcast(bits1.withColumn("b1", F.lit(1))), "pos1", "left")
+        .select(
+            "k",
+            (F.col("b0").isNotNull() & F.col("b1").isNotNull()).alias("pass_"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    fact_stats = f.agg(
+        F.count(F.lit(1)).alias("n_fact_rows"),
+        F.sum(F.when(F.col("pass_"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_prefilter_pass"),
     )
     # no broadcast hint on dim: its cardinality is data-dependent (a
     # price-filtered fact subset, ~10% of orders) — let AQE choose
-    matched = passed.join(dim, passed["k"] == dim["o_orderkey"], "left_semi")
+    matched = f.filter(F.col("pass_")).join(
+        dim, f["k"] == dim["o_orderkey"], "left_semi"
+    )
     counts = [
         dim.agg(F.count(F.lit(1)).alias("n_dim_keys")),
         bits0.agg(F.count(F.lit(1)).alias("n_bits0")),
         bits1.agg(F.count(F.lit(1)).alias("n_bits1")),
-        fp.agg(F.count(F.lit(1)).alias("n_fact_rows")),
-        passed.agg(F.count(F.lit(1)).alias("n_prefilter_pass")),
+        fact_stats,
         matched.agg(F.count(F.lit(1)).alias("n_matched")),
     ]
     out = counts[0]

@@ -182,32 +182,58 @@ def lsh_candidate_pairs(spark: SparkSession, vecs: DataFrame,
     )
 
     nb = vecs.agg(_pdlsh_bits_col().alias("bits"))
-    el = vecs.select(id_col, F.posexplode(vec_col).alias("d", "val"))
-    # plane table trimmed IN-PLAN to the tables*bits planes this corpus
-    # needs (same shape as the portable twin, float weights instead of
-    # md5 signs); the broadcast is 96 planes x 64 dims max — constant.
-    w = (
-        _plane_df(spark, PDLSH_MAX_PLANES)
-        .crossJoin(F.broadcast(nb))
-        .filter(F.col("p") < F.lit(PDLSH_TABLES) * F.col("bits"))
-        .select("p", "d", "w")
-    )
-    dots = (
-        el.join(F.broadcast(w), "d")
-        .groupBy(id_col, "p")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
-    )
+    # Band keys in ONE Arrow-vectorized pass (r11, guide §4.2): the old
+    # form exploded every vector to 64 dim rows, broadcast-joined the
+    # plane table (96 matches per dim row -> ~6k intermediate rows PER
+    # VECTOR through codegen) and paid two keyed aggregates (dot
+    # partial-sum, band assembly) — 3 exchanges and the dominant cost of
+    # both LSH kernels at any scale. The kernel computes the same plane
+    # dots as one float64 GEMM per batch against the identical
+    # _hyperplanes(p, d) weights (same h64 seed function, imported
+    # directly) and packs sign bits per table — zero exchanges, and the
+    # Python boundary carries only (id, vector) in and (id, t, key) out.
+    # The corpus-adaptive bits value stays IN-PLAN: the one-row nb
+    # aggregate rides in on a broadcast and every batch reads it from
+    # its first row. Empty/null vectors are filtered exactly as the
+    # explode form dropped them (no dim rows -> no dots -> no bands).
+    import numpy as np
+
+    planes_np = np.asarray(_hyperplanes(PDLSH_MAX_PLANES), dtype=np.float64)
+
+    def _band_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bits = int(pdf["bits"].iloc[0])
+            pl = planes_np[: PDLSH_TABLES * bits]
+            dim = pl.shape[1]
+            v = np.zeros((len(pdf), dim), dtype=np.float64)
+            for i, arr in enumerate(pdf[vec_col]):
+                a = np.asarray(arr, dtype=np.float64)[:dim]
+                v[i, : len(a)] = a
+            dots = v @ pl.T  # (n, tables*bits)
+            signs = dots >= 0
+            weights = 1 << np.arange(bits, dtype=np.int64)
+            ids = pdf[id_col].astype("int64")
+            out = []
+            for t in range(PDLSH_TABLES):
+                key = (signs[:, t * bits : (t + 1) * bits] * weights).sum(
+                    axis=1
+                )
+                out.append(
+                    pd.DataFrame(
+                        {id_col: ids, "t": np.int64(t), "key": key.astype(np.int64)}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
     banded = (
-        dots.crossJoin(F.broadcast(nb))
-        .groupBy(id_col, F.expr("p div bits").cast("long").alias("t"))
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("dot") >= 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % bits AS INT))"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("key")
-        )
+        vecs.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= 1))
+        .select(id_col, vec_col)
+        .crossJoin(F.broadcast(nb))
+        .mapInPandas(_band_batches, f"{id_col} long, t long, key long")
     )
     ds = F.slice(F.array_sort(F.collect_set(id_col)), 1, 256)
     pair_expr = F.flatten(

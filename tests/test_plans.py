@@ -35,6 +35,9 @@ QUERIES = entrymod.queries()
 PANDAS_QUERIES = {
     "q_dedup_embed",  # r10: within-block exact cosine as tiled BLAS GEMM
     "q_dedup_semantic",  # r11: assignment + per-cell pair dots as exact GEMM
+    "q_dedup_simhash",  # r11: bit-vote signatures as one uint64 batch kernel
+    "q_sim_lsh",  # r11: plane-dot signatures as one GEMM batch kernel
+    "q_dedup_embed_lsh",  # r11: same banding kernel via lsh_candidate_pairs
     "q_udf_pandas",
     "q_multimodal",
     "q_multimodal_frames",
