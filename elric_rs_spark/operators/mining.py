@@ -147,6 +147,16 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # r11 (guide §2.4/§5, the q_sim_lsh pattern): baskets feeds FOUR
+    # branches (tot, supp via both rule-stat broadcasts, pair counts).
+    # ReusedExchange would share only the okey shuffle files — the
+    # broadcast-join + collect_set aggregate re-ran per branch (8
+    # lineitem/part scans, 16 exchanges in
+    # plans/r11/q_assoc_rules_before.txt). One DISK_ONLY checkpoint
+    # materializes the basket table once; it is |orders|-sized, so the
+    # pin stays on disk rows, never deserialized JVM heap.
+    from pyspark.storagelevel import StorageLevel
+
     baskets = (
         li.join(
             F.broadcast(part.select("p_partkey", "p_brand")),
@@ -155,10 +165,17 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .groupBy("okey")
         .agg(F.collect_set("brand").alias("bs"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
-    supp = baskets.select(F.explode("bs").alias("brand")).groupBy("brand").agg(
-        F.count(F.lit(1)).alias("n_brand")
+    # supp is <= |brands| rows but consumed twice (antecedent and
+    # consequent broadcasts) — pin the tiny aggregate so the basket
+    # explode runs once, not twice.
+    supp = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_brand"))
+        .localCheckpoint(eager=True)
     )
     pair_expr = F.flatten(
         F.transform(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from elric_rs_spark.registry import query
 from elric_rs_spark.tables import load_table
@@ -281,10 +282,22 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _as_double("embedding").alias("v"))
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
-    clusters = e.groupBy(F.xxhash64("v").alias("vh")).agg(
-        F.min("vec_id").alias("rep"),
-        F.array_sort(F.collect_set("vec_id")).alias("members"),
-        F.first("v").alias("v"),
+    # clusters feeds FOUR branches (the banding kernel via reps, both
+    # verify join sides, member_pairs). ReusedExchange shares only the
+    # groupBy's SHUFFLE FILES — the collect_set aggregate itself re-ran
+    # per branch (~0.6 s x 3 extra at sf0.1, measured r11; at scale,
+    # three extra corpus-sized aggregates). One DISK_ONLY checkpoint
+    # truncates the plan so every branch reads the materialized rows
+    # (the q_dedup_semantic side0 pattern — corpus-proportional rows
+    # never hold deserialized JVM heap).
+    clusters = (
+        e.groupBy(F.xxhash64("v").alias("vh"))
+        .agg(
+            F.min("vec_id").alias("rep"),
+            F.array_sort(F.collect_set("vec_id")).alias("members"),
+            F.first("v").alias("v"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     member_pairs = clusters.select(
         F.col("rep").alias("vec_a"),
@@ -1957,6 +1970,15 @@ def q_sim_ivf_trained_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.conv(F.substring(hx, 1, 13), 16, 10).cast("long") % KM_INIT_MOD
          - 1000000).alias("m"),
     )
+    # r11 measured-and-rejected (guide §1.1 empirical loop): pinning
+    # cent per iteration (localCheckpoint) looks like it should cut the
+    # compounding re-derivation (7 initial-plan scans for 2 unrolled
+    # iterations), but Catalyst's static BroadcastExchange reuse already
+    # dedupes the repeated centroid builds at runtime — the pins only
+    # added eager-job round-trips (warm noop total 2.56 s -> 2.75 s at
+    # sf0.1, same-load A/B). At production iteration counts training
+    # runs on a bounded SAMPLE (see docstring), so the unrolled-lineage
+    # cost is sample-sized, never corpus-sized.
     for _ in range(2):  # unrolled on the oracle side as _km_sql_iter(1..2)
         assign = _km_assign(comp, cent)
         cent = _km_update(comp, assign, cent)
@@ -2100,14 +2122,26 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("micro") * F.col("qmicro")).alias("rel"))
     )
     w_rel = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "vec_id")
+    # r11 (guide §3.3/§5): cand and pd are QUERY-sized (<= queries*M and
+    # <= (queries*M)^2 rows) but every consumer below re-derived them
+    # from scratch — cand feeds ids/s1/step2/step3 and pd feeds
+    # step2/step3 twice, so the initial plan re-ran the corpus
+    # posexplode+dot subtree 19x per side (38 embeddings scans, 77
+    # exchanges — plans/r11/q_mmr_diversify_before.txt). Materializing
+    # the two tiny tables truncates every branch: exactly TWO corpus
+    # passes remain (rel's dot aggregate, cc's candidate gather), and
+    # the greedy rerank runs over pinned local rows.
     cand = (
         rel.withColumn("rn", F.row_number().over(w_rel))
         .filter(F.col("rn") <= MMR_CAND)
         .drop("rn")
+        .localCheckpoint(eager=True)
     )
-    # pairwise dots over the union candidate set: <= (queries*M)^2 rows
+    # pairwise dots over the union candidate set: <= (queries*M)^2 rows.
+    # cc (candidate components, <= queries*M x dim rows) feeds BOTH pd
+    # join sides — pin it so the gather pass runs once, not twice.
     ids = cand.select("vec_id").distinct()
-    cc = comp.join(F.broadcast(ids), "vec_id")
+    cc = comp.join(F.broadcast(ids), "vec_id").localCheckpoint(eager=True)
     pd = (
         cc.select(F.col("vec_id").alias("a"), "dim", F.col("micro").alias("ma"))
         .join(
@@ -2122,6 +2156,7 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.sum(F.col("ma") * F.col("mb")).alias("d"))
+        .localCheckpoint(eager=True)
     )
     s1 = (
         cand.withColumn("rn", F.row_number().over(w_rel))
@@ -2444,6 +2479,14 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = celldots.groupBy("vec_id").agg(
         F.max(F.struct(F.col("dot"), (-F.col("c")).alias("nc"))).alias("top")
     )
+    # r11 measured-and-rejected (guide §1.1): DISK_ONLY-pinning vcell /
+    # res and the tiny codebook (the 9-initial-plan-scan reading of
+    # plans/r11/q_sim_ivfpq_before.txt) REGRESSED the warm noop total
+    # 2.07 s -> 4.58 s at sf0.1 in a same-load A/B: the repeated book
+    # broadcasts already dedupe via static BroadcastExchange reuse and
+    # celldots is session-memoized, so the pins only bought disk
+    # round-trips. The initial-plan scan count overstates executed work
+    # here — left in the re-derived form deliberately.
     vcell = best.select("vec_id", (-F.col("top.nc")).cast("int").alias("cell"))
     probe = (
         celldots.filter(F.col("vec_id") == 0)

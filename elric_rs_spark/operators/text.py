@@ -810,11 +810,21 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "doc_id", F.array_distinct(_word_ngrams(F.col("text"), 3)).alias("g")
     ).filter(F.size("g") > 0)
+    # ONE pass over the exploded grams (r11, guide §2.4 — the
+    # substring_coverage pattern): the old groupBy(gram)+join-back shape
+    # ran the gram explode subtree twice (df branch + join branch, two
+    # documents scans) and shipped gram STRINGS across the network twice
+    # (df partial-agg shuffle + the join). A count() window over
+    # partitionBy(gram) attaches the identical document frequency inside
+    # the one gram-keyed exchange the df aggregate needed anyway: one
+    # scan, one gram shuffle, no join.
+    from pyspark.sql import Window as W
+
     eg = grams.select("doc_id", F.explode("g").alias("gram"))
-    dfreq = eg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs_w = F.count(F.lit(1)).over(W.partitionBy("gram"))
     shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("long")
     return (
-        eg.join(dfreq, "gram")
+        eg.withColumn("n_docs", n_docs_w)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -467,12 +467,16 @@ class TestKmvTwoLevelPlan:
     the last-exchange assert: that shape sorts the corpus on 3 tasks at
     100 TB."""
 
-    @pytest.mark.parametrize(
-        "name",
-        ["q_agg_approx_portable", "q_sketch_union", "q_sketch_intersect"],
-    )
-    def test_corpus_exchange_is_salted(self, spark, name):
-        plan = physical_plan(QUERIES[name](spark, SF_DIR))
+    def test_corpus_exchange_is_salted(self, spark):
+        # r11: the build is shared via aggregates.kmv_flag_sketch_for
+        # (one salted corpus pass per session — the celldots/pair-build
+        # treatment), so the salted-shape invariants are asserted on
+        # the BUILD plan itself; test_kmv_sketch_single_build below
+        # pins that every family member consumes that one build.
+        from elric_rs_spark.operators import aggregates
+
+        name = "kmv_flag_sketch_plan"
+        plan = physical_plan(aggregates.kmv_flag_sketch_plan(spark, SF_DIR))
         lines = plan.splitlines()
         assert "kmv_salt" in plan, f"{name}: salted local bottom-K missing"
         # plans print top-down (root first), so DEEPER = LARGER index.
@@ -540,6 +544,25 @@ class TestKmvTwoLevelPlan:
             "WindowGroupLimit" in ln and "kmv_salt" in ln and "Partial" in ln
             for ln in lines
         ), f"{name}: no map-side bottom-K cap before the salted exchange"
+
+    def test_kmv_sketch_single_build(self, spark):
+        """All three KMV consumers share ONE salted corpus pass per
+        (session, sf_dir) — the celldots/pair-build treatment (r11):
+        before the memo, q_sketch_union and q_sketch_intersect each
+        re-ran the md5 + double-sort + WindowGroupLimit corpus build
+        from 2-3 plan branches (up to six corpus passes per suite)."""
+        from elric_rs_spark.operators import aggregates
+
+        key = (spark.sparkContext.applicationId, SF_DIR)
+        aggregates._KMV_SKETCH_CACHE.pop(key, None)
+        before = aggregates._KMV_SKETCH_BUILDS
+        for name in (
+            "q_agg_approx_portable",
+            "q_sketch_union",
+            "q_sketch_intersect",
+        ):
+            QUERIES[name](spark, SF_DIR).collect()
+        assert aggregates._KMV_SKETCH_BUILDS == before + 1
 
 
 class TestNoCorpusBroadcast:
