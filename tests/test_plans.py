@@ -564,6 +564,52 @@ class TestKmvTwoLevelPlan:
             QUERIES[name](spark, SF_DIR).collect()
         assert aggregates._KMV_SKETCH_BUILDS == before + 1
 
+    def test_kernel_grams_single_build(self, spark):
+        """The xxhash64 MinHash kernel's gram table builds ONCE per
+        (session, sf_dir) — q_dedup_minhash reads it from three plan
+        branches and two label-memo consumers (q_dedup_clusters,
+        curation_full) re-construct the query; before the r11 pin the
+        finalized plan materialized the (doc_id, text) shuffle twice
+        and derived the gram pipeline three times per execution."""
+        from elric_rs_spark.operators import dedup
+
+        key = (spark.sparkContext.applicationId, SF_DIR)
+        dedup._KERNEL_GRAMS_CACHE.pop(key, None)
+        before = dedup._KERNEL_GRAMS_BUILDS
+        for name in ("q_dedup_minhash", "q_dedup_clusters"):
+            QUERIES[name](spark, SF_DIR).collect()
+        assert dedup._KERNEL_GRAMS_BUILDS == before + 1
+
+    def test_winnow_sel_single_build(self, spark):
+        """Both winnow consumers share ONE winnowing chain per
+        (session, sf_dir) — the KMV/celldots treatment (r11): before
+        the memo, q_winnow_fingerprint ran the posexplode + md5/conv +
+        double-window chain from 2 plan branches (4 documents scans)
+        and q_dedup_winnow from 3 (8 scans); the chain itself ran
+        twice per suite."""
+        from elric_rs_spark.operators import text
+
+        key = (spark.sparkContext.applicationId, SF_DIR)
+        text._WINNOW_SEL_CACHE.pop(key, None)
+        before = text._WINNOW_SEL_BUILDS
+        for name in ("q_winnow_fingerprint", "q_dedup_winnow"):
+            QUERIES[name](spark, SF_DIR).collect()
+        assert text._WINNOW_SEL_BUILDS == before + 1
+
+    def test_winnow_sel_one_exchange_build(self, spark):
+        """The combined (doc_id, fp, n_grams) build computes all three
+        window passes plus the doc-constant n_grams count inside ONE
+        doc_id exchange over ONE documents scan — attaching n_grams
+        must not add a shuffle or a second chain."""
+        from elric_rs_spark.operators.text import winnow_sel_plan
+
+        df = winnow_sel_plan(spark, SF_DIR)
+        plan = physical_plan(df)
+        assert plan.count("Scan parquet") == 1
+        # one doc_id exchange for the window chain + at most one for
+        # the distinct's partial/final aggregate pair
+        assert count_shuffles(df) <= 2
+
 
 class TestNoCorpusBroadcast:
     """VERDICT r9 #3 gate: a FORCED F.broadcast of a per-vector/per-doc
