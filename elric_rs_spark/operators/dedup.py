@@ -596,8 +596,13 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elric_rs_spark.functions.vector import cosine as _cosine
     from elric_rs_spark.operators.similarity import lsh_candidate_pairs
 
-    # three consumers share the repartition exchange via ReusedExchange
-    # (not .persist(): caching disables AQE inside the cached plan)
+    # Three consumers (candidate kernel + both cosine-verify sides).
+    # r11: the repartition/ReusedExchange sharing this relied on was
+    # optimizer-defeated like q_dedup_minhash's (finalized plan: FOUR
+    # embeddings scans, zero reuse — the cast Project collapsed above
+    # the exchange and each branch re-cast post-shuffle); an eager
+    # DISK_ONLY pin materializes the cast vectors once. Row-identical
+    # pre/post at sf0.01/sf0.1; cold noop 8.5 -> 3.0 s at sf0.1.
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -606,6 +611,7 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     cand = lsh_candidate_pairs(spark, e)
     va = e.select(
