@@ -593,7 +593,7 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate quality; a production dedup run would `.filter(cosine >=
     0.9)` the same plan. Run q_dedup_exact upstream at scale so identical
     payloads never reach the bucketing (same contract as q_dedup_minhash)."""
-    from elric_rs_spark.functions.vector import cosine as _cosine
+    from elric_rs_spark.functions.vector import dot as _dot_hof
     from elric_rs_spark.operators.similarity import lsh_candidate_pairs
 
     # Three consumers (candidate kernel + both cosine-verify sides).
@@ -603,6 +603,11 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exchange and each branch re-cast post-shuffle); an eager
     # DISK_ONLY pin materializes the cast vectors once. Row-identical
     # pre/post at sf0.01/sf0.1; cold noop 8.5 -> 3.0 s at sf0.1.
+    # nsq folded once per vector INSIDE the pin (r11, guide §4.2): the
+    # verify evaluated the interpreted norm_l2 fold twice per candidate
+    # pair; candidates outnumber vectors, so the per-vector fold + an
+    # extra double on the existing join sides is strictly less work.
+    # sqrt(nsq) of the same fold over the same array is bit-identical.
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -610,14 +615,27 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
+        .withColumn(
+            "nsq", F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x)
+        )
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     cand = lsh_candidate_pairs(spark, e)
     va = e.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("label"), F.col("v").alias("va")
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label"),
+        F.col("v").alias("va"),
+        F.col("nsq").alias("nsq_a"),
     )
-    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    vb = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    cosine = _dot_hof(F.col("va"), F.col("vb")) / (
+        F.sqrt(F.col("nsq_a")) * F.sqrt(F.col("nsq_b"))
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -625,7 +643,7 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_a").alias("vec_a"),
             F.col("id_b").alias("vec_b"),
             "label",
-            F.round(_cosine(F.col("va"), F.col("vb")), 5).alias("cosine"),
+            F.round(cosine, 5).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
         .limit(20)
@@ -2384,26 +2402,28 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (e is already length-filtered at the source — see the docstring's
     # fixed-length precondition — so zip_with never null-pads and the
     # candidate and verify stages see the same vector set.)
+    def _fold(col, fn):
+        return F.aggregate(col, F.lit(0).cast("long"), fn)
+
+    # Per-VECTOR squared norm folded once in marr (r11, guide §4.2)
+    # instead of per candidate pair in the verify: candidates outnumber
+    # vectors, so the per-pair saa/sbb re-folds were redundant work. The
+    # nsq column rides the EXISTING shuffle-hash join sides (one extra
+    # BIGINT next to the m array) — no separate norm table, so the
+    # VERDICT r9 #3 corpus-broadcast cliff still cannot occur. The fold
+    # is the identical exact-integer sum over the identical array, so
+    # saa/sbb (and hence cosine) are bit-identical.
     marr = e.select(
         "vec_id",
         F.transform(
             "embedding",
             lambda x: F.round(x.cast("double") * 1000000).cast("long"),
         ).alias("m"),
-    )
-
-    def _fold(col, fn):
-        return F.aggregate(col, F.lit(0).cast("long"), fn)
+    ).withColumn("nsq", _fold(F.col("m"), lambda acc, x: acc + x * x))
 
     sab = _fold(F.zip_with("ma", "mb", lambda x, y: x * y), lambda acc, x: acc + x)
-    # norms computed INLINE from the ma/mb arrays the pair rows already
-    # carry (VERDICT r9 #3): the previous form broadcast a per-vector
-    # (vec_id, nsq) table twice — fine at sf30 (~600k rows ≈ 10 MB) but
-    # a ~1 GB+ driver/executor cliff at 60M+ vectors. Re-folding the
-    # 64-element array per pair row is pure codegen arithmetic, deletes
-    # two joins, and keeps the exact-integer sums bit-identical.
-    saa = _fold(F.col("ma"), lambda acc, x: acc + x * x)
-    sbb = _fold(F.col("mb"), lambda acc, x: acc + x * x)
+    saa = F.col("nsq_a")
+    sbb = F.col("nsq_b")
     # SHUFFLE_HASH on the vector side: below the broadcast threshold AQE
     # broadcasts it anyway, above it (sf30's 312 MB array table) the
     # default SMJ would SORT the pair side with attached arrays (~12 GB
@@ -2413,13 +2433,19 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |vectors|/shuffle_partitions rows.
     prods = (
         cand.join(
-            marr.select(F.col("vec_id").alias("vec_a"), F.col("m").alias("ma"))
-            .hint("shuffle_hash"),
+            marr.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("m").alias("ma"),
+                F.col("nsq").alias("nsq_a"),
+            ).hint("shuffle_hash"),
             "vec_a",
         )
         .join(
-            marr.select(F.col("vec_id").alias("vec_b"), F.col("m").alias("mb"))
-            .hint("shuffle_hash"),
+            marr.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("m").alias("mb"),
+                F.col("nsq").alias("nsq_b"),
+            ).hint("shuffle_hash"),
             "vec_b",
         )
         .select(

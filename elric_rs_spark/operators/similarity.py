@@ -311,11 +311,30 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pins the plan and disables AQE inside it (measured 6.7s vs 2.4s on
     # a vanilla 200-shuffle-partition session), while exchange reuse
     # spills natively and keeps AQE coalescing at any scale.
-    reps = clusters.select(F.col("rep").alias("vec_id"), "v")
+    # Per-VECTOR squared norm folded once here instead of per candidate
+    # pair in the verify (r11, guide §4.2): norm_l2 is an interpreted
+    # HOF fold, and the verify evaluated it TWICE per pair — at any
+    # scale candidates outnumber vectors, so 2/3 of the verify's
+    # interpreted fold work was redundant. nsq rides the existing join
+    # sides as one extra double (no new table, no broadcast — the r9 #3
+    # corpus-broadcast lesson does not apply); sqrt(nsq) of the same
+    # fold over the same array is bit-identical to the old norm_l2.
+    nsq = F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x)
+    reps = clusters.select(F.col("rep").alias("vec_id"), "v", nsq.alias("nsq"))
     cand = lsh_candidate_pairs(spark, reps)
-    va = reps.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = reps.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    cosine = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    va = reps.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    vb = reps.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    cosine = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(F.col("nsq_a")) * F.sqrt(F.col("nsq_b"))
+    )
     cross_pairs = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -1979,6 +1998,19 @@ def q_sim_ivf_trained_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1, same-load A/B). At production iteration counts training
     # runs on a bounded SAMPLE (see docstring), so the unrolled-lineage
     # cost is sample-sized, never corpus-sized.
+    #
+    # r11 measured-and-rejected #2: a full exact-GEMM mapInPandas
+    # rewrite (the q_dedup_semantic pattern — one kernel pass per
+    # iteration emitting <= cells x dims partials, packed-centroid
+    # broadcasts, oracle PASS at sf0.001/0.01/0.1, finalized plan 3
+    # MapInPandas + 3 ReusedExchange) measured ~2x SLOWER warm at sf0.1
+    # in two independent A/Bs (noop execute 4.2-6.1 s vs 1.8-3.1 s row
+    # form): at 8 cells x 64 dims the assignment is only ~512
+    # codegen-combinable FLOPs per vector, far too little arithmetic to
+    # pay three Python/Arrow boundary crossings + an eager pin. The
+    # GEMM kernels earn their boundary cost on quadratic pair work
+    # (semantic/embed dedup), not on per-row linear passes against a
+    # broadcast this small.
     for _ in range(2):  # unrolled on the oracle side as _km_sql_iter(1..2)
         assign = _km_assign(comp, cent)
         cent = _km_update(comp, assign, cent)

