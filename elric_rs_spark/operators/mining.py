@@ -130,69 +130,99 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand grain): support, confidence and lift for every directed brand
     pair co-ordered in >= 1.5% of baskets.
 
-    Scale shape (round-8 rework — the sf1->sf10 decade found the
-    original distinct + okey self-join paying THREE corpus-sized
-    exchanges): the basket table is ONE corpus shuffle —
-    groupBy(okey).collect_set(brand), whose map-side partial both
-    combines the ~4 lineitems per order AND dedups brands (subsuming
-    the old DISTINCT) — and everything downstream is row-local array
-    work over baskets bounded at k = 25 brands: directed pairs explode
-    k(k-1) per basket (~14 for the fixture's ~3.75 brands/basket) into
-    a <= k^2-cell map-side-combined count; supports explode one row
-    per basket member. Two 25-row broadcast joins + a one-row
-    broadcast total close the rule stats. The support gate is integer
-    permille arithmetic (`n_both * 1000 >= t * n_orders`) so both
-    engines apply the exact same cut; ratios are single-division
-    round-6dp doubles on exact integers (< 2^53).
+    Scale shape (r8 rework killed the distinct + okey self-join's three
+    corpus exchanges; r11 rework killed the collect_set object
+    aggregation — see the bitmask comment below): the basket table is
+    ONE corpus shuffle, a plain BIGINT bit_or per order over the
+    schema-bounded brand dictionary (k <= 63, loudly guarded); every
+    rule statistic then derives from the <= min(|orders|, 2^k)-row
+    distinct-mask histogram via k-row broadcast-dictionary probes —
+    corpus-independent work after two map-side-combined shuffles. The
+    support gate is integer permille arithmetic
+    (`n_both * 1000 >= t * n_orders`) so both engines apply the exact
+    same cut; ratios are single-division round-6dp doubles on exact
+    integers (< 2^53).
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    # r11 (guide §2.4/§5, the q_sim_lsh pattern): baskets feeds FOUR
-    # branches (tot, supp via both rule-stat broadcasts, pair counts).
-    # ReusedExchange would share only the okey shuffle files — the
-    # broadcast-join + collect_set aggregate re-ran per branch (8
-    # lineitem/part scans, 16 exchanges in
-    # plans/r11/q_assoc_rules_before.txt). One DISK_ONLY checkpoint
-    # materializes the basket table once; it is |orders|-sized, so the
-    # pin stays on disk rows, never deserialized JVM heap.
+    # r11 bitmask rework (guide §2.2 narrower types / §2.3 aggregate
+    # early; sf10 decade catch). The r8 collect_set basket build hit
+    # ObjectHashAggregate's sort-based fallback at scale (default
+    # fallbackThreshold=128 distinct keys/partition << 15M baskets at
+    # sf10): the corpus aggregate degenerated into a 60M-row sort of
+    # set objects — isolated sf10 measured 85-108 s for the build alone
+    # (18x/decade). The brand domain is a SCHEMA-BOUNDED dictionary
+    # (~25 values, loudly guarded <= 63), so a basket is ONE BIGINT
+    # bitmask: bit_or is a plain codegen HashAggregate (map-side
+    # combined, 8 bytes/basket, no object aggregation, no fallback
+    # cliff — same build measured 15.3 s), and every downstream stat
+    # needs only the DISTINCT-mask histogram: tot/supp/pair counts are
+    # broadcast-dictionary probes over <= |distinct masks| rows, exact
+    # integers end to end. Same values: the mask encodes exactly the
+    # old collect_set, the dictionary joins map bits back to the same
+    # brand strings.
+    from pyspark.sql import Window as _W
     from pyspark.storagelevel import StorageLevel
 
-    baskets = (
-        li.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
-            li["l_partkey"] == part["p_partkey"],
-        )
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .groupBy("okey")
-        .agg(F.collect_set("brand").alias("bs"))
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    )
-    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
-    # supp is <= |brands| rows but consumed twice (antecedent and
-    # consequent broadcasts) — pin the tiny aggregate so the basket
-    # explode runs once, not twice.
-    supp = (
-        baskets.select(F.explode("bs").alias("brand"))
-        .groupBy("brand")
-        .agg(F.count(F.lit(1)).alias("n_brand"))
-        .localCheckpoint(eager=True)
-    )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("bs"),
-            lambda x: F.transform(
-                F.filter(F.col("bs"), lambda y: y != x),
-                lambda y: F.struct(x.alias("a"), y.alias("c")),
+    bdict = (
+        part.select("p_brand").distinct()
+        .withColumn("bidx", F.row_number().over(_W.orderBy("p_brand")) - 1)
+        # loud in-plan guard: a 64th brand would silently wrap shiftleft
+        .withColumn(
+            "bidx",
+            F.when(
+                F.expr(
+                    "assert_true(bidx <= 62, 'q_assoc_rules: brand "
+                    "cardinality exceeds the 63-bit basket mask')"
+                ).isNull(),
+                F.col("bidx"),
             ),
         )
     )
-    pr = (
-        baskets.select(F.explode(pair_expr).alias("p"))
-        .groupBy(
-            F.col("p.a").alias("antecedent"),
-            F.col("p.c").alias("consequent"),
+    baskets = (
+        li.join(
+            F.broadcast(
+                part.select("p_partkey", "p_brand").join(
+                    F.broadcast(bdict), "p_brand"
+                ).select("p_partkey", "bidx")
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
         )
-        .agg(F.count(F.lit(1)).alias("n_both"))
+        .select(F.col("l_orderkey").alias("okey"), "bidx")
+        .groupBy("okey")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bidx))").alias("mask")
+        )
+    )
+    # the distinct-mask histogram is the ONLY materialized intermediate:
+    # <= min(|orders|, 2^|brands|) rows, consumed by tot + supp + pairs
+    mcount = (
+        baskets.groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    tot = mcount.agg(F.sum("n_baskets").alias("n_orders"))
+    # supp is <= |brands| rows but consumed twice (antecedent and
+    # consequent broadcasts) — pin the tiny aggregate so the mask probe
+    # runs once, not twice.
+    supp = (
+        mcount.join(
+            F.broadcast(bdict), F.expr("((mask >> bidx) & 1) = 1")
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum("n_baskets").alias("n_brand"))
+        .localCheckpoint(eager=True)
+    )
+    ba = bdict.select(F.col("p_brand").alias("antecedent"), F.col("bidx").alias("ia"))
+    bc = bdict.select(F.col("p_brand").alias("consequent"), F.col("bidx").alias("ic"))
+    pr = (
+        mcount.join(F.broadcast(ba), F.expr("((mask >> ia) & 1) = 1"))
+        .join(
+            F.broadcast(bc),
+            F.expr("((mask >> ic) & 1) = 1 AND ic != ia"),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.sum("n_baskets").alias("n_both"))
     )
     sa = F.broadcast(supp.select(F.col("brand").alias("antecedent"), F.col("n_brand").alias("n_ante")))
     sb = F.broadcast(supp.select(F.col("brand").alias("consequent"), F.col("n_brand").alias("n_cons")))

@@ -335,9 +335,16 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(F.col("nsq_a")) * F.sqrt(F.col("nsq_b"))
     )
+    # SHUFFLE_HASH on the vector sides (r11 sf10 decade catch — the
+    # r9 portable-twin lesson finally applied to the kernel): above the
+    # broadcast threshold the default SMJ SORTS the candidate side with
+    # attached 64-dim arrays (sf10: 8.5M pair rows, measured 11.2x per
+    # decade isolated); hash-building the per-partition vector slice
+    # streams the pairs unsorted — the build side is
+    # |vectors|/shuffle_partitions rows at any corpus size.
     cross_pairs = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        cand.join(va.hint("shuffle_hash"), "id_a")
+        .join(vb.hint("shuffle_hash"), "id_b")
         .select(
             F.col("id_a").alias("vec_a"),
             F.col("id_b").alias("vec_b"),

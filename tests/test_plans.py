@@ -683,3 +683,27 @@ class TestPrefoldedNormIdentity:
             assert row.direct == row.prefolded or (
                 row.direct != row.direct and row.prefolded != row.prefolded
             )
+
+
+class TestAssocRulesBitmaskShape:
+    """r11 sf10 decade catch: the collect_set basket build degenerated
+    into ObjectHashAggregate's sort-based fallback at high group
+    cardinality (85-108 s at sf10 for the build alone). The bitmask
+    rework keeps the corpus aggregate a plain codegen hash aggregate;
+    this gate pins that no object aggregation can sneak back into the
+    plan."""
+
+    def test_no_object_hash_aggregate(self, spark):
+        from elric_rs_spark.plans.inspect import has_node
+
+        df = QUERIES["q_assoc_rules"](spark, SF_DIR)
+        assert not has_node(df, "ObjectHashAggregate"), (
+            "q_assoc_rules plan contains ObjectHashAggregate — the "
+            "collect-style aggregation hits the sort-based fallback at "
+            "scale (measured 18x/decade at sf10); keep baskets as the "
+            "BIGINT bit_or mask"
+        )
+        assert not has_node(df, "SortAggregate"), (
+            "q_assoc_rules plan contains SortAggregate — the basket "
+            "build must stay a codegen hash aggregate"
+        )
