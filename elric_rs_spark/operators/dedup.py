@@ -593,8 +593,7 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate quality; a production dedup run would `.filter(cosine >=
     0.9)` the same plan. Run q_dedup_exact upstream at scale so identical
     payloads never reach the bucketing (same contract as q_dedup_minhash)."""
-    from elric_rs_spark.functions.vector import dot as _dot_hof
-    from elric_rs_spark.operators.similarity import lsh_candidate_pairs
+    from elric_rs_spark.operators.similarity import lsh_candidate_cosines
 
     # Three consumers (candidate kernel + both cosine-verify sides).
     # r11: the repartition/ReusedExchange sharing this relied on was
@@ -621,38 +620,31 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
-    cand = lsh_candidate_pairs(spark, e)
-    va = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("label"),
-        F.col("v").alias("va"),
-        F.col("nsq").alias("nsq_a"),
-    )
-    vb = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nsq").alias("nsq_b"),
-    )
-    cosine = _dot_hof(F.col("va"), F.col("vb")) / (
-        F.sqrt(F.col("nsq_a")) * F.sqrt(F.col("nsq_b"))
-    )
-    # SHUFFLE_HASH on the vector sides (r11 sf10 decade catch — the r9
-    # portable-twin lesson finally applied to the kernel twin): above
-    # the broadcast threshold the default SMJ SORTS the candidate side
-    # with attached 64-dim arrays (sf10: 8.5M pairs, measured 22.8x per
-    # decade isolated before the hint); the hash build side is
-    # |vectors|/shuffle_partitions rows at any corpus size.
-    return (
-        cand.join(va.hint("shuffle_hash"), "id_a")
-        .join(vb.hint("shuffle_hash"), "id_b")
-        .select(
+    # In-bucket verify (r11 sf30 decade catch — see
+    # similarity.lsh_candidate_cosines): the join-back verify attached
+    # the 64-dim arrays to every candidate pair row and pushed them
+    # through two shuffles (sf10 measured 22.8x/decade before the
+    # shuffle-hash hints, and the hinted form still spilled at sf30's
+    # pair volume); each vector now crosses the network once per table
+    # inside the bucket rows, and only narrow (id, id, cosine) rows
+    # exist after the bucket stage. Identical members and IEEE cosine
+    # ops — proven row-identical at sf0.01/sf0.1. The label join moves
+    # AFTER the top-20 cut (20 rows) — the ranking never depended on it.
+    cc = lsh_candidate_cosines(spark, e)
+    top = (
+        cc.select(
             F.col("id_a").alias("vec_a"),
             F.col("id_b").alias("vec_b"),
-            "label",
-            F.round(cosine, 5).alias("cosine"),
+            F.round("cosine", 5).alias("cosine"),
         )
+        .distinct()
         .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
         .limit(20)
+    )
+    return (
+        top.join(e.select(F.col("vec_id").alias("vec_a"), "label"), "vec_a")
+        .select("vec_a", "vec_b", "label", "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
     )
 
 

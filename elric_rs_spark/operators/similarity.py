@@ -149,6 +149,127 @@ def lsh_band_keys(sig_df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     ).select(id_col, "b.t", "b.key")
 
 
+def _lsh_banded(spark: SparkSession, vecs: DataFrame, id_col: str,
+                vec_col: str, nb: DataFrame, carry: str | None) -> DataFrame:
+    """(id, t, key [, vec, nsq]) band rows from the shared Arrow GEMM
+    banding kernel (see lsh_candidate_pairs for the geometry). With
+    `carry` (an nsq column name) the kernel ALSO passes the vector and
+    its prefolded squared norm through — one array copy per (vector,
+    table), so downstream bucket verify never joins arrays onto pair
+    rows (lsh_candidate_cosines)."""
+    import numpy as np
+
+    from elric_rs_spark.operators.dedup import PDLSH_MAX_PLANES, PDLSH_TABLES
+
+    planes_np = np.asarray(_hyperplanes(PDLSH_MAX_PLANES), dtype=np.float64)
+
+    def _band_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bits = int(pdf["bits"].iloc[0])
+            pl = planes_np[: PDLSH_TABLES * bits]
+            dim = pl.shape[1]
+            v = np.zeros((len(pdf), dim), dtype=np.float64)
+            for i, arr in enumerate(pdf[vec_col]):
+                a = np.asarray(arr, dtype=np.float64)[:dim]
+                v[i, : len(a)] = a
+            dots = v @ pl.T  # (n, tables*bits)
+            signs = dots >= 0
+            weights = 1 << np.arange(bits, dtype=np.int64)
+            ids = pdf[id_col].astype("int64")
+            out = []
+            for t in range(PDLSH_TABLES):
+                key = (signs[:, t * bits : (t + 1) * bits] * weights).sum(
+                    axis=1
+                )
+                frame = {id_col: ids, "t": np.int64(t), "key": key.astype(np.int64)}
+                if carry is not None:
+                    frame[vec_col] = pdf[vec_col]
+                    frame[carry] = pdf[carry]
+                out.append(pd.DataFrame(frame))
+            yield pd.concat(out, ignore_index=True)
+
+    cols = [id_col, vec_col] + ([carry] if carry is not None else [])
+    schema = f"{id_col} long, t long, key long"
+    if carry is not None:
+        schema += f", {vec_col} array<double>, {carry} double"
+    return (
+        vecs.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= 1))
+        .select(*cols)
+        .crossJoin(F.broadcast(nb))
+        .mapInPandas(_band_batches, schema)
+    )
+
+
+def lsh_candidate_cosines(spark: SparkSession, vecs: DataFrame,
+                          id_col: str = "vec_id", vec_col: str = "v",
+                          nsq_col: str = "nsq") -> DataFrame:
+    """(id_a, id_b, cosine) — lsh_candidate_pairs' candidates with the
+    exact cosine computed IN-BUCKET (r11 sf30 decade catch, guide §2.2
+    shuffle fewer bytes): the join-back verify attached the 512-byte
+    vector arrays to every candidate pair row and pushed them through
+    TWO shuffles (~25 GB at sf30's 23M pairs — an in-memory-to-spill
+    step between sf10 and sf30, measured 15.3x for 3x data). Here each
+    vector crosses the network ONCE PER TABLE inside the bucket rows
+    (4 x |vectors| x ~530 B — corpus-linear with a constant factor),
+    pairs explode with both vectors in hand, and only narrow
+    (id_a, id_b, cosine) rows exist after the bucket stage.
+
+    Values: bucket membership is the identical array_sort + 256-cap
+    over the identical band keys (the struct sort keys on the unique id
+    field), and the cosine is the identical zip_with-fold dot over the
+    identical arrays with the identical prefolded-nsq norms — the same
+    IEEE operations in the same order, so every (pair, cosine) is
+    bit-identical to the join-back form. A pair can surface from up to
+    PDLSH_TABLES buckets, always with the identical cosine — callers
+    dedup and apply their own rounding/threshold."""
+    nb = vecs.agg(_pdlsh_bits_col_imported().alias("bits"))
+    banded = _lsh_banded(spark, vecs, id_col, vec_col, nb, carry=nsq_col)
+    ds = F.slice(
+        F.array_sort(F.collect_set(F.struct(id_col, vec_col, nsq_col))),
+        1,
+        256,
+    )
+
+    def _cos(x, y):
+        dot = F.aggregate(
+            F.zip_with(x[vec_col], y[vec_col], lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        return dot / (F.sqrt(x[nsq_col]) * F.sqrt(y[nsq_col]))
+
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x[id_col].alias("id_a"),
+                    y[id_col].alias("id_b"),
+                    _cos(x, y).alias("cosine"),
+                ),
+            ),
+        )
+    )
+    return (
+        banded.groupBy("t", "key")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.cosine")
+    )
+
+
+def _pdlsh_bits_col_imported():
+    from elric_rs_spark.operators.dedup import _pdlsh_bits_col
+
+    return _pdlsh_bits_col()
+
+
 def lsh_candidate_pairs(spark: SparkSession, vecs: DataFrame,
                         id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
     """Candidate near-neighbor pairs (id_a, id_b) from multi-table LSH:
@@ -197,45 +318,7 @@ def lsh_candidate_pairs(spark: SparkSession, vecs: DataFrame,
     # aggregate rides in on a broadcast and every batch reads it from
     # its first row. Empty/null vectors are filtered exactly as the
     # explode form dropped them (no dim rows -> no dots -> no bands).
-    import numpy as np
-
-    planes_np = np.asarray(_hyperplanes(PDLSH_MAX_PLANES), dtype=np.float64)
-
-    def _band_batches(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            bits = int(pdf["bits"].iloc[0])
-            pl = planes_np[: PDLSH_TABLES * bits]
-            dim = pl.shape[1]
-            v = np.zeros((len(pdf), dim), dtype=np.float64)
-            for i, arr in enumerate(pdf[vec_col]):
-                a = np.asarray(arr, dtype=np.float64)[:dim]
-                v[i, : len(a)] = a
-            dots = v @ pl.T  # (n, tables*bits)
-            signs = dots >= 0
-            weights = 1 << np.arange(bits, dtype=np.int64)
-            ids = pdf[id_col].astype("int64")
-            out = []
-            for t in range(PDLSH_TABLES):
-                key = (signs[:, t * bits : (t + 1) * bits] * weights).sum(
-                    axis=1
-                )
-                out.append(
-                    pd.DataFrame(
-                        {id_col: ids, "t": np.int64(t), "key": key.astype(np.int64)}
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
-
-    banded = (
-        vecs.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= 1))
-        .select(id_col, vec_col)
-        .crossJoin(F.broadcast(nb))
-        .mapInPandas(_band_batches, f"{id_col} long, t long, key long")
-    )
+    banded = _lsh_banded(spark, vecs, id_col, vec_col, nb, carry=None)
     ds = F.slice(F.array_sort(F.collect_set(id_col)), 1, 256)
     pair_expr = F.flatten(
         F.transform(
@@ -321,36 +404,24 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold over the same array is bit-identical to the old norm_l2.
     nsq = F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x)
     reps = clusters.select(F.col("rep").alias("vec_id"), "v", nsq.alias("nsq"))
-    cand = lsh_candidate_pairs(spark, reps)
-    va = reps.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nsq").alias("nsq_a"),
-    )
-    vb = reps.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nsq").alias("nsq_b"),
-    )
-    cosine = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(F.col("nsq_a")) * F.sqrt(F.col("nsq_b"))
-    )
-    # SHUFFLE_HASH on the vector sides (r11 sf10 decade catch — the
-    # r9 portable-twin lesson finally applied to the kernel): above the
-    # broadcast threshold the default SMJ SORTS the candidate side with
-    # attached 64-dim arrays (sf10: 8.5M pair rows, measured 11.2x per
-    # decade isolated); hash-building the per-partition vector slice
-    # streams the pairs unsorted — the build side is
-    # |vectors|/shuffle_partitions rows at any corpus size.
+    # In-bucket verify (r11 sf30 decade catch — see
+    # lsh_candidate_cosines): the join-back verify attached the 64-dim
+    # arrays to every pair row and pushed them through two shuffles
+    # (~25 GB at sf30's 23M pairs — an in-memory-to-spill step measured
+    # 15.3x for 3x data even WITH shuffle-hash hints); each vector now
+    # crosses the network once per table inside the bucket rows, and
+    # only narrow (id, id, cosine) rows exist after the bucket stage.
+    # Same members (identical array_sort + 256 cap), same IEEE cosine
+    # ops — proven row-identical at sf0.01/sf0.1.
+    cc = lsh_candidate_cosines(spark, reps)
     cross_pairs = (
-        cand.join(va.hint("shuffle_hash"), "id_a")
-        .join(vb.hint("shuffle_hash"), "id_b")
-        .select(
+        cc.select(
             F.col("id_a").alias("vec_a"),
             F.col("id_b").alias("vec_b"),
-            F.round(cosine, 6).alias("cosine"),
+            F.round("cosine", 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.35)
+        .distinct()
     )
     return member_pairs.unionByName(cross_pairs).orderBy("vec_a", "vec_b")
 
