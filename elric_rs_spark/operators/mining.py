@@ -179,6 +179,12 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # NOTE: the inner join on p_brand assumes p_brand IS NOT NULL (true
+    # for TPC-H part). A NULL-brand part would drop out of the dictionary
+    # join, so an order whose lineitems ALL carried NULL brands would no
+    # longer count toward n_orders (the old collect_set form counted it
+    # as an empty basket). Assumption lives next to the 63-brand mask
+    # guard above; revisit if a nullable brand source is ever wired in.
     baskets = (
         li.join(
             F.broadcast(

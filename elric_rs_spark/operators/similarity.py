@@ -388,12 +388,13 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("cosine"),
     ).filter(F.col("vec_a") != F.col("vec_b"))
 
-    # Three consumers (signature pipeline + both verify sides) share the
-    # clusters groupBy via ReusedExchange — identical exchange subtrees
-    # materialize the shuffle once. Deliberately NOT .persist(): caching
-    # pins the plan and disables AQE inside it (measured 6.7s vs 2.4s on
-    # a vanilla 200-shuffle-partition session), while exchange reuse
-    # spills natively and keeps AQE coalescing at any scale.
+    # Current topology: the checkpointed clusters table feeds the
+    # banding kernel (via reps) and member_pairs; the cosine verify
+    # happens in-bucket inside lsh_candidate_cosines, so there are no
+    # verify join-backs. Deliberately NOT .persist(): caching pins the
+    # plan and disables AQE inside it (measured 6.7s vs 2.4s on a
+    # vanilla 200-shuffle-partition session); the DISK_ONLY checkpoint
+    # materializes rows without holding JVM heap.
     # Per-VECTOR squared norm folded once here instead of per candidate
     # pair in the verify (r11, guide §4.2): norm_l2 is an interpreted
     # HOF fold, and the verify evaluated it TWICE per pair — at any

@@ -105,20 +105,36 @@ def test_entry_runs(spark):
     assert df.count() >= 0
 
 
-@pytest.mark.parametrize("name", ["q_dedup_minhash", "q_sim_lsh"])
+@pytest.mark.parametrize("name", ["q_dedup_minhash"])
 def test_shared_stage_reuses_exchange_not_persist(spark, name):
-    """The expensive multi-consumer stages (gram pipeline, vector
-    clusters) must be shared via ReusedExchange, not .persist(): caching
-    pins the plan and disables AQE inside it (measured 6.7s vs 2.4s for
-    q_sim_lsh on a vanilla 200-shuffle-partition session — BASELINE.md
-    round 2). q_dedup_embed_lsh is exempt from the reuse assertion: its
-    branches prune different columns below the exchange (only a cheap
-    scan+cast is recomputed), but it must still not cache."""
+    """The expensive multi-consumer stages (gram pipeline) must be
+    shared via ReusedExchange, not .persist(): caching pins the plan and
+    disables AQE inside it (measured 6.7s vs 2.4s for q_sim_lsh on a
+    vanilla 200-shuffle-partition session — BASELINE.md round 2).
+    q_dedup_embed_lsh is exempt from the reuse assertion: its branches
+    prune different columns below the exchange (only a cheap scan+cast
+    is recomputed), but it must still not cache."""
     df = QUERIES[name](spark, SF_DIR)
     df.collect()  # AQE finalizes (and reveals) exchange reuse at execution
     plan = physical_plan(df)
     assert "ReusedExchange" in plan, f"{name}: shared stage not reused"
     assert "InMemoryTableScan" not in plan, f"{name}: unexpected cached plan"
+
+
+def test_sim_lsh_pins_clusters_not_cache(spark):
+    """r11 redesign (final-plan audit): q_sim_lsh's cluster table is an
+    eager DISK_ONLY localCheckpoint — the finalized plan proved that the
+    previous ReusedExchange sharing was optimizer-defeated (filter
+    pushdown + project collapse split the subtrees) and the collect_set
+    aggregate re-ran per branch. The gate now asserts the pin design:
+    downstream branches read the materialized rows (Scan ExistingRDD),
+    and nothing is .persist()ed (no InMemoryTableScan, which would pin
+    the plan and disable AQE inside it)."""
+    df = QUERIES["q_sim_lsh"](spark, SF_DIR)
+    df.collect()
+    plan = physical_plan(df)
+    assert "ExistingRDD" in plan, "clusters pin (localCheckpoint) missing"
+    assert "InMemoryTableScan" not in plan, "unexpected cached plan"
 
 
 @pytest.mark.parametrize(
@@ -666,11 +682,15 @@ class TestPrefoldedNormIdentity:
 
         from elric_rs_spark.functions.vector import norm_l2
 
+        import numpy as np
+
         data = [
             ([0.1, -0.2, 0.30000001, -4.0e-5, 123.456] * 13,),
             ([1.0],),
             ([-1e-30, 1e30, -1e30, 1e-30],),
-            ([float(f) for f in [0.25, -0.5, 0.125]],),
+            # float32-cast values (the embeddings source type): round-trip
+            # through np.float32 so the doubles carry float32 rounding.
+            ([float(np.float32(f)) for f in [0.1, -0.2, 123.456, 3.0e-5]],),
         ]
         df = spark.createDataFrame(data, "v array<double>")
         nsq = F.aggregate("v", F.lit(0.0), lambda s, x: s + x * x)
