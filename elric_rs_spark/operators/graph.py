@@ -161,14 +161,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape per iteration: one join of the current rank vector
     against the edge list + one dst-keyed aggregate — the standard
-    distributed PageRank step. Like the connected-components operator
-    (dedup.py), the edge list and each iteration's rank vector are
-    localCheckpoint-ed: without that the unrolled lineage re-plans
-    every prior round inside every later one (measured: 25 parquet
-    scans / 66 shuffles across the 3-iteration plan, vs one edge
-    materialization + 2 shuffles per round after) — the
-    truncate-the-lineage discipline every iterative algorithm needs;
-    on a cluster the per-round state is a checkpointed table.
+    distributed PageRank step. The unroll runs as ONE action (r12,
+    VERDICT r11 #5): the old per-iteration eager localCheckpoint made
+    every run pay 4 synchronization barriers (wtot + 3 rank pins,
+    ~2.2 s of warm construct wall at sf0.1, scaling ratio 0.53 =
+    driver-bound) to pin NODE-sized rank vectors. Now ONE DISK_ONLY
+    pin materializes the per-iteration big side (cedges = edges with
+    w_total folded in, edge-sized), and the three iterations nest as
+    broadcast-rank builds over that flat pinned leaf — no re-derivation
+    of the union + wtot join per round, no lineage blowup (each nested
+    broadcast build reads pinned rows; a checkpoint-FREE unroll was
+    measured first and rejected: the nested builds re-derived the edge
+    union per level, 59 in-plan scans / warm execute 1.4-1.7 s vs
+    0.7-1.0 s with the pin). Warm wall 2.39 -> 1.5-1.9 s at sf0.1,
+    plan depth bounded by PR_ITERS (a constant).
     The per-order pair explosion in
     the edge build is bounded by lines-per-order (squared), a
     fixture-schema constant; real deployments land an explicit edge
@@ -182,41 +188,39 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = raw.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
     ).unionAll(raw.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # The per-iteration big side is the SAME edge-sized table every
+    # round: (src, dst, w, w_total). Fold w_total in once and pin the
+    # result DISK_ONLY — one barrier for the whole query (vs the old
+    # four) — so every iteration's main side and every nested rank
+    # broadcast build is a flat read of pinned rows instead of a
+    # re-derivation of the union + wtot join (edge-sized rows on disk
+    # blocks, never JVM heap — the co-purchase discipline).
+    from pyspark.storagelevel import StorageLevel as _SL
+
+    wtot = edges.groupBy("src").agg(F.sum("w").cast("long").alias("w_total"))
+    cedges = edges.join(wtot, "src").localCheckpoint(
+        eager=True, storageLevel=_SL.DISK_ONLY
+    )
+    nodes = cedges.select(F.col("src").alias("node")).distinct()
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = n.select(F.expr(f"(15 * ({PR_SCALE} div n)) div 100").alias("b"))
-    # node-sized (supplier-sized) and consumed once per iteration: without
-    # the checkpoint each iteration's broadcast build re-aggregated the
-    # full directed edge expansion (3 extra corpus passes over 3 rounds)
-    wtot = (
-        edges.groupBy("src")
-        .agg(F.sum("w").cast("long").alias("w_total"))
-        .localCheckpoint()
-    )
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "node", F.expr(f"{PR_SCALE} div n").alias("rank")
     )
     for _ in range(PR_ITERS):
         # broadcast the rank vector: nodes are SUPPLIERS — dimension-
         # sized by construction, never corpus-sized — while the edge
-        # list is the big side. The old shuffle join re-exchanged the
-        # full edge expansion every iteration (the checkpointed rank
-        # vector has no size statistics, so the planner fell back to a
-        # shuffle join); broadcasting ranks makes each iteration one
-        # map-side join pass + one dst-keyed aggregate (guide §3.1).
-        contrib = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(F.broadcast(wtot), "src")
-            .select(
-                "dst", F.expr("(rank * w) div w_total").alias("c")
-            )
-        )
+        # list is the big side. Broadcasting ranks makes each iteration
+        # one map-side join pass over the pinned edges + one dst-keyed
+        # aggregate (guide §3.1).
+        contrib = cedges.join(
+            F.broadcast(ranks), cedges.src == ranks.node
+        ).select("dst", F.expr("(rank * w) div w_total").alias("c"))
         ranks = (
             contrib.groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("sc"))
             .crossJoin(F.broadcast(base))
             .select("node", F.expr("b + (85 * coalesce(sc, 0)) div 100").alias("rank"))
-            .localCheckpoint()
         )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return ranks.join(F.broadcast(s), ranks.node == s.s_suppkey).select(
