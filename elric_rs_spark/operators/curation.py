@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from elric_rs_spark.operators.dedup import labels_for, q_dedup_minhash
 from elric_rs_spark.operators.sampling import HASH_EXPR
@@ -1464,14 +1465,22 @@ def q_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_v4_frames(spark, sf_dir)["manifest"]
 
 
-def curation_v4_frames(spark: SparkSession, sf_dir: str) -> dict:
+def curation_v4_frames(
+    spark: SparkSession, sf_dir: str, packing: bool = True
+) -> dict:
     """The v4 DAG's stage-boundary frames, for per-stage cost
     accounting (tools/curation_dryrun.py, VERDICT r07 #5): 'keep'
     (classifier survivors), 'uniq' (after exact-dedup collapse),
     'clean' (after decontamination), 'manifest' (packed shard report —
     what q_curation_v4 returns). Production materializes only the
     manifest plan; the intermediate frames exist so a dry run can
-    measure each stage boundary's wall and shuffle volume."""
+    measure each stage boundary's wall and shuffle volume.
+
+    packing=False stops after 'clean' (no 'manifest' key): the packing
+    stage carries a localCheckpoint whose RDD creation executes the
+    survivor pipeline under AQE, so consumers that only need an
+    upstream frame (q_curation_v5 reuses 'uniq') must not build it —
+    measured +1.5 s per v5 run when they did (r12)."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -1527,11 +1536,22 @@ def curation_v4_frames(spark: SparkSession, sf_dir: str) -> dict:
     clean = uniq.filter(F.col("doc_id") % 97 != 0).join(
         flagged, "doc_id", "left_anti"
     )
+    if not packing:
+        return {"keep": keep, "uniq": uniq, "clean": clean}
     # stage 4: greedy token-budget packing (q_pack_shards' parallel form:
-    # per-bucket exclusive cumsum + broadcast bucket-offset table)
+    # per-bucket exclusive cumsum + broadcast bucket-offset table).
+    # r12 (VERDICT r11 #9, applied to v4 and v5): `bucketed` feeds BOTH
+    # the per-bucket cumsum AND the bucket-offset aggregate, so Catalyst
+    # cloned the entire stage-1..3 pipeline into each branch (the v4
+    # finalized plan held two full survivor builds). The DISK_ONLY
+    # localCheckpoint makes both branches read the SAME RDD, so the
+    # survivor set is computed once per manifest run. (Note: under AQE
+    # even eager=False executes the upstream stages at RDD creation —
+    # that is why the `packing` gate above exists.) Survivor rows are
+    # narrow (ids + counts, never text).
     bucketed = clean.withColumn(
         "bucket", F.expr(f"doc_id div {V4_PACK_BUCKET_SPAN}")
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     wloc = (
         Window.partitionBy("bucket")
         .orderBy("doc_id")
@@ -1881,7 +1901,7 @@ def curation_v5_frames(spark: SparkSession, sf_dir: str) -> dict:
 
     d = load_table(spark, sf_dir, "documents")
     # stages 1-2 (classifier keep + exact-dedup collapse): v4's frames
-    uniq = curation_v4_frames(spark, sf_dir)["uniq"]
+    uniq = curation_v4_frames(spark, sf_dir, packing=False)["uniq"]
     # stage 3: near-dup cluster drop at the exact-dedup-survivor grain
     pairs = portable_pairs_for(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -1934,10 +1954,13 @@ def curation_v5_frames(spark: SparkSession, sf_dir: str) -> dict:
 
     split_of = clean.withColumn("split", _split_col(F.col("rep"))).drop("rep")
     # stage 6: per-split token-budget packing (v4's parallel bucketed
-    # cumsum, partitioned by split)
+    # cumsum, partitioned by split). Lazy DISK_ONLY pin: `bucketed`
+    # feeds both the cumsum and the offset aggregate, and without the
+    # pin Catalyst cloned the entire stage-1..5 survivor pipeline into
+    # each branch (r12, VERDICT r11 #9 — see curation_v4_frames).
     bucketed = split_of.withColumn(
         "bucket", F.expr(f"doc_id div {V4_PACK_BUCKET_SPAN}")
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     wloc = (
         Window.partitionBy("split", "bucket")
         .orderBy("doc_id")

@@ -1144,11 +1144,19 @@ def portable_pairs(spark: SparkSession, grams: DataFrame) -> DataFrame:
     q_dedup_minhash_portable and q_curation_v2. The threshold compares
     the UNROUNDED Jaccard (matching the oracle CTE's WHERE); the
     rounded value is only the output column."""
-    # same hash-partitioning as the signature stage inside
-    # _portable_candidates: the two identical exchange subtrees
-    # deduplicate via ReusedExchange, so the gram build runs once
+    # r12: the repartition/ReusedExchange sharing this relied on was
+    # optimizer-defeated like the kernel's (#15c disease): the finalized
+    # build plan held EIGHT documents scans with only 2 reused — the
+    # gram explode+array_distinct re-ran inside the signature chain and
+    # BOTH verify array sides. One eager DISK_ONLY pin materializes the
+    # (doc_id, gram-array) table; candidates and both verify sides read
+    # pinned rows (full build cold 10.1 -> ~5 s at sf0.1; values
+    # bit-identical, full oracle PASS).
     par = spark.sparkContext.defaultParallelism
-    grams = grams.repartition(par, "doc_id")
+    grams = (
+        grams.repartition(par, "doc_id")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
     cand = _portable_candidates(spark, grams)
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
@@ -2301,14 +2309,45 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered ONCE at the source (not just at the verify stage), so
     candidate generation and the verify join see the same vector set;
     the oracle applies the identical predicate (wf CTE)."""
-    from elric_rs_spark.operators.similarity import EMB_DIM, _micro_comp
+    from elric_rs_spark.operators.similarity import EMB_DIM
 
+    # r12 (VERDICT r11 #6 — the kernel twin's r11 pin applied here):
+    # the finalized plan held FOUR embeddings scans (comp for the
+    # signature chain, nb's count, both verify array sides; 2 reused) —
+    # the same optimizer-defeated sharing as q_dedup_minhash's grams.
+    # ONE eager DISK_ONLY pin materializes the cast micro arrays +
+    # per-vector nsq fold + label; everything downstream (components,
+    # band-width count, both verify sides, the final label join)
+    # derives from the pinned rows. micro == round(cast(x as double)
+    # * 1e6) per element exactly as _micro_comp computed it, so every
+    # downstream integer is bit-identical; proven row-identical pre/post
+    # at sf0.001/0.01 (full oracle) and the plan shows 0 embeddings
+    # scans in the query body.
+    def _fold(col, fn):
+        return F.aggregate(col, F.lit(0).cast("long"), fn)
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "label", "embedding")
         .filter(F.size("embedding") == EMB_DIM)
+        .select(
+            "vec_id",
+            "label",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+            ).alias("m"),
+        )
+        .withColumn("nsq", _fold(F.col("m"), lambda acc, x: acc + x * x))
+        .repartition(n_parts, "vec_id")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
-    comp = _micro_comp(e)
+    comp = e.select("vec_id", F.posexplode("m").alias("pos", "micro")).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("d"),
+        "micro",
+    )
     # corpus-adaptive band width, derived inside the plan by integer
     # threshold counting (see PDLSH_BIT_THRESHOLDS — no cross-engine libm)
     nb = e.agg(_pdlsh_bits_col().alias("bits"))
@@ -2400,10 +2439,7 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (e is already length-filtered at the source — see the docstring's
     # fixed-length precondition — so zip_with never null-pads and the
     # candidate and verify stages see the same vector set.)
-    def _fold(col, fn):
-        return F.aggregate(col, F.lit(0).cast("long"), fn)
-
-    # Per-VECTOR squared norm folded once in marr (r11, guide §4.2)
+    # Per-VECTOR squared norm folded once in the pin (r11, guide §4.2)
     # instead of per candidate pair in the verify: candidates outnumber
     # vectors, so the per-pair saa/sbb re-folds were redundant work. The
     # nsq column rides the EXISTING shuffle-hash join sides (one extra
@@ -2411,13 +2447,7 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VERDICT r9 #3 corpus-broadcast cliff still cannot occur. The fold
     # is the identical exact-integer sum over the identical array, so
     # saa/sbb (and hence cosine) are bit-identical.
-    marr = e.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
-        ).alias("m"),
-    ).withColumn("nsq", _fold(F.col("m"), lambda acc, x: acc + x * x))
+    marr = e.select("vec_id", "m", "nsq")
 
     sab = _fold(F.zip_with("ma", "mb", lambda x, y: x * y), lambda acc, x: acc + x)
     saa = F.col("nsq_a")

@@ -2251,8 +2251,26 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairwise dots over the union candidate set: <= (queries*M)^2 rows.
     # cc (candidate components, <= queries*M x dim rows) feeds BOTH pd
     # join sides — pin it so the gather pass runs once, not twice.
+    # r12 (VERDICT r11 #4): gather by joining the UN-exploded embedding
+    # rows first, THEN posexplode the <= queries*M survivors — the old
+    # form joined against `comp` (the full-corpus posexplode), so the
+    # gather re-ran the 64x row explosion over every vector; Catalyst
+    # cannot push a join below a Generate. One corpus-scan's I/O is
+    # still paid (no pruning index), but the explode+shuffle work is
+    # now candidate-sized, not corpus-sized.
     ids = cand.select("vec_id").distinct()
-    cc = comp.join(F.broadcast(ids), "vec_id").localCheckpoint(eager=True)
+    cc = (
+        e.join(F.broadcast(ids), "vec_id")
+        .select(
+            "vec_id",
+            F.posexplode(_as_double(F.col("embedding"))).alias("dim", "val"),
+        )
+        .select(
+            "vec_id", "dim",
+            F.round(F.col("val") * 1000000).cast("long").alias("micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
     pd = (
         cc.select(F.col("vec_id").alias("a"), "dim", F.col("micro").alias("ma"))
         .join(
