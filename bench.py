@@ -379,16 +379,29 @@ def main() -> None:
         # first timed query doesn't inherit warmup garbage
         spark.sparkContext._jvm.System.gc()
 
+    # Session-memo build attribution (VERDICT r11 #7): memo-consumer
+    # rows are not standalone costs — the FIRST consumer in suite order
+    # pays each shared build inside its own timed region. The buildlog
+    # records every actual build; snapshotting its length around each
+    # query yields {build: {paid_by, sec}} so the per-query rows are
+    # interpretable from this JSON alone. Additive field; no timing
+    # changes.
+    from elric_rs_spark import buildlog
+
+    builds: dict[str, dict] = {}
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
     for name in suite:
         fn = registry.QUERIES[name]
+        n_builds = len(buildlog.BUILDS)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         # noop sink materializes every column/row without count()'s
         # column-pruning shortcut and without collect()'s driver cost
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        for b in buildlog.BUILDS[n_builds:]:
+            builds[b["name"]] = {"paid_by": name, "sec": b["sec"]}
     total = round(time.perf_counter() - t_suite, 3)
 
     canary_end = _canary_sec(spark, sf_dir) if anchor else None
@@ -425,6 +438,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "builds": builds,
         "common17_sec": common17,
         "common17_vs_r1": (
             round(common17 / R1_COMMON17_SEC, 3) if common17 else None

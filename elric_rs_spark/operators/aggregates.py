@@ -199,7 +199,10 @@ def kmv_flag_sketch_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _KMV_SKETCH_CACHE.get(key)
     if cached is not None:
         return cached
-    kept = kmv_flag_sketch_plan(spark, sf_dir).localCheckpoint()
+    from elric_rs_spark import buildlog
+
+    with buildlog.timed("kmv_flag_sketch"):
+        kept = kmv_flag_sketch_plan(spark, sf_dir).localCheckpoint()
     _KMV_SKETCH_CACHE[key] = kept
     _KMV_SKETCH_BUILDS += 1
     return kept

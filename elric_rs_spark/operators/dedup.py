@@ -125,22 +125,27 @@ def _kernel_grams_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _KERNEL_GRAMS_CACHE.get(key)
     if cached is not None:
         return cached
-    # Repartition before the CPU-heavy hash pipeline: a compact parquet
-    # scan yields few input splits, which would serialize the per-token
-    # hashing on one core; at cluster scale this spreads docs over all
-    # executors.
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    hashed = d.select("doc_id", _token_hashes(F.col("text")).alias("th"))
-    grams = (
-        hashed.select(
-            "doc_id",
-            F.array_distinct(_grams_from_token_hashes(F.col("th"), 3)).alias("g"),
+    from elric_rs_spark import buildlog
+
+    with buildlog.timed("kernel_grams"):
+        # Repartition before the CPU-heavy hash pipeline: a compact
+        # parquet scan yields few input splits, which would serialize
+        # the per-token hashing on one core; at cluster scale this
+        # spreads docs over all executors.
+        d = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
         )
-        .filter(F.size("g") > 0)
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    )
+        hashed = d.select("doc_id", _token_hashes(F.col("text")).alias("th"))
+        grams = (
+            hashed.select(
+                "doc_id",
+                F.array_distinct(
+                    _grams_from_token_hashes(F.col("th"), 3)
+                ).alias("g"),
+            )
+            .filter(F.size("g") > 0)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
     _KERNEL_GRAMS_CACHE[key] = grams
     _KERNEL_GRAMS_BUILDS += 1
     return grams
@@ -1083,7 +1088,10 @@ def labels_for(
     cached = _CC_LABEL_CACHE.get(key)
     if cached is not None:
         return cached
-    labels = connected_components(edges).localCheckpoint()
+    from elric_rs_spark import buildlog
+
+    with buildlog.timed(f"cc_labels_{kind}"):
+        labels = connected_components(edges).localCheckpoint()
     _CC_LABEL_CACHE[key] = labels
     _CC_LABEL_BUILDS += 1
     return labels
@@ -1100,10 +1108,13 @@ def portable_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PMH_PAIR_CACHE.get(key)
     if cached is not None:
         return cached
-    d = load_table(spark, sf_dir, "documents")
-    grams_arr = F.array_distinct(_word_ngrams(F.col("text"), 3))
-    grams = d.select("doc_id", grams_arr.alias("g")).filter(F.size("g") > 0)
-    pairs = portable_pairs(spark, grams).localCheckpoint()
+    from elric_rs_spark import buildlog
+
+    with buildlog.timed("portable_pairs"):
+        d = load_table(spark, sf_dir, "documents")
+        grams_arr = F.array_distinct(_word_ngrams(F.col("text"), 3))
+        grams = d.select("doc_id", grams_arr.alias("g")).filter(F.size("g") > 0)
+        pairs = portable_pairs(spark, grams).localCheckpoint()
     _PMH_PAIR_CACHE[key] = pairs
     _PMH_PAIR_BUILDS += 1
     return pairs

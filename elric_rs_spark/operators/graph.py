@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -71,6 +72,9 @@ def copurchase_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _COPURCHASE_CACHE.get(key)
     if cached is not None:
         return cached
+    from elric_rs_spark import buildlog
+
+    _bt = time.perf_counter()
     # Pair generation as collect_set + row-local ordered-pair explosion
     # (the dedup-family in-bucket pair pattern) instead of the old
     # per-order self-join: the join form paid 4 exchanges (distinct,
@@ -109,6 +113,7 @@ def copurchase_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw.write.mode("overwrite").parquet(out)
     stored = spark.read.parquet(out)
+    buildlog.record("copurchase_edges", time.perf_counter() - _bt)
     _COPURCHASE_CACHE[key] = stored
     _COPURCHASE_BUILDS += 1
     return stored

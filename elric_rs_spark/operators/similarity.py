@@ -1293,8 +1293,11 @@ def pivf_celldots_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PIVF_CELLDOTS_CACHE.get(key)
     if cached is not None:
         return cached
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    out = _pivf_celldots(spark, _micro_comp(e)).localCheckpoint()
+    from elric_rs_spark import buildlog
+
+    with buildlog.timed("pivf_celldots"):
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        out = _pivf_celldots(spark, _micro_comp(e)).localCheckpoint()
     _PIVF_CELLDOTS_CACHE[key] = out
     _PIVF_CELLDOTS_BUILDS += 1
     return out

@@ -1247,9 +1247,12 @@ def winnow_sel_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _WINNOW_SEL_CACHE.get(key)
     if cached is not None:
         return cached
-    pinned = winnow_sel_plan(spark, sf_dir).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
+    from elric_rs_spark import buildlog
+
+    with buildlog.timed("winnow_sel"):
+        pinned = winnow_sel_plan(spark, sf_dir).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
     _WINNOW_SEL_CACHE[key] = pinned
     _WINNOW_SEL_BUILDS += 1
     return pinned
