@@ -26,10 +26,24 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elric_rs_spark.registry import query
+from elric_rs_spark.session import dir_parquet_bytes
 from elric_rs_spark.tables import load_table
 
 PR_SCALE = 10**12
 PR_ITERS = 3
+
+# q_pagerank physical-form switch (round 12): below this input size the
+# directed-pin form wins (fewer broadcast-build jobs — fixed overhead
+# dominates at bench scale); at/above it the undirected-pin form wins
+# (half the pinned rows, one pin scan per iteration instead of two —
+# measured 67.2 -> 22.0 s first-run / ~31 -> ~22 s warm at sf10, a wash
+# at sf1, +0.4 s at sf0.1). 64 MB sits between the sf0.1 fixtures
+# (17 MB, driver bench unchanged) and sf1 (178 MB). Same integer
+# formulas either way — values are identical (0 mismatches at sf10;
+# the oracle replays the small form's SQL at every graded scale).
+PR_WIDE_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PR_WIDE_INPUT_BYTES", str(64 << 20))
+)
 
 # The whole graph quartet (PageRank / triangles / label propagation —
 # plus connected components in dedup.py, which runs on documents, not
@@ -179,7 +193,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured first and rejected: the nested builds re-derived the edge
     union per level, 59 in-plan scans / warm execute 1.4-1.7 s vs
     0.7-1.0 s with the pin). Warm wall 2.39 -> 1.5-1.9 s at sf0.1,
-    plan depth bounded by PR_ITERS (a constant).
+    plan depth bounded by PR_ITERS (a constant). Above
+    PR_WIDE_INPUT_BYTES the pin switches to the undirected half-size
+    form (see the constant's comment) — same values, 3x less wall at
+    sf10 where the pin WRITE is the bottleneck.
     The per-order pair explosion in
     the edge build is bounded by lines-per-order (squared), a
     fixture-schema constant; real deployments land an explicit edge
@@ -194,15 +211,77 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
     ).unionAll(raw.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
     # The per-iteration big side is the SAME edge-sized table every
-    # round: (src, dst, w, w_total). Fold w_total in once and pin the
-    # result DISK_ONLY — one barrier for the whole query (vs the old
-    # four) — so every iteration's main side and every nested rank
-    # broadcast build is a flat read of pinned rows instead of a
-    # re-derivation of the union + wtot join (edge-sized rows on disk
-    # blocks, never JVM heap — the co-purchase discipline).
+    # round. Two physical forms of the identical integer computation,
+    # selected by input size (PR_WIDE_INPUT_BYTES above):
     from pyspark.storagelevel import StorageLevel as _SL
 
     wtot = edges.groupBy("src").agg(F.sum("w").cast("long").alias("w_total"))
+    if dir_parquet_bytes(sf_dir) >= PR_WIDE_INPUT_BYTES:
+        # WIDE form (sf1+): the pin write dominates at scale (56.5 s of
+        # the 67.2 s sf10 wall for the directed pin), so pin the
+        # UNDIRECTED pair table once — half the rows — with BOTH
+        # endpoints' totals folded in map-side (w_total is node-sized:
+        # broadcast, no 2|E|-row shuffle). Each iteration then makes
+        # both directed contributions from ONE scan of the pin: join
+        # the node-sized rank vector twice (broadcast, keyed a and b),
+        # explode each row into its two (dst, contrib) halves, and
+        # aggregate — partial aggregation collapses the explosion
+        # map-side (guide §2.3/§3.1).
+        wa = wtot.select(F.col("src").alias("a"), F.col("w_total").alias("wta"))
+        wb = wtot.select(F.col("src").alias("b"), F.col("w_total").alias("wtb"))
+        upin = (
+            raw.join(F.broadcast(wa), "a")
+            .join(F.broadcast(wb), "b")
+            .select("a", "b", "w", "wta", "wtb")
+            .localCheckpoint(eager=True, storageLevel=_SL.DISK_ONLY)
+        )
+        nodes = upin.select(F.explode(F.array("a", "b")).alias("node")).distinct()
+        n = nodes.agg(F.count(F.lit(1)).alias("n"))
+        base = n.select(F.expr(f"(15 * ({PR_SCALE} div n)) div 100").alias("b"))
+        ranks = nodes.crossJoin(F.broadcast(n)).select(
+            "node", F.expr(f"{PR_SCALE} div n").alias("rank")
+        )
+        for _ in range(PR_ITERS):
+            ra = ranks.select(F.col("node").alias("a"), F.col("rank").alias("rank_a"))
+            rb = ranks.select(F.col("node").alias("b"), F.col("rank").alias("rank_b"))
+            contrib = (
+                upin.join(F.broadcast(ra), "a")
+                .join(F.broadcast(rb), "b")
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("b").alias("dst"),
+                                F.expr("(rank_a * w) div wta").alias("c"),
+                            ),
+                            F.struct(
+                                F.col("a").alias("dst"),
+                                F.expr("(rank_b * w) div wtb").alias("c"),
+                            ),
+                        )
+                    ).alias("p")
+                )
+                .select(F.col("p.dst").alias("dst"), F.col("p.c").alias("c"))
+            )
+            ranks = (
+                contrib.groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("c").alias("sc"))
+                .crossJoin(F.broadcast(base))
+                .select(
+                    "node", F.expr("b + (85 * coalesce(sc, 0)) div 100").alias("rank")
+                )
+            )
+        s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+        return ranks.join(F.broadcast(s), ranks.node == s.s_suppkey).select(
+            "s_suppkey", "s_name", F.col("rank").cast("long").alias("rank_scaled")
+        )
+
+    # SMALL form (bench scale): fold w_total into the directed expansion
+    # and pin THAT DISK_ONLY — one barrier for the whole query (vs the
+    # old four) — so every iteration's main side and every nested rank
+    # broadcast build is a flat read of pinned rows instead of a
+    # re-derivation of the union + wtot join (edge-sized rows on disk
+    # blocks, never JVM heap — the co-purchase discipline).
     cedges = edges.join(wtot, "src").localCheckpoint(
         eager=True, storageLevel=_SL.DISK_ONLY
     )

@@ -32,11 +32,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 _PARQUET_BYTES_PER_PARTITION = 8 << 20
 
 
-def shuffle_partitions_for(sf_dir: str, cpus: str | int | None = None) -> int:
-    """Data-proportional shuffle-partition count for a dataset dir:
-    max(cpus, parquet_bytes / 8 MB). The cluster form of the same rule
-    is targeting ~100-200 MB of shuffle data per task."""
-    cpus = int(cpus or CPUS)
+def dir_parquet_bytes(sf_dir: str) -> int:
+    """Total on-disk parquet bytes of a dataset dir (0 if unreadable).
+    The cheap input-size signal behind every scale-adaptive decision
+    here (shuffle partitions, physical-plan form selection)."""
     try:
         total = 0
         for f in os.listdir(sf_dir):
@@ -55,6 +54,17 @@ def shuffle_partitions_for(sf_dir: str, cpus: str | int | None = None) -> int:
             else:
                 total += os.path.getsize(p)
     except OSError:
+        return 0
+    return total
+
+
+def shuffle_partitions_for(sf_dir: str, cpus: str | int | None = None) -> int:
+    """Data-proportional shuffle-partition count for a dataset dir:
+    max(cpus, parquet_bytes / 8 MB). The cluster form of the same rule
+    is targeting ~100-200 MB of shuffle data per task."""
+    cpus = int(cpus or CPUS)
+    total = dir_parquet_bytes(sf_dir)
+    if total == 0:
         return cpus
     return max(cpus, total // _PARQUET_BYTES_PER_PARTITION)
 

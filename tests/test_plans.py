@@ -727,3 +727,26 @@ class TestAssocRulesBitmaskShape:
             "q_assoc_rules plan contains SortAggregate — the basket "
             "build must stay a codegen hash aggregate"
         )
+
+
+class TestPagerankFormIdentity:
+    """r12: q_pagerank selects between two physical forms by input size
+    (PR_WIDE_INPUT_BYTES) — the directed pin at bench scale, the
+    half-row undirected pin with per-iteration explode at sf1+ (the pin
+    WRITE dominated the sf10 wall: 56.5 s of 67.2). The forms must be
+    value-identical: same integer formulas over the same contribution
+    multiset, so every (node, rank) row matches exactly."""
+
+    def test_wide_and_small_forms_agree(self, spark, monkeypatch):
+        from elric_rs_spark.operators import graph
+
+        sf = "/root/testdata/sf0.01"
+        small = sorted(
+            map(tuple, QUERIES["q_pagerank"](spark, sf).collect())
+        )
+        monkeypatch.setattr(graph, "PR_WIDE_INPUT_BYTES", 0)
+        wide = sorted(
+            map(tuple, QUERIES["q_pagerank"](spark, sf).collect())
+        )
+        assert small == wide
+        assert len(small) > 0
